@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.jobs.CanonicalJobs
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator registers a `queries` entry (Spark) and,
+  * where ANSI-SQL-expressible, a matching `oracleSql` entry (DuckDB).
+  * Column names are aliased identically on both sides — the driver's
+  * compare sorts columns by name before hashing.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CanonicalJobs.wordcount(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_wordcount" -> ((s, d) => CanonicalJobs.wordcount(s, d)),
+    "mr_inverted_index" -> ((s, d) => CanonicalJobs.invertedIndex(s, d)),
+    "mr_grep" -> ((s, d) => CanonicalJobs.grep(s, d)),
+    "mr_sort" -> ((s, d) => CanonicalJobs.sortDocs(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "mr_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word""".stripMargin,
+    "mr_inverted_index" ->
+      """SELECT word,
+        |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word""".stripMargin,
+    "mr_grep" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE regexp_matches(text, 'hash join')""".stripMargin,
+    "mr_sort" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY lang ASC, n_chars DESC, doc_id ASC""".stripMargin,
+  )
 }

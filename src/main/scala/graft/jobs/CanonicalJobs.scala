@@ -1,0 +1,70 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's canonical MapReduce jobs, Spark-first.
+  *
+  * The reference (rsyjswy23/6.824_MapReduce_system) runs user plugins
+  * through map → hash-shuffle → sort → group → reduce
+  * (worker.go:92-171). Its flagship job is word count, worked end to
+  * end in README.MD:25-53 (case-preserving tokens); inverted index,
+  * grep and sort are the standard 6.824/MapReduce-paper app set
+  * (README.MD:5,82). Here each job is a declarative DataFrame query:
+  * Catalyst inserts the hash-partition shuffle the reference hand-rolls
+  * (worker.go:105-110) and picks partial+final hash aggregation, which
+  * strictly improves on the reference's no-combiner sort-based reduce
+  * (worker.go:153-165).
+  *
+  * Scale notes: tokenization is `explode(split(...))` — a codegen'd
+  * Generate, no UDF; the only shuffle is the final groupBy on the
+  * token key, with map-side partial aggregation shrinking it to
+  * |vocab| per partition. At 100 TB this is scan-bound, as it should
+  * be.
+  */
+object CanonicalJobs {
+
+  /** Tokenize `documents.text` on whitespace, one row per token.
+    * Case-preserving per README.MD:31 ("Hello" stays "Hello").
+    * Blank-token filter mirrors the reference's empty-line skip
+    * (worker.go:144-146).
+    */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** Word count — the flagship job (README.MD:25-53). */
+  def wordcount(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(spark, sfDir).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Inverted index: word → comma-joined sorted distinct doc ids.
+    * String-joined (not array) so the DuckDB oracle compares exactly.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(spark, sfDir)
+      .groupBy("word")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("doc_id")))).as("doc_ids"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Distributed grep: documents whose text matches a pattern
+    * (filter inside map in the reference idiom — §2.3 of SURVEY.md).
+    */
+  def grep(spark: SparkSession, sfDir: String, pattern: String = "hash join"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").rlike(pattern))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Distributed sort: total order over (lang, n_chars desc, doc_id).
+    * Spark plans a range-partitioned exchange + per-partition sort —
+    * the scalable TeraSort shape (samples ranges, no single-reducer
+    * bottleneck), vs the reference's per-partition-only sort
+    * (worker.go:153, README.MD:43-53).
+    */
+  def sortDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("lang").asc, col("n_chars").desc, col("doc_id").asc)
+}

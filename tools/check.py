@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+same sfDir parquet tables, sorts columns by name and rows by value,
+and diffs. Exit 0 iff every query matches.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                          type(v).__name__ == "ndarray" else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort",
+                          na_position="first").reset_index(drop=True)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    failures = []
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            failures.append(name); print(f"[FAIL] {name}: no parquet output"); continue
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got)} rows (no oracle)")
+            if len(got) == 0:
+                failures.append(name)
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name); print(f"[FAIL] {name}: oracle SQL error: {e}"); continue
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            failures.append(name)
+            print(f"[FAIL] {name}: columns {list(g.columns)} vs oracle {list(e.columns)}")
+            continue
+        if len(g) != len(e):
+            failures.append(name)
+            print(f"[FAIL] {name}: {len(g)} rows vs oracle {len(e)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            print(f"[OK]   {name}: {len(g)} rows")
+        except AssertionError as ex:
+            failures.append(name)
+            msg = str(ex).splitlines()
+            print(f"[FAIL] {name}: value mismatch: " + " | ".join(msg[:6]))
+            neq = (g != e) & ~(g.isna() & e.isna())
+            bad = neq.any(axis=1)
+            print(g[bad].head(3)); print(e[bad].head(3))
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
