@@ -15,8 +15,27 @@ import org.apache.spark.sql.types.DecimalType
   * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
   */
 object Exact {
+  /** Cast a money-like double to exact decimal(18,2). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
   /** Order-independent exact sum of a 2-decimal double column. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact revenue term: price * (1 - discount), in decimal. */
+  def discPrice(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1).cast(DecimalType(18, 2)) - dec2(discount))
+
+  /** Exact charge term: price * (1 - discount) * (1 + tax), in decimal. */
+  def charge(price: Column, discount: Column, tax: Column): Column =
+    discPrice(price, discount) * (lit(1).cast(DecimalType(18, 2)) + dec2(tax))
+
+  /** Order-independent revenue sum as double; mirror with [[sqlRevenue]]. */
+  def revenue(price: Column, discount: Column): Column =
+    sum(discPrice(price, discount)).cast("double")
+
+  /** SQL fragment mirroring [[revenue]]. */
+  def sqlRevenue(price: String, discount: String): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (1 - CAST($discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   /** Order-independent mean: exact decimal sum / count, divided as doubles. */
   def davg(c: Column): Column = dsum(c) / count(c)

@@ -17,12 +17,12 @@ object SparkEntry {
     CanonicalJobs.wordcount(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mr_wordcount" -> ((s, d) => CanonicalJobs.wordcount(s, d)),
-    "mr_inverted_index" -> ((s, d) => CanonicalJobs.invertedIndex(s, d)),
-    "mr_grep" -> ((s, d) => CanonicalJobs.grep(s, d)),
-    "mr_sort" -> ((s, d) => CanonicalJobs.sortDocs(s, d)),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+    "mr_wordcount" -> (CanonicalJobs.wordcount _),
+    "mr_inverted_index" -> (CanonicalJobs.invertedIndex _),
+    "mr_grep" -> ((s: SparkSession, d: String) => CanonicalJobs.grep(s, d)),
+    "mr_sort" -> (CanonicalJobs.sortDocs _),
+  ) ++ graft.queries.StarSchema.queries ++ graft.queries.EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +46,5 @@ object SparkEntry {
     "mr_sort" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY lang ASC, n_chars DESC, doc_id ASC""".stripMargin,
-  )
+  ) ++ graft.queries.StarSchema.oracles ++ graft.queries.EventWindows.oracles
 }

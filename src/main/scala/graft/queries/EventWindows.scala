@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Exact._
+import graft.Tables
+
+/** Event-time windowing over the `events` table, in BATCH mode.
+  *
+  * The reference is strictly batch (job runs to DONE and exits,
+  * coordinator.go:136-140), so these run as batch `window()` /
+  * `session_window()` aggregations (SURVEY.md §1.3). The same
+  * transformations run unchanged under `readStream` — see
+  * `graft.streaming` for the watermarked streaming variants.
+  *
+  * Scale: window() compiles to an ordinary hash aggregation keyed on
+  * (window, ...) — partial+final, no global sort; session_window uses
+  * the sort-based session merge within user_id partitions, which
+  * scales as long as a single user's events fit a partition (true for
+  * any sane user cardinality; salting by day would be the escape
+  * hatch).
+  */
+object EventWindows {
+
+  /** Tumbling 1-hour windows per event_type. */
+  def hourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"), col("n_users"))
+
+  /** Sliding windows: 1-hour length, 30-minute slide (each event lands
+    * in exactly two windows).
+    */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows per user: 30-minute inactivity gap. A new event
+    * at t extends the session to t+gap; the next event merges iff it
+    * arrives strictly before that end.
+    */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"),
+        max(col("ts")).as("last_ts"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("session_value"), col("last_ts"))
+
+  /** Hour-of-day profile — scalar time extraction + agg. */
+  def hourOfDay(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(hour(col("ts")).as("hod"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  /** Semi-structured access: extract `$.k` from the JSON props column.
+    * At scale this stays in codegen (`get_json_object` is a native
+    * expression) — no UDF.
+    */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hourly" -> hourly _,
+    "q_events_sliding" -> sliding _,
+    "q_events_sessions" -> sessions _,
+    "q_events_hour_of_day" -> hourOfDay _,
+    "q_events_json" -> jsonProps _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n, ${sqlDsum("value")} AS total_value,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sliding" ->
+      s"""WITH b AS (
+         |  SELECT event_type, value,
+         |    date_trunc('hour', ts)
+         |      + CASE WHEN date_part('minute', ts) >= 30
+         |             THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b30
+         |  FROM events)
+         |SELECT ws AS window_start, event_type,
+         |  count(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM (SELECT event_type, value,
+         |        unnest([b30, b30 - INTERVAL 30 MINUTE]) AS ws FROM b)
+         |GROUP BY ws, event_type""".stripMargin,
+    "q_events_sessions" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked)
+         |SELECT min(ts) AS session_start, user_id,
+         |  count(*) AS n_events, ${sqlDsum("value")} AS session_value,
+         |  max(ts) AS last_ts
+         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q_events_hour_of_day" ->
+      s"""SELECT CAST(date_part('hour', ts) AS INT) AS hod, event_type,
+         |  count(*) AS n, ${sqlDsum("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+  )
+}

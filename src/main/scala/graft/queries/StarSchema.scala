@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Exact._
+import graft.Tables
+
+/** Analytics surface over the driver's TPC-H-ish star schema.
+  *
+  * The reference's paradigm (map → shuffle → group → reduce,
+  * SURVEY.md §0) admits joins/aggregates as user programs (the classic
+  * reduce-side-join idiom, SURVEY.md §2.3); here they are declarative
+  * DataFrames so Catalyst supplies pushdown, pruning, join selection
+  * and partial aggregation.
+  *
+  * Scale design (for the 100 TB target):
+  *   - dimension tables (region 5, nation 25, supplier, part, even
+  *     customer at most SFs) are `broadcast()` — fact-table joins
+  *     never shuffle the big side on a dim key;
+  *   - fact-fact joins (orders⋈lineitem) shuffle on the join key once
+  *     and reuse that partitioning for the downstream groupBy where
+  *     keys align;
+  *   - every aggregate is partial+final hash agg (map-side combine);
+  *   - filters sit directly on the scan so parquet gets
+  *     PushedFilters + ReadSchema pruning;
+  *   - top-k is `orderBy().limit(k)` → Spark's TakeOrderedAndProject:
+  *     per-partition heaps, no global sort materialization.
+  */
+object StarSchema {
+
+  /** TPC-H Q1-shaped pricing summary: single scan of lineitem,
+    * partial+final hash agg, no join. The reference would run this as
+    * one MR job with a holistic reduce; partial agg shrinks the
+    * shuffle to |flag×status| rows per partition.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped shipping priority: broadcast the filtered
+    * customer dim into orders, shuffle-join lineitem on orderkey,
+    * aggregate, TakeOrderedAndProject top-10 (total order:
+    * revenue desc then orderkey — ties can't flake the oracle).
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(cust.join(ord, cust("c_custkey") === ord("o_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local supplier volume: the full six-table join.
+    * All dims broadcast; the only shuffles are orders⋈lineitem on
+    * orderkey and the final n_name agg.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1997)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+  }
+
+  /** Top customers by lifetime order value — broadcast-joined dim,
+    * top-k via TakeOrderedAndProject.
+    */
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** Window functions: per-customer top-3 orders with row_number +
+    * rank + running sum. Ordering key (totalprice desc, orderkey) is
+    * total, so frames are deterministic.
+    */
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("running_spent",
+        sum(dec2(col("o_totalprice"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Set operations: nation keys with customers vs with suppliers. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val cn = Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey")).distinct()
+    cn.except(sn).withColumn("op", lit("cust_only"))
+      .unionAll(cn.intersect(sn).withColumn("op", lit("both")))
+      .unionAll(sn.except(cn).withColumn("op", lit("supp_only")))
+      .select("op", "nationkey")
+  }
+
+  /** Semi/anti joins: customers with vs without orders (EXISTS /
+    * NOT EXISTS). left_semi/left_anti never widen rows — at scale the
+    * probe side streams against the orderkey hash table.
+    */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+    val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    withOrders.agg(count(lit(1)).as("n")).withColumn("op", lit("with_orders"))
+      .unionAll(noOrders.agg(count(lit(1)).as("n")).withColumn("op", lit("no_orders")))
+      .select("op", "n")
+  }
+
+  /** ROLLUP grouping sets over returnflag × linestatus. */
+  def rollupSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Per-group exact stats: count-distinct, min/max (all exact —
+    * no float-order dependence).
+    */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+
+  /** Brand volume top-10: broadcast part dim into lineitem. */
+  def partBrandVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_items"))
+      .orderBy(col("total_qty").desc, col("p_brand").asc)
+      .limit(10)
+  }
+
+  /** Histogram: orders per priority × status with exact avg price. */
+  def priorityHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), davg(col("o_totalprice")).as("avg_price"))
+
+  /** Scalar-function projection (the engine-level functions the
+    * reference keeps inside user plugins — SURVEY.md §2.3).
+    */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      upper(col("lang")).as("lang_u"),
+      length(col("text")).as("text_len"),
+      substring(col("text"), 1, 20).as("prefix"),
+      regexp_extract(col("text"), "[a-z]+", 0).as("first_word"),
+      concat_ws("-", col("lang"), col("source")).as("tag"),
+      abs(col("n_chars") - 100).as("absdiff"),
+      (col("n_chars") % 7).as("mod7"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> pricingSummary _,
+    "q3_shipping_priority" -> shippingPriority _,
+    "q5_local_supplier" -> localSupplierVolume _,
+    "q_top_customers" -> topCustomers _,
+    "q_window_top_orders" -> windowTopOrders _,
+    "q_set_ops" -> setOps _,
+    "q_semi_anti" -> semiAnti _,
+    "q_rollup" -> rollupSummary _,
+    "q_agg_stats" -> aggStats _,
+    "q_part_brand_volume" -> partBrandVolume _,
+    "q_priority_histogram" -> priorityHistogram _,
+    "q_scalar_funcs" -> scalarFuncs _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name, ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM region, nation, supplier, customer, orders, lineitem
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND date_part('year', o_orderdate) = 1997
+         |GROUP BY n_name""".stripMargin,
+    "q_top_customers" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${sqlDsum("o_totalprice")} AS total_spent, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name
+         |ORDER BY total_spent DESC, c_custkey ASC
+         |LIMIT 10""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, running_spent
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    rank() OVER w AS rk,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spent
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 3""".stripMargin,
+    "q_set_ops" ->
+      """SELECT 'cust_only' AS op, nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'both' AS op, nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'supp_only' AS op, nationkey FROM (
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |  EXCEPT SELECT DISTINCT c_nationkey FROM customer)""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS op, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS op, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_part_brand_volume" ->
+      s"""SELECT p_brand, ${sqlDsum("l_quantity")} AS total_qty, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand
+         |ORDER BY total_qty DESC, p_brand ASC
+         |LIMIT 10""".stripMargin,
+    "q_priority_histogram" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+         |  ${sqlDavg("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT doc_id,
+        |  upper(lang) AS lang_u,
+        |  length(text) AS text_len,
+        |  substring(text, 1, 20) AS prefix,
+        |  regexp_extract(text, '[a-z]+') AS first_word,
+        |  concat_ws('-', lang, source) AS tag,
+        |  abs(n_chars - 100) AS absdiff,
+        |  n_chars % 7 AS mod7
+        |FROM documents""".stripMargin,
+  )
+}
