@@ -22,7 +22,9 @@ object SparkEntry {
     "mr_inverted_index" -> (CanonicalJobs.invertedIndex _),
     "mr_grep" -> ((s: SparkSession, d: String) => CanonicalJobs.grep(s, d)),
     "mr_sort" -> (CanonicalJobs.sortDocs _),
-  ) ++ graft.queries.StarSchema.queries ++ graft.queries.EventWindows.queries
+  ) ++ graft.queries.StarSchema.queries ++ graft.queries.EventWindows.queries ++
+    graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
+    graft.llm.Similarity.queries ++ graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +48,7 @@ object SparkEntry {
     "mr_sort" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY lang ASC, n_chars DESC, doc_id ASC""".stripMargin,
-  ) ++ graft.queries.StarSchema.oracles ++ graft.queries.EventWindows.oracles
+  ) ++ graft.queries.StarSchema.oracles ++ graft.queries.EventWindows.oracles ++
+    graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++
+    graft.llm.Similarity.oracles ++ graft.llm.Multimodal.oracles
 }

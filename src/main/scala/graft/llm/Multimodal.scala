@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.PortableHash._
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Media payloads are opaque `binary` columns + typed metadata — the
+  * layout a 100 TB image/audio corpus uses in parquet. This container
+  * has no image/audio codecs, so the DECODE STEP IS A STUB (a
+  * deterministic fake documented on [[decodeStub]]); everything
+  * Spark-side — schema, batch shape, partition-parallel decode via
+  * `mapPartitions`, feature schema — is real and tested.
+  *
+  * The test corpus has no binary table, so payloads derive from
+  * `documents.text` bytes (UTF-8) — the plumbing is byte-faithful
+  * either way.
+  */
+object Multimodal {
+
+  /** A media record as a typed Dataset row. */
+  case class Media(doc_id: Long, payload: Array[Byte], mime: String,
+      width: Int, height: Int)
+
+  /** Fake frame-features: one row per sampled "frame". */
+  case class FrameFeature(doc_id: Long, frame: Int, offset: Long,
+      feature: Double)
+
+  /** Media records synthesized from documents: payload = UTF-8 bytes,
+    * pseudo width/height derived from the portable content hash.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"),
+        (h60(col("text")) % 1920).cast("int").as("width"),
+        (h60(col("text")) % 1080).cast("int").as("height"))
+      .as[Media]
+  }
+
+  /** STUB DECODER — stands in for a real image/audio decode (the
+    * codec libraries are not in this container). Deterministic fake:
+    * "decodes" a payload into `nFrames` evenly-spaced byte offsets and
+    * a [0,1) feature per frame from the byte at each offset. The
+    * partition-parallel batch shape (one decoder instance per
+    * partition, streaming iterator, no driver collect) is exactly what
+    * a real codec UDF needs at scale.
+    */
+  def decodeStub(media: Dataset[Media], nFrames: Int = 4): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: init codec once per partition here
+      it.flatMap { m =>
+        val len = m.payload.length
+        if (len == 0) Iterator.empty
+        else (0 until nFrames).iterator.map { f =>
+          val off = (len.toLong * f) / nFrames
+          FrameFeature(m.doc_id, f, off, (m.payload(off.toInt) & 0xff) / 255.0)
+        }
+      }
+    }
+  }
+
+  /** Oracle-checkable feature extraction over the binary payload —
+    * the non-stub subset (byte length, hex head, content digest,
+    * pseudo-dimensions, normalized first-byte feature).
+    */
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        upper(substring(hex(col("text").cast("binary")), 1, 16)).as("head_hex"),
+        md5(col("text")).as("content_md5"),
+        (h60(col("text")) % 1920).cast("int").as("width"),
+        (h60(col("text")) % 1080).cast("int").as("height"),
+        ((octet_length(col("text")) % 256) / lit(255.0)).as("fake_feature"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> features _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      s"""SELECT doc_id,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  upper(substr(hex(encode(text)), 1, 16)) AS head_hex,
+         |  md5(text) AS content_md5,
+         |  CAST(${sqlH60("text")} % 1920 AS INT) AS width,
+         |  CAST(${sqlH60("text")} % 1080 AS INT) AS height,
+         |  (octet_length(encode(text)) % 256) / 255.0 AS fake_feature
+         |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CosineSim.cosine_sim
+import graft.llm.PortableHash._
+
+/** Similarity search over the `embeddings` table (`array<float>`).
+  *
+  * Two paths, per the scale doctrine:
+  *   - [[bruteForceTopK]]: exact top-k — the correctness baseline.
+  *     The small query set is broadcast against the corpus scan, so
+  *     the corpus is read once, never shuffled; per-query top-k comes
+  *     from a rank-over-window on the (tiny) candidate side.
+  *   - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. An
+  *     8-bit signature buckets the corpus; queries only score their
+  *     own bucket, cutting scan cost ~256× at some recall loss
+  *     (measured against the brute-force baseline in SimilaritySpec).
+  *
+  * Cosine is the codegen'd [[graft.functions.CosineSim]] expression;
+  * its sequential double accumulation is bitwise-reproducible in the
+  * DuckDB oracle (ordered list_reduce), so even these float-heavy
+  * queries hash-match exactly.
+  *
+  * Hyperplanes are deterministic and engine-portable: coefficient
+  * g(j,i) = (h60("hp<j>_<i>") % 2001 - 1000) / 1000.0 — no RNG, no
+  * driver-side state, same value in Spark and SQL.
+  */
+object Similarity {
+
+  val NumPlanes = 8
+  val Dim = 64
+  val K = 5
+  val NumQueries = 20
+
+  /** Deterministic hyperplane j as an array<double> literal column. */
+  private def planeCol(j: Int): Column = {
+    val g = (0 until Dim).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (h % 2001 - 1000) / 1000.0
+    }
+    array(g.map(lit): _*)
+  }
+
+  /** Signed dot of an array<float> embedding with a hyperplane,
+    * sequential in index order (matches the oracle's list_reduce).
+    */
+  private def planeDot(emb: Column, j: Int): Column =
+    aggregate(
+      zip_with(emb, planeCol(j), (x, g) => x.cast("double") * g),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** 8-bit LSH bucket signature. */
+  def signatureCol(emb: Column): Column =
+    (0 until NumPlanes).map { j =>
+      when(planeDot(emb, j) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact brute-force top-k neighbors for the first [[NumQueries]]
+    * vectors (self excluded), rank tiebroken by neighbor id.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** LSH-bucketed approximate top-k: queries score only vectors in
+    * their own hyperplane bucket. Same output shape as the baseline.
+    */
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", signatureCol(col("embedding")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+      .join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b).
+    * Brute force here as the oracle-checkable baseline; the LSH
+    * bucket join is the production pair-generation path.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** Ordered-reduce cosine between two FLOAT[] SQL expressions —
+    * bitwise-identical to [[graft.functions.CosineSim]].
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_transform($a,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+       |  * sqrt(list_reduce(list_transform($b,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))))""".stripMargin
+
+  /** Hyperplane CTE + per-vector bucket CTE, mirroring
+    * [[signatureCol]] exactly.
+    */
+  private val sqlBuckets =
+    s"""planes AS (
+       |  SELECT j, list(g ORDER BY i) AS gs FROM (
+       |    SELECT j, i,
+       |      (${sqlH60("'hp' || j || '_' || i")} % 2001 - 1000) / 1000.0 AS g
+       |    FROM range($NumPlanes) t(j) CROSS JOIN range($Dim) u(i))
+       |  GROUP BY j),
+       |buckets AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+       |        list_zip(embedding, gs),
+       |        p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0
+       |      THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+       |  FROM embeddings CROSS JOIN planes
+       |  GROUP BY vec_id, embedding)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_topk" -> bruteForceTopK _,
+    "q_ann_lsh_topk" -> lshTopK _,
+    "q_embed_near_dup" -> embeddingNearDup _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_topk" ->
+      s"""SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rank <= $K""".stripMargin,
+    "q_ann_lsh_topk" ->
+      s"""WITH $sqlBuckets
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+         |  FROM buckets q JOIN buckets e
+         |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rank <= $K""".stripMargin,
+    "q_embed_near_dup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${sqlCos("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+  )
+}

@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.PortableHash._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting — all over
+  * `documents.text`, all pure `functions._` (codegen'd, no UDFs), all
+  * DuckDB-oracle-checked.
+  *
+  * Scale: every query here is embarrassingly parallel per document —
+  * a single parquet scan, no shuffle except the (tiny) final agg where
+  * present. At 100 TB these are scan-bound, which is the ideal shape.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with blanks dropped; the shared tokenizer
+    * (mirror: `list_filter(string_split_regex(text,'\s+'), ...)`).
+    */
+  def tokensCol: Column =
+    filter(split(col("text"), "\\s+"), w => length(w) > 0)
+
+  private val sqlTokens =
+    """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * heuristic language ID. Deterministic priority on ties:
+    * en > de > es > fr.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"))
+
+  private def scoreCol(lang: String): Column =
+    size(filter(tokensCol, w => w.isInCollection(stopwords(lang))))
+
+  private def sqlScore(lang: String): String = {
+    val set = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($sqlTokens, w -> w IN ($set)))"
+  }
+
+  /** Stopword-ratio language ID with deterministic tiebreak. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        scoreCol("en").as("s_en"), scoreCol("de").as("s_de"),
+        scoreCol("es").as("s_es"), scoreCol("fr").as("s_fr"))
+      .withColumn("detected",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+          && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+
+  /** Quality scoring: length/punctuation/stopword ratios. Ratios are
+    * int/int double divisions — deterministic across engines.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(tokensCol).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"),
+        scoreCol("en").as("n_stop"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("quality",
+        col("stop_ratio") * lit(0.5)
+          + when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, 0.3).otherwise(0.0)
+          + when(col("punct_ratio") <= 0.1, 0.2).otherwise(0.0))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-alnum marks).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(tokensCol).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+        length(col("text")).as("n_chars"))
+
+  /** Document fingerprint: polynomial rolling hash over the token
+    * stream, `fp = fold(0, (acc, tok) -> (acc*31 + h60(tok)) % 1e9+7)`.
+    * Order-sensitive by design (a permutation of the same tokens
+    * fingerprints differently), unlike the set-based MinHash.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        aggregate(
+          transform(tokensCol, w => h60(w)),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_lang_id" -> langId _,
+    "q_llm_quality" -> qualityScore _,
+    "q_llm_token_count" -> tokenCount _,
+    "q_llm_fingerprint" -> fingerprint _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  ${sqlScore("en")} AS s_en, ${sqlScore("de")} AS s_de,
+         |  ${sqlScore("es")} AS s_es, ${sqlScore("fr")} AS s_fr,
+         |  CASE WHEN ${sqlScore("en")} >= ${sqlScore("de")} AND ${sqlScore("en")} >= ${sqlScore("es")} AND ${sqlScore("en")} >= ${sqlScore("fr")} THEN 'en'
+         |       WHEN ${sqlScore("de")} >= ${sqlScore("es")} AND ${sqlScore("de")} >= ${sqlScore("fr")} THEN 'de'
+         |       WHEN ${sqlScore("es")} >= ${sqlScore("fr")} THEN 'es'
+         |       ELSE 'fr' END AS detected
+         |FROM documents""".stripMargin,
+    "q_llm_quality" ->
+      s"""SELECT doc_id, n_tokens, n_chars, n_punct, n_stop,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+         |  CAST(n_stop AS DOUBLE) / n_tokens * 0.5
+         |    + CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END
+         |    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.2 ELSE 0.0 END AS quality
+         |FROM (SELECT doc_id,
+         |        len($sqlTokens) AS n_tokens,
+         |        length(text) AS n_chars,
+         |        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |        ${sqlScore("en")} AS n_stop
+         |      FROM documents)""".stripMargin,
+    "q_llm_token_count" ->
+      s"""SELECT doc_id,
+         |  len($sqlTokens) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+         |  length(text) AS n_chars
+         |FROM documents""".stripMargin,
+    "q_llm_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($sqlTokens, w -> ${sqlH60("w")})),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+         |FROM documents""".stripMargin,
+  )
+}

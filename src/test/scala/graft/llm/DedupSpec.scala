@@ -1,0 +1,70 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Behavioral tests for dedup on a corpus with KNOWN duplicates (the
+  * driver's synthetic tables contain none, so we write a small fake
+  * `documents` table with exact dups, near-dups, and unrelated docs).
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val dupDir: String = {
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val other = "completely different content about spark query engines and shuffles here"
+    val rows = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),               // exact dup of 0
+      (2L, "  " + base.toUpperCase + "  ", "en", "src2", 0L),     // dup modulo normalization
+      (3L, near, "en", "src3", near.length.toLong),               // near-dup of 0
+      (4L, other, "en", "src4", other.length.toLong))
+    val dir = java.nio.file.Files.createTempDirectory("dedupdocs").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups normalized duplicates under min doc_id") {
+    val got = Dedup.exact(spark, dupDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet  // (keep_doc, n_dups)
+    // docs 0,1,2 collapse (2 via lower+trim+ws-normalize); 3 and 4 stand alone
+    assert(got == Set((0L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("identical docs have identical minhash signatures; near-dups mostly agree") {
+    val sigs = Dedup.minhashSignatures(spark, dupDir).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(sigs(0L) == sigs(1L))
+    val agree03 = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree04 = sigs(0L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree03 > agree04, s"near-dup agreement $agree03 should beat unrelated $agree04")
+    assert(agree03 >= 8, s"near-dup should agree on most of 16 minhashes, got $agree03")
+  }
+
+  test("LSH pairs surface the exact and near dups, not the unrelated doc") {
+    val pairs = Dedup.minhashLshPairs(spark, dupDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) > 0.4)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash: identical docs equal; near-dup hamming < unrelated hamming") {
+    val sh = Dedup.simhash(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(3L)) < hamming(sh(0L), sh(4L)))
+  }
+
+  test("adjacent jaccard: dup pair = 1.0, near pair high, unrelated low") {
+    val j = Dedup.jaccardAdjacent(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((2L, 3L)) > 0.5 || j((3L, 4L)) == 0.0) // 3 vs 4 share nothing
+    assert(j((3L, 4L)) == 0.0)
+  }
+}
