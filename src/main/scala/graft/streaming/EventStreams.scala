@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the event-time analytics.
+  *
+  * The reference is strictly batch (terminal DONE state,
+  * coordinator.go:136-140) — these are OUR extension, per the
+  * Spark-first doctrine: the same logical transformations as
+  * `graft.queries.EventWindows`, run incrementally with watermarks.
+  * Batch/streaming parity is the point: one set of semantics, two
+  * execution modes.
+  *
+  * Scale notes: state is keyed by (window, event_type) or user_id and
+  * bounded by the watermark — late data past 1 hour is dropped and
+  * state evicted, so long-running state growth is O(active keys), not
+  * O(stream length). `flatMapGroupsWithState` sessions use explicit
+  * timeouts for the same bound.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Int, session_value: Double)
+
+  /** Watermarked tumbling-window aggregation (streaming twin of
+    * EventWindows.hourly).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Custom sessionization with explicit state management —
+    * `flatMapGroupsWithState` with an event-time timeout. Emits a
+    * session when 30 minutes pass with no further events (mirrors
+    * `session_window(ts, "30 minutes")` semantics).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      if (sorted.isEmpty) {
+        if (state.hasTimedOut && cur.isDefined) {
+          val s = cur.get
+          out ::= SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total)
+          state.remove()
+        }
+      } else {
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t < s.lastTs + gapMs =>
+              cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
+                total = s.total + e.value))
+            case Some(s) =>
+              out ::= SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        state.update(cur.get)
+        state.setTimeoutTimestamp(cur.get.lastTs + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** File-source streaming pipeline over the events parquet — the
+    * readStream → transform → writeStream wiring. `availableNow`
+    * makes it a run-to-completion incremental batch (the pattern for
+    * backfill + tail-follow at scale).
+    */
+  def runFileStream(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    // raw parquet schema has ts as INT64 nanos (read via nanosAsLong,
+    // see graft.Tables.events); convert to micros TimestampType in-stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file source needs a directory; glob-filter to the events file
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = hourlyCounts(stream)
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

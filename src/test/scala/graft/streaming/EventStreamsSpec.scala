@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  // base offset keeps every event-time strictly above the initial
+  // watermark (ts == 0 is dropped by the late-row filter)
+  private val Base = 99960L  // hour-aligned: 99960 = 1666 * 60
+  private def ts(min: Long): Timestamp = new Timestamp((Base + min) * 60000L)
+
+  test("watermarked hourly counts over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    input.addData(Event(4, ts(300), 3, "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000 - Base, r.getString(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    assert(rows.toSet == Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 3.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then 40-min gap -> new session
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(50), 1, "click", 4.0))
+    q.processAllAvailable()
+    // push watermark way forward so the second session times out too
+    input.addData(Event(9, ts(1000), 2, "view", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(10, ts(2000), 2, "view", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - Base, r.getInt(2), r.getDouble(3)))
+    q.stop()
+    assert(rows.contains((1L, 0L, 2, 3.0)), s"first session wrong: ${rows.mkString(",")}")
+    assert(rows.contains((1L, 50L, 1, 4.0)), s"second session wrong: ${rows.mkString(",")}")
+  }
+}
