@@ -8,49 +8,80 @@ import graft.llm.PortableHash._
 /** Deduplication operators for training-data pipelines: exact
   * (hash-groupBy), MinHash signatures + LSH band candidate pairs,
   * SimHash, and exact n-gram Jaccard. All pure DataFrame ops over
-  * codegen'd expressions; every hash is the portable md5-derived
-  * [[PortableHash.h60]] so the DuckDB oracle reproduces results
-  * bit-for-bit.
+  * codegen'd/native expressions; every hash is the portable
+  * md5-derived [[PortableHash.h60]] so the DuckDB oracle reproduces
+  * results bit-for-bit.
   *
-  * Scale design: exact dedup and the signature computations are one
-  * scan + one groupBy each. Candidate generation NEVER does the n²
-  * all-pairs join — pairs come from the LSH band self-join, whose
-  * cost is sum(bucket²) over band buckets (tiny when signatures are
-  * selective). That's the property that survives 100 TB; brute-force
-  * pair scans do not.
+  * Scale design — everything per-document is computed over shingle
+  * ARRAYS inside the row (map-only, zero shuffle): signatures,
+  * simhash, per-doc shingle sets. The only shuffles in the whole
+  * module are (a) the LSH band bucket self-join for candidate pairs —
+  * cost sum(bucket²), never the n² all-pairs — and (b) the final tiny
+  * aggregations. Two performance rules learned the hard way at sf0.1
+  * (70 s → ~1 s class hotspots):
+  *   - never reference a computed array twice inside a projection or
+  *     HOF lambda without [[PortableHash.bind]] — argument trees
+  *     re-evaluate per element access;
+  *   - one md5 per shingle, then cheap affine integer mixes for the
+  *     16-way family ([[PortableHash.minhashMix]]) — not 16 md5s.
   */
 object Dedup {
 
-  /** 3-word shingles of a document (whole text as one shingle for
-    * docs under 3 tokens), deduplicated after explode.
+  /** Distinct 3-word shingles of a document as an array column
+    * (whole text as one shingle for docs under 3 tokens). The token
+    * array is bound once; shingle assembly is O(tokens).
     */
-  private def shinglesCol: Column = {
-    val ws = TextAnalysis.tokensCol
-    when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ",
-          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
-      .otherwise(array(concat_ws(" ", ws)))
-  }
+  private def shingleArr: Column =
+    bind(TextAnalysis.tokensCol) { ws =>
+      array_distinct(
+        when(size(ws) >= 3,
+          transform(sequence(lit(1), size(ws) - 2),
+            i => concat_ws(" ",
+              element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+          .otherwise(array(concat_ws(" ", ws))))
+    }
 
-  private val sqlShingles =
-    """CASE WHEN len(ws) >= 3
-      |     THEN list_transform(range(1, len(ws) - 1),
-      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-      |     ELSE [array_to_string(ws, ' ')] END""".stripMargin
+  private val sqlWs =
+    """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
 
-  private val sqlShingleTable =
+  /** CTE producing (doc_id, sh) with sh = distinct shingle list —
+    * mirrors [[shingleArr]].
+    */
+  private val sqlShArr =
     s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS ws
-       |  FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest($sqlShingles) AS shingle FROM toks)""".stripMargin
+       |  SELECT doc_id, $sqlWs AS ws FROM documents),
+       |sharr AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(ws) >= 3
+       |         THEN list_transform(range(1, len(ws) - 1),
+       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |         ELSE [array_to_string(ws, ' ')] END) AS sh
+       |  FROM toks)""".stripMargin
 
-  /** Distinct (doc_id, shingle) pairs. */
-  private def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shinglesCol).as("shingle"))
-      .distinct()
+  /** (doc_id, sh: array<string>) — one row per document. */
+  private def shArrTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), shingleArr.as("sh"))
+
+  /** 16 MinHash values as an array column from a bound shingle array:
+    * one h60 per shingle (31-bit base), then 16 affine mixes;
+    * mh[i] = min over shingles of mix_i(h31(s)).
+    */
+  private def mhsOf(sh: Column): Column =
+    bind(transform(sh, s => h60(s).bitwiseAND(lit(0x7fffffffL)))) { hv =>
+      transform(sequence(lit(0), lit(15)),
+        i => array_min(transform(hv, h => minhashMix(h, i))))
+    }
+
+  private val sqlMhs =
+    s"""list_transform(range(0, 16),
+       |  i -> list_min(list_transform(hv, h -> ${sqlMinhashMix("h", "i")})))""".stripMargin
+
+  private val sqlSigs =
+    s"""hvt AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, s -> ${sqlH60("s")} & 2147483647) AS hv
+       |  FROM sharr),
+       |sigs AS (SELECT doc_id, $sqlMhs AS mhs FROM hvt)""".stripMargin
 
   /** Exact dedup: md5 over whitespace-normalized lowercased text;
     * representative = min doc_id per group.
@@ -62,89 +93,80 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signatures: 16 hash functions as salted h60 over the
-    * shingle set — `mh_i(d) = min over shingles s of h60(s # i)`.
-    * Salting gives independent families with no (a*h+b) mod-p overflow
-    * portability hazards. Output exploded flat as (doc_id, i, mh).
+  /** MinHash signatures, exploded flat as (doc_id, i, mh) for the
+    * oracle compare.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    shingleTable(spark, sfDir)
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(15))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(h60(col("shingle"), col("i").cast("string"))).as("mh"))
+    shArrTable(spark, sfDir)
+      .select(col("doc_id"), posexplode(mhsOf(col("sh"))))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("mh"))
 
-  private val sqlMinhash =
-    s"""mh AS (
-       |  SELECT doc_id, i, min(${sqlH60("shingle || '#' || i")}) AS mh
-       |  FROM sh CROSS JOIN range(16) t(i)
-       |  GROUP BY doc_id, i)""".stripMargin
-
-  /** MinHash-LSH candidate pairs: 8 bands × 2 rows. Docs collide when
-    * one band's 2 minhashes match exactly; est_jaccard is the match
-    * fraction across all 16. The self-join is on (band, sig) buckets —
-    * never all-pairs.
+  /** MinHash-LSH candidate pairs: 8 bands × 2 rows. Band signatures
+    * are strings "2b:mh[2b],2b+1:mh[2b+1]" computed per-row from the
+    * bound signature array; docs collide when one band matches
+    * exactly. est_jaccard = match fraction across all 16 from a zip
+    * of the two signature arrays.
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val mh = minhashSignatures(spark, sfDir)
-    val bands = mh.withColumn("band", expr("i div 2"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => concat(s("i").cast("string"), lit(":"), s("mh").cast("string"))))
-        .as("sig"))
+    val sigs = shArrTable(spark, sfDir)
+      .select(col("doc_id"), mhsOf(col("sh")).as("mhs"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bind(col("mhs")) { mhs =>
+        transform(sequence(lit(0), lit(7)), b => concat(
+          (b * 2).cast("string"), lit(":"),
+          element_at(mhs, b * 2 + 1).cast("string"), lit(","),
+          (b * 2 + 1).cast("string"), lit(":"),
+          element_at(mhs, b * 2 + 2).cast("string")))
+      }))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand.join(mh.as("ma"), col("doc_a") === col("ma.doc_id"))
-      .join(mh.as("mb"),
-        col("doc_b") === col("mb.doc_id") && col("ma.i") === col("mb.i"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((sum(when(col("ma.mh") === col("mb.mh"), 1).otherwise(0)) / 16.0)
-        .as("est_jaccard"))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mhs").as("mhs_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mhs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("mhs_a"), col("mhs_b"), (x, y) => x === y),
+          b => b)) / 16.0).as("est_jaccard"))
   }
 
-  /** SimHash (32-bit): per-bit ±1 votes from token hashes, with token
-    * multiplicity as the weight (a token appearing twice votes twice).
+  /** SimHash (32-bit): per-bit ±1 votes from token hashes with token
+    * multiplicity, computed entirely per-row. Token array and hash
+    * array are each bound once; the 32 bit-passes are integer-only.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(TextAnalysis.tokensCol).as("w"))
-      .withColumn("h", h60(col("w"), lit("sim")))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+      .select(col("doc_id"), expr(
+        """element_at(transform(array(
+          |    filter(split(text, '\\s+'), w -> length(w) > 0)), ws ->
+          |  element_at(transform(array(
+          |      transform(ws, w -> CAST(conv(substring(md5(concat(w, '#sim')), 1, 15), 16, 10) AS BIGINT))), hs ->
+          |    aggregate(
+          |      transform(sequence(0, 31), b ->
+          |        CASE WHEN aggregate(hs, 0, (acc, h) ->
+          |                 acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+          |             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+          |      CAST(0 AS BIGINT), (acc, v) -> acc + v)), 1)), 1)""".stripMargin)
         .as("simhash"))
 
-  /** Exact n-gram Jaccard between consecutive doc ids — the oracle
-    * for MinHash estimates and a direct near-dup measure on a known
-    * linear pair set (adjacent ids ⇒ O(n) pairs, deterministic).
+  /** Exact n-gram Jaccard between consecutive doc ids: a doc-level
+    * self-join (n rows, broadcastable) with per-row array
+    * intersection — no shingle-level shuffle.
     */
   def jaccardAdjacent(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleTable(spark, sfDir)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("b.doc_id") === col("a.doc_id") + 1
-          && col("b.shingle") === col("a.shingle"))
-      .groupBy(col("a.doc_id").as("doc_a"))
-      .agg(count(lit(1)).as("ni"))
-    cnt.as("ca")
-      .join(cnt.as("cb"), col("cb.doc_id") === col("ca.doc_id") + 1)
-      .join(inter, col("doc_a") === col("ca.doc_id"), "left")
-      .select(
-        col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"),
-        coalesce(col("ni"), lit(0L)).as("n_inter"),
-        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
-        (coalesce(col("ni"), lit(0L)).cast("double")
-          / (col("ca.n") + col("cb.n") - coalesce(col("ni"), lit(0L))))
-          .as("jaccard"))
+    val sh = shArrTable(spark, sfDir)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,53 +183,46 @@ object Dedup {
         |  min(doc_id) AS keep_doc, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_minhash" ->
-      s"""$sqlShingleTable,
-         |$sqlMinhash
-         |SELECT doc_id, CAST(i AS INT) AS i, mh FROM mh""".stripMargin,
+      s"""$sqlShArr,
+         |$sqlSigs
+         |SELECT doc_id, CAST(i AS INT) AS i, mhs[i + 1] AS mh
+         |FROM sigs CROSS JOIN range(0, 16) t(i)""".stripMargin,
     "q_dedup_minhash_pairs" ->
-      s"""$sqlShingleTable,
-         |$sqlMinhash,
+      s"""$sqlShArr,
+         |$sqlSigs,
          |bands AS (
-         |  SELECT doc_id, i // 2 AS band,
-         |    string_agg(i || ':' || mh, ',' ORDER BY i) AS sig
-         |  FROM mh GROUP BY doc_id, i // 2),
+         |  SELECT doc_id, CAST(b AS INT) AS band,
+         |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
+         |  FROM sigs CROSS JOIN range(0, 8) t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |  SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+         |  len(list_filter(list_zip(sa.mhs, sb.mhs), p -> p[1] = p[2])) / 16.0 AS est_jaccard
          |FROM cand
-         |JOIN mh ma ON ma.doc_id = doc_a
-         |JOIN mh mb ON mb.doc_id = doc_b AND mb.i = ma.i
-         |GROUP BY doc_a, doc_b""".stripMargin,
+         |JOIN sigs sa ON sa.doc_id = doc_a
+         |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin,
     "q_dedup_simhash" ->
-      s"""WITH toks AS (
+      s"""WITH hs AS (
          |  SELECT doc_id,
-         |    unnest(list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0)) AS w
-         |  FROM documents),
-         |th AS (SELECT doc_id, ${sqlH60("w || '#sim'")} AS h FROM toks),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM th CROSS JOIN range(32) t(b)
-         |  GROUP BY doc_id, b)
+         |    list_transform($sqlWs,
+         |      w -> CAST('0x' || substr(md5(w || '#sim'), 1, 15) AS BIGINT)) AS hs
+         |  FROM documents)
          |SELECT doc_id,
-         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin,
+         |  list_sum(list_transform(range(0, 32), b ->
+         |    CASE WHEN list_sum(list_transform(hs,
+         |           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash
+         |FROM hs""".stripMargin,
     "q_jaccard_adjacent" ->
-      s"""$sqlShingleTable,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, count(*) AS ni
-         |  FROM sh a JOIN sh b
-         |    ON b.doc_id = a.doc_id + 1 AND b.shingle = a.shingle
-         |  GROUP BY a.doc_id)
-         |SELECT ca.doc_id AS doc_a, cb.doc_id AS doc_b,
-         |  COALESCE(ni, 0) AS n_inter, ca.n AS n_a, cb.n AS n_b,
-         |  CAST(COALESCE(ni, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(ni, 0)) AS jaccard
-         |FROM cnt ca
-         |JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
-         |LEFT JOIN inter ON doc_a = ca.doc_id""".stripMargin,
+      s"""$sqlShArr
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         |  CAST(len(a.sh) AS BIGINT) AS n_a,
+         |  CAST(len(b.sh) AS BIGINT) AS n_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |FROM sharr a JOIN sharr b ON b.doc_id = a.doc_id + 1""".stripMargin,
   )
 }

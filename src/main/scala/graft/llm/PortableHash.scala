@@ -29,4 +29,30 @@ object PortableHash {
   /** SQL mirror of [[h60]]. */
   def sqlH60(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  /** Bind an expensive array-valued expression to a lambda variable so
+    * it is evaluated ONCE per row: `transform(array(e), v -> body)[1]`.
+    *
+    * Load-bearing for performance: higher-order functions re-evaluate
+    * argument expression trees on every element access, so e.g.
+    * `element_at(filter(split(text)), i)` inside a transform lambda
+    * re-splits the text per shingle — O(tokens²) per document. Binding
+    * restores O(tokens). Semantically a no-op, and both engines agree
+    * (DuckDB mirror: `list_transform([e], v -> body)[1]` — though
+    * DuckDB's vectorized executor doesn't need it for speed).
+    */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
+  /** Affine MinHash mix over a 31-bit base hash: family member `i` is
+    * `((2i+3)·h + 7919i + 17) mod (2³¹−1)` — all intermediates fit
+    * int64, so DuckDB (which errors on overflow, unlike Spark's
+    * silent wrap) computes it identically.
+    */
+  def minhashMix(h: Column, i: Column): Column =
+    ((lit(2) * i + lit(3)) * h + lit(7919) * i + lit(17)) % lit(2147483647L)
+
+  /** SQL mirror of [[minhashMix]]. */
+  def sqlMinhashMix(h: String, i: String): String =
+    s"((2*$i+3)*$h + 7919*$i + 17) % 2147483647"
 }
