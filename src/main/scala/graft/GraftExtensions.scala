@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.{CosineSim, Fnv1a}
+
+/** SparkSessionExtensions entry point: injects the engine's native
+  * expressions into the SQL function registry, so
+  * `spark.sql("SELECT fnv1a(key), cosine_sim(a, b) ...")` works.
+  *
+  * Activate via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`; or call
+  * [[GraftExtensions.register]] on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.fnv1aDesc)
+    e.injectFunction(GraftExtensions.cosineDesc)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private val fnv1aDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fnv1a"),
+    new ExpressionInfo(classOf[Fnv1a].getName, "fnv1a"),
+    (args: Seq[Expression]) => Fnv1a(args.head))
+
+  private val cosineDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (args: Seq[Expression]) => CosineSim(args.head, args(1)))
+
+  /** Register on an already-built session (test/driver convenience). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      fnv1aDesc._1, fnv1aDesc._2, fnv1aDesc._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      cosineDesc._1, cosineDesc._2, cosineDesc._3)
+  }
+}

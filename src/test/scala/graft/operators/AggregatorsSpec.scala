@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AggregatorsSpec extends SparkSpec {
+
+  test("associative aggregator == built-in sum (wordcount shape)") {
+    import spark.implicits._
+    val kvs = Seq(("a", 1L), ("b", 1L), ("a", 1L), ("c", 1L), ("a", 1L))
+      .toDS()
+    val viaAgg = kvs.groupByKey(_._1).mapValues(_._2)
+      .agg(Aggregators.sumLong.toColumn.name("cnt"))
+      .collect().toMap.map { case (k, v) => k -> v }
+    assert(viaAgg == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("holistic median aggregator, registered as SQL UDAF") {
+    import spark.implicits._
+    spark.udf.register("graft_median", udaf(Aggregators.medianDouble))
+    Seq(("x", 1.0), ("x", 9.0), ("x", 2.0), ("y", 5.0))
+      .toDF("k", "v").createOrReplaceTempView("t")
+    val got = spark.sql("SELECT k, graft_median(v) AS med FROM t GROUP BY k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("x" -> 2.0, "y" -> 5.0))
+  }
+
+  test("GraftExtensions: fnv1a and cosine_sim callable from SQL") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT fnv1a('name') AS h, cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .head()
+    // FNV-1a("name") = 1721423025 (computed by the Go reference's ihash)
+    def fnv(s: String): Int = {
+      var h = 0x811c9dc5
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xff); h *= 0x01000193 }
+      h & 0x7fffffff
+    }
+    assert(r.getInt(0) == fnv("name"))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
+  }
+}
