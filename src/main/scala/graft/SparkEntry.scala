@@ -23,6 +23,7 @@ object SparkEntry {
     "mr_grep" -> ((s: SparkSession, d: String) => CanonicalJobs.grep(s, d)),
     "mr_sort" -> (CanonicalJobs.sortDocs _),
   ) ++ graft.queries.StarSchema.queries ++ graft.queries.EventWindows.queries ++
+    graft.queries.Advanced.queries ++
     graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
     graft.llm.Similarity.queries ++ graft.llm.Multimodal.queries
 
@@ -49,6 +50,7 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY lang ASC, n_chars DESC, doc_id ASC""".stripMargin,
   ) ++ graft.queries.StarSchema.oracles ++ graft.queries.EventWindows.oracles ++
+    graft.queries.Advanced.oracles ++
     graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++
     graft.llm.Similarity.oracles ++ graft.llm.Multimodal.oracles
 }

@@ -79,8 +79,11 @@ object StarSchema {
     val n = Tables.nation(spark, sfDir)
     val s = Tables.supplier(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
+    // range predicate, not year(): function-wrapped columns can't reach
+    // parquet PushedFilters; the range form skips row groups at scale
     val o = Tables.orders(spark, sfDir)
-      .filter(year(col("o_orderdate")) === 1997)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, sfDir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
@@ -186,6 +189,19 @@ object StarSchema {
       .groupBy(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), davg(col("o_totalprice")).as("avg_price"))
 
+  /** Exact interpolated quantiles per order status (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, same linear-interpolation
+    * definition).
+    */
+  def priceQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+
   /** Scalar-function projection (the engine-level functions the
     * reference keeps inside user plugins — SURVEY.md §2.3).
     */
@@ -212,6 +228,7 @@ object StarSchema {
     "q_agg_stats" -> aggStats _,
     "q_part_brand_volume" -> partBrandVolume _,
     "q_priority_histogram" -> priorityHistogram _,
+    "q_price_quantiles" -> priceQuantiles _,
     "q_scalar_funcs" -> scalarFuncs _,
   )
 
@@ -246,7 +263,8 @@ object StarSchema {
          |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-         |  AND date_part('year', o_orderdate) = 1997
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
     "q_top_customers" ->
       s"""SELECT c_custkey, c_name,
@@ -306,6 +324,13 @@ object StarSchema {
       s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
          |  ${sqlDavg("o_totalprice")} AS avg_price
          |FROM orders GROUP BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q_price_quantiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5)  AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT doc_id,
         |  upper(lang) AS lang_u,
