@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, Fnv1a}
+import graft.functions.{CosineSim, Fnv1a, Tokenize}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * expressions into the SQL function registry, so
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.fnv1aDesc)
     e.injectFunction(GraftExtensions.cosineDesc)
+    e.injectFunction(GraftExtensions.tokenizeDesc)
   }
 }
 
@@ -35,11 +36,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
     (args: Seq[Expression]) => CosineSim(args.head, args(1)))
 
+  private val tokenizeDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("tokenize"),
+    new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
+    (args: Seq[Expression]) => Tokenize(args.head))
+
   /** Register on an already-built session (test/driver convenience). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      fnv1aDesc._1, fnv1aDesc._2, fnv1aDesc._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineDesc._1, cosineDesc._2, cosineDesc._3)
+    Seq(fnv1aDesc, cosineDesc, tokenizeDesc).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
   }
 }

@@ -152,6 +152,50 @@ object Dedup {
           |      CAST(0 AS BIGINT), (acc, v) -> acc + v)), 1)), 1)""".stripMargin)
         .as("simhash"))
 
+  /** End-to-end near-dup clustering: LSH candidate pairs with
+    * est_jaccard >= 0.5 form an undirected graph; connected components
+    * are computed by distributed min-label propagation to fixpoint
+    * (each round: every node takes the min cluster id among itself and
+    * its neighbors). Every document gets a cluster id (= min doc_id of
+    * its component; singletons cluster with themselves) and an is_dup
+    * flag. The DuckDB oracle computes the same components with a
+    * recursive CTE.
+    *
+    * Scale: the loop is O(component diameter) joins over the EDGE set
+    * (tiny after LSH banding), never over the corpus; localCheckpoint
+    * truncates lineage so plans don't grow per iteration. This is the
+    * standard large-graph CC shape (label propagation); the corpus
+    * table is touched exactly once at the end.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.5)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val prop = labels.join(edges, labels("doc_id") === edges("src"))
+        .select(edges("dst").as("doc_id"), col("cluster"))
+      val next = labels.unionAll(prop)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      changed = next.except(labels).count()
+      labels = next
+      iter += 1
+    }
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "ldoc"),
+        col("doc_id") === col("ldoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("is_dup", col("cluster") =!= col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard between consecutive doc ids: a doc-level
     * self-join (n rows, broadcastable) with per-row array
     * intersection — no shingle-level shuffle.
@@ -174,6 +218,7 @@ object Dedup {
     "q_dedup_minhash" -> minhashSignatures _,
     "q_dedup_minhash_pairs" -> minhashLshPairs _,
     "q_dedup_simhash" -> simhash _,
+    "q_dedup_clusters" -> dedupClusters _,
     "q_jaccard_adjacent" -> jaccardAdjacent _,
   )
 
@@ -203,6 +248,41 @@ object Dedup {
          |FROM cand
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin,
+    "q_dedup_clusters" -> {
+      val base =
+        s"""$sqlShArr,
+           |$sqlSigs,
+           |bands AS (
+           |  SELECT doc_id, CAST(b AS INT) AS band,
+           |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
+           |  FROM sigs CROSS JOIN range(0, 8) t(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM (
+           |    SELECT doc_a, doc_b,
+           |      len(list_filter(list_zip(sa.mhs, sb.mhs), p -> p[1] = p[2])) / 16.0 AS est
+           |    FROM cand
+           |    JOIN sigs sa ON sa.doc_id = doc_a
+           |    JOIN sigs sb ON sb.doc_id = doc_b)
+           |  WHERE est >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+           |reach(doc, r) AS (
+           |  SELECT doc, doc FROM nodes
+           |  UNION
+           |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           |comp AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)
+           |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+           |  COALESCE(c.cluster, d.doc_id) <> d.doc_id AS is_dup
+           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin
+      // the recursive member (reach) requires the RECURSIVE keyword on
+      // the single WITH that opens the chained CTE list
+      base.replaceFirst("WITH ", "WITH RECURSIVE ")
+    },
     "q_dedup_simhash" ->
       s"""WITH hs AS (
          |  SELECT doc_id,

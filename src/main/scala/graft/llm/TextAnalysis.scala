@@ -99,11 +99,27 @@ object TextAnalysis {
           lit(0L),
           (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
 
+  /** Normalization/scrubbing pass: URLs and emails replaced by
+    * placeholder tags, whitespace collapsed, trimmed — the standard
+    * pre-dedup cleanup of a training-data pipeline. Pure regex
+    * (identical Java-regex/RE2 semantics for these patterns).
+    */
+  def scrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), "https?://\\S+", "<URL>"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\s+", " ")).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_lang_id" -> langId _,
     "q_llm_quality" -> qualityScore _,
     "q_llm_token_count" -> tokenCount _,
     "q_llm_fingerprint" -> fingerprint _,
+    "q_llm_scrub" -> scrub _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -135,6 +151,15 @@ object TextAnalysis {
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
          |  length(text) AS n_chars
          |FROM documents""".stripMargin,
+    "q_llm_scrub" ->
+      """SELECT doc_id, clean_text, length(clean_text) AS n_chars_clean
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM documents)""".stripMargin,
     "q_llm_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(

@@ -60,6 +60,19 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(3L)) < hamming(sh(0L), sh(4L)))
   }
 
+  test("dedup clusters: exact+near dups of 0 cluster together; others alone") {
+    val got = Dedup.dedupClusters(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(0L) == (0L, false))
+    assert(got(1L) == (0L, true))   // byte-identical
+    assert(got(3L) == (0L, true))   // near-dup (one word changed)
+    // doc 2 is the UPPERCASED variant: MinHash shingles are
+    // case-sensitive, so it does NOT cluster here (exact dedup with
+    // normalization catches it instead — see the first test)
+    assert(got(2L) == (2L, false))
+    assert(got(4L) == (4L, false))
+  }
+
   test("adjacent jaccard: dup pair = 1.0, near pair high, unrelated low") {
     val j = Dedup.jaccardAdjacent(spark, dupDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap

@@ -39,4 +39,15 @@ class AggregatorsSpec extends SparkSpec {
     assert(r.getInt(0) == fnv("name"))
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-15)
   }
+
+  test("tokenize UDTF: 1 row in, N token rows out via SQL") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    Seq((1L, "Hello,  my name"), (2L, ""), (3L, "one"))
+      .toDF("id", "text").createOrReplaceTempView("tok_docs")
+    val got = spark.sql(
+      "SELECT id, t.token FROM tok_docs LATERAL VIEW tokenize(text) t AS token")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "Hello,"), (1L, "my"), (1L, "name"), (3L, "one")))
+  }
 }
