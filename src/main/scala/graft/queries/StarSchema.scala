@@ -159,6 +159,52 @@ object StarSchema {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** CUBE grouping sets (all 4 combinations). */
+  def cubeSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  /** Outer joins: nations with customer and supplier counts — full
+    * outer over two pre-aggregated sides, nulls preserved.
+    */
+  def outerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cn = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** Pivot: order counts by priority, one column per status value
+    * (explicit value list ⇒ stable schema; oracle is conditional
+    * aggregation).
+    */
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Approximate sketches over lineitem: HLL distinct counts and
+    * approx quantiles. No DuckDB oracle (different sketch
+    * implementations) — driver records rows-only; exactness is
+    * cross-checked against the exact queries in StarSchemaSpec.
+    */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_median_price"),
+        count(lit(1)).as("n"))
+
   /** Per-group exact stats: count-distinct, min/max (all exact —
     * no float-order dependence).
     */
@@ -230,6 +276,10 @@ object StarSchema {
     "q_priority_histogram" -> priorityHistogram _,
     "q_price_quantiles" -> priceQuantiles _,
     "q_scalar_funcs" -> scalarFuncs _,
+    "q_cube" -> cubeSummary _,
+    "q_outer_join" -> outerJoin _,
+    "q_pivot" -> pivotStatus _,
+    "q_approx_stats" -> approxStats _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,6 +374,25 @@ object StarSchema {
       s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
          |  ${sqlDavg("o_totalprice")} AS avg_price
          |FROM orders GROUP BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_outer_join" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |                 FROM supplier GROUP BY 1) s
+        |USING (nationkey)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_price_quantiles" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.25) AS p25,
