@@ -86,6 +86,16 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exactly-once dedup: drop duplicate event_ids within
+    * the watermark horizon — the streaming twin of exact dedup (state
+    * is bounded by the watermark; late duplicates beyond 1 hour age
+    * out of state, the documented at-scale tradeoff).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source streaming pipeline over the events parquet — the
     * readStream → transform → writeStream wiring. `availableNow`
     * makes it a run-to-completion incremental batch (the pattern for

@@ -33,6 +33,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.toSet == Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 3.0)))
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(1, ts(2), 1, "click", 1.0),   // dup id, same batch
+      Event(2, ts(3), 1, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(1, ts(4), 1, "click", 1.0))  // dup id, later batch
+    q.processAllAvailable()
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
