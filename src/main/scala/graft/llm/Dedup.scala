@@ -41,8 +41,8 @@ object Dedup {
           .otherwise(array(concat_ws(" ", ws))))
     }
 
-  private val sqlWs =
-    """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
+  /** Shared tokenizer SQL — one source of truth with TextAnalysis. */
+  private val sqlWs = TextAnalysis.sqlTokens
 
   /** CTE producing (doc_id, sh) with sh = distinct shingle list —
     * mirrors [[shingleArr]].
@@ -82,6 +82,19 @@ object Dedup {
        |    list_transform(sh, s -> ${sqlH60("s")} & 2147483647) AS hv
        |  FROM sharr),
        |sigs AS (SELECT doc_id, $sqlMhs AS mhs FROM hvt)""".stripMargin
+
+  /** Shared band + candidate-pair CTEs (used by the pairs and the
+    * clusters oracles — keep them textually identical).
+    */
+  private val sqlBandsCand =
+    """bands AS (
+      |  SELECT doc_id, CAST(b AS INT) AS band,
+      |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
+      |  FROM sigs CROSS JOIN range(0, 8) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Exact dedup: md5 over whitespace-normalized lowercased text;
     * representative = min doc_id per group.
@@ -168,17 +181,21 @@ object Dedup {
     * table is touched exactly once at the end.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // checkpoint pairs first: both unionAll branches read it, and the
+    // LSH pipeline above it is the expensive part — compute it once
     val pairs = minhashLshPairs(spark, sfDir)
       .filter(col("est_jaccard") >= 0.5)
+      .localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint(true)
+    val maxIters = 50
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 30) {
+    while (changed > 0 && iter < maxIters) {
       val prop = labels.join(edges, labels("doc_id") === edges("src"))
         .select(edges("dst").as("doc_id"), col("cluster"))
       val next = labels.unionAll(prop)
@@ -188,6 +205,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // fail loudly rather than return a silently-split clustering: a
+    // component with diameter > maxIters hasn't converged (would need
+    // the large-star/small-star doubling variant, which converges in
+    // O(log diameter) rounds)
+    require(changed == 0,
+      s"connected components did not converge after $maxIters rounds")
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "ldoc"),
         col("doc_id") === col("ldoc"), "left")
@@ -235,14 +258,7 @@ object Dedup {
     "q_dedup_minhash_pairs" ->
       s"""$sqlShArr,
          |$sqlSigs,
-         |bands AS (
-         |  SELECT doc_id, CAST(b AS INT) AS band,
-         |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
-         |  FROM sigs CROSS JOIN range(0, 8) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |$sqlBandsCand
          |SELECT doc_a, doc_b,
          |  len(list_filter(list_zip(sa.mhs, sb.mhs), p -> p[1] = p[2])) / 16.0 AS est_jaccard
          |FROM cand
@@ -252,14 +268,7 @@ object Dedup {
       val base =
         s"""$sqlShArr,
            |$sqlSigs,
-           |bands AS (
-           |  SELECT doc_id, CAST(b AS INT) AS band,
-           |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
-           |  FROM sigs CROSS JOIN range(0, 8) t(b)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+           |$sqlBandsCand,
            |pairs AS (
            |  SELECT doc_a, doc_b FROM (
            |    SELECT doc_a, doc_b,

@@ -22,7 +22,10 @@ object TextAnalysis {
   def tokensCol: Column =
     filter(split(col("text"), "\\s+"), w => length(w) > 0)
 
-  private val sqlTokens =
+  /** SQL mirror of [[tokensCol]] — single source of truth, reused by
+    * the Dedup oracles too.
+    */
+  val sqlTokens: String =
     """list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)"""
 
   /** Tiny per-language stopword lists for the n-gram/stopword
@@ -66,14 +69,17 @@ object TextAnalysis {
         length(col("text")).as("n_chars"),
         size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"),
         scoreCol("en").as("n_stop"))
+      // explicit zero-denominator guards: Spark's non-ANSI x/0 yields
+      // NULL but DuckDB yields NaN/inf — empty docs would diverge
       .withColumn("stop_ratio",
-        col("n_stop").cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")))
       .withColumn("punct_ratio",
-        col("n_punct").cast("double") / col("n_chars"))
+        when(col("n_chars") > 0, col("n_punct").cast("double") / col("n_chars")))
       .withColumn("quality",
-        col("stop_ratio") * lit(0.5)
-          + when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, 0.3).otherwise(0.0)
-          + when(col("punct_ratio") <= 0.1, 0.2).otherwise(0.0))
+        when(col("n_tokens") > 0 && col("n_chars") > 0,
+          col("stop_ratio") * lit(0.5)
+            + when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, 0.3).otherwise(0.0)
+            + when(col("punct_ratio") <= 0.1, 0.2).otherwise(0.0)))
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs | digit runs | single non-alnum marks).
@@ -134,11 +140,13 @@ object TextAnalysis {
          |FROM documents""".stripMargin,
     "q_llm_quality" ->
       s"""SELECT doc_id, n_tokens, n_chars, n_punct, n_stop,
-         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-         |  CAST(n_stop AS DOUBLE) / n_tokens * 0.5
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+         |  CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
+         |    CAST(n_stop AS DOUBLE) / n_tokens * 0.5
          |    + CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END
-         |    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.2 ELSE 0.0 END AS quality
+         |    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.2 ELSE 0.0 END
+         |  END AS quality
          |FROM (SELECT doc_id,
          |        len($sqlTokens) AS n_tokens,
          |        length(text) AS n_chars,

@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param left      probe side (each row appears exactly once in output)
-    * @param right     reference side
+    * @param right     reference side. If it can contain multiple rows
+    *                  with the same (key, time), pre-aggregate to one
+    *                  row per instant — otherwise which of the tied
+    *                  rows wins is not defined (same caveat as any
+    *                  ASOF implementation, incl. DuckDB's)
     * @param key       equi-join key column name (present in both)
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`

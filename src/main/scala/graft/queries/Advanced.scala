@@ -18,8 +18,13 @@ object Advanced {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    // dedupe the reference side per (key, time): both engines pick an
+    // arbitrary row when right-side timestamps tie, so make the tie
+    // impossible deterministically (max value per instant)
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts").as("err_ts"), col("value").as("err_value"))
+      .groupBy(col("user_id"), col("ts").as("err_ts"))
+      .agg(max(col("value")).as("err_value"))
+      .select(col("user_id"), col("err_ts"), col("err_value"))
     AsOfJoin.asof(purchases, errors, "user_id", "ts", "err_ts")
   }
 
@@ -41,8 +46,9 @@ object Advanced {
         |  e.err_ts AS asof_err_ts, e.err_value AS asof_err_value
         |FROM (SELECT user_id, event_id, ts, value FROM events
         |      WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, value AS err_value
-        |                FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, max(value) AS err_value
+        |                FROM events WHERE event_type = 'error'
+        |                GROUP BY user_id, ts) e
         |  ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
     "q_salted_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",

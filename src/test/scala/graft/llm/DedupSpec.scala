@@ -73,11 +73,12 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (4L, false))
   }
 
-  test("adjacent jaccard: dup pair = 1.0, near pair high, unrelated low") {
+  test("adjacent jaccard: dup pair = 1.0, case-variant and unrelated = 0.0") {
     val j = Dedup.jaccardAdjacent(spark, dupDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
-    assert(j((0L, 1L)) == 1.0)
-    assert(j((2L, 3L)) > 0.5 || j((3L, 4L)) == 0.0) // 3 vs 4 share nothing
-    assert(j((3L, 4L)) == 0.0)
+    assert(j((0L, 1L)) == 1.0)   // byte-identical docs
+    assert(j((1L, 2L)) == 0.0)   // shingles are case-sensitive
+    assert(j((2L, 3L)) == 0.0)   // uppercase vs lowercase near-text
+    assert(j((3L, 4L)) == 0.0)   // genuinely unrelated
   }
 }

@@ -41,9 +41,18 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    dirs = sorted(d for d in os.listdir(out_dir)
+                  if os.path.isdir(os.path.join(out_dir, d)))
+    manifest_path = f"{out_dir}/queries.json"
+    if os.path.exists(manifest_path):
+        names = json.load(open(manifest_path))
+    else:  # old Verify output: fall back to dirs (can't see crashes)
+        names = dirs
     failures = []
+    for missing in sorted(set(names) - set(dirs)):
+        failures.append(missing)
+        print(f"[FAIL] {missing}: query crashed in Verify (no output dir)")
+    names = [n for n in names if n in dirs]
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
