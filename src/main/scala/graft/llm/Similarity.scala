@@ -99,6 +99,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  val NumCells = 16
+
+  /** IVF-flat ANN: the corpus is partitioned into [[NumCells]] cells
+    * by nearest centroid (centroids = the first K vectors — a
+    * deterministic, engine-portable init; real systems would k-means
+    * these, which no SQL oracle can reproduce). Queries probe only
+    * their own cell. Complements [[lshTopK]]: IVF cells adapt to the
+    * data distribution where hyperplane buckets are data-oblivious.
+    *
+    * Scale shape: assignment is a broadcast of K tiny centroids
+    * against one corpus scan (argmax via WindowGroupLimit — no full
+    * sort), probe joins on the cell id. At 100 TB you'd write
+    * `assigned` out partitioned by cell and probe with partition
+    * pruning.
+    */
+  def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine_sim(col("embedding"), col("cent_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** IVF-probed approximate top-k, same output shape as the exact
+    * baseline.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = ivfAssign(spark, sfDir)
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+      .join(broadcast(q),
+        col("cell") === col("q_cell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b).
     * Brute force here as the oracle-checkable baseline; the LSH
     * bucket join is the production pair-generation path.
@@ -148,6 +196,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> bruteForceTopK _,
     "q_ann_lsh_topk" -> lshTopK _,
+    "q_ann_ivf_topk" -> ivfTopK _,
     "q_embed_near_dup" -> embeddingNearDup _,
   )
 
@@ -170,6 +219,29 @@ object Similarity {
          |    ${sqlCos("q.embedding", "e.embedding")} AS cos
          |  FROM buckets q JOIN buckets e
          |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rank <= $K""".stripMargin,
+    "q_ann_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id < $NumCells),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |    ${sqlCos("e.embedding", "c.cent_emb")} AS cos_c
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_c DESC, cent_id ASC) AS rn
+         |    FROM scored)
+         |  WHERE rn = 1)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+         |  FROM assigned q JOIN assigned e
+         |    ON e.cell = q.cell AND e.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rank <= $K""".stripMargin,
     "q_embed_near_dup" ->

@@ -34,6 +34,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: every vector assigned to exactly one cell; recall reported") {
+    val assigned = Similarity.ivfAssign(spark, sf001)
+    val n = graft.Tables.embeddings(spark, sf001).count()
+    assert(assigned.count() == n)                       // total assignment
+    assert(assigned.select("cell").distinct().count() <= Similarity.NumCells)
+    val bf = Similarity.bruteForceTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    info(f"IVF recall vs brute force at sf0.001: $recall%.3f")
+    assert(recall > 0.0)
+  }
+
   test("LSH top-k is a subset of same-bucket exact ranking; reports recall") {
     val bf = Similarity.bruteForceTopK(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
