@@ -180,12 +180,62 @@ object Dedup {
     * standard large-graph CC shape (label propagation); the corpus
     * table is touched exactly once at the end.
     */
+  /** Edge sets at most this size are solved with driver-side
+    * union-find (one job, microseconds of CPU); larger graphs fall
+    * back to the distributed label-propagation loop. LSH banding keeps
+    * real near-dup graphs far below this even at corpus scale — the
+    * pair count is O(actual duplicates), not O(corpus).
+    */
+  private val DriverCCMaxEdges = 1000000L
+
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // checkpoint pairs first: both unionAll branches read it, and the
-    // LSH pipeline above it is the expensive part — compute it once
+    // checkpoint pairs first: the LSH pipeline above it is the
+    // expensive part — compute it once
     val pairs = minhashLshPairs(spark, sfDir)
       .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
+    val nEdges = pairs.count()
+    val labels =
+      if (nEdges <= DriverCCMaxEdges) driverUnionFind(spark, pairs)
+      else distributedLabelProp(pairs)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(broadcast(labels.withColumnRenamed("doc_id", "ldoc")),
+        col("doc_id") === col("ldoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("is_dup", col("cluster") =!= col("doc_id"))
+  }
+
+  /** Union-find over a collected edge list — exact min-label
+    * components in one pass, for graphs that fit the driver.
+    */
+  private def driverUnionFind(spark: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative find with path compression (no stack risk on chains)
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-label wins
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    import spark.implicits._
+    nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster")
+  }
+
+  /** Distributed min-label propagation to fixpoint — the path for
+    * graphs too large to collect. O(diameter) rounds of small joins;
+    * localCheckpoint truncates lineage per round.
+    */
+  private def distributedLabelProp(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -211,12 +261,7 @@ object Dedup {
     // O(log diameter) rounds)
     require(changed == 0,
       s"connected components did not converge after $maxIters rounds")
-    Tables.documents(spark, sfDir).select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "ldoc"),
-        col("doc_id") === col("ldoc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster"), col("doc_id")).as("cluster"))
-      .withColumn("is_dup", col("cluster") =!= col("doc_id"))
+    labels
   }
 
   /** Exact n-gram Jaccard between consecutive doc ids: a doc-level
