@@ -35,9 +35,72 @@ object Advanced {
   def saltedTypeCount(spark: SparkSession, sfDir: String): DataFrame =
     Skew.saltedCount(Tables.events(spark, sfDir), "event_type")
 
+  /** Full analytic-window breadth: lead/lag/ntile/percent_rank/
+    * first_value over a totally-ordered frame.
+    */
+  def windowAnalytics(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("prev_price"), col("next_key"), col("quartile"), col("first_key"))
+  }
+
+  /** Edit distance between consecutive docs' text heads — Levenshtein
+    * is definition-identical across engines (integer DP).
+    */
+  def editDistanceAdjacent(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("head"))
+    val a = d.select(col("doc_id").as("doc_a"), col("head").as("head_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("head").as("head_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("head_a"), col("head_b")).as("edit_dist"))
+  }
+
+  /** Datetime arithmetic: average days from order to each line's ship
+    * date, per priority (datediff is an exact integer).
+    */
+  def daysToShip(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        (sum(datediff(col("l_shipdate"), col("o_orderdate"))).cast("double")
+          / count(lit(1))).as("avg_days_to_ship"),
+        max(datediff(col("l_shipdate"), col("o_orderdate"))).as("max_days"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Scalar-subquery pattern: customers above the global average
+    * balance (the average is an exact decimal-sum division, so the
+    * threshold is bitwise-identical cross-engine).
+    */
+  def aboveAvgBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val avgBal = c.agg(graft.Exact.davg(col("c_acctbal")).as("avg_bal"))
+    c.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofPurchaseError _,
     "q_salted_count" -> saltedTypeCount _,
+    "q_window_analytics" -> windowAnalytics _,
+    "q_edit_distance" -> editDistanceAdjacent _,
+    "q_days_to_ship" -> daysToShip _,
+    "q_above_avg_balance" -> aboveAvgBalance _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,5 +115,29 @@ object Advanced {
         |  ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
     "q_salted_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_days_to_ship" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / count(*) AS avg_days_to_ship,
+        |  MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_days,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_above_avg_balance" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal)
+        |  FROM customer)""".stripMargin,
   )
 }
