@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression tests: the properties that make these
+  * queries scale are asserted, not just observed once in an explain.
+  * If a refactor un-pushes a filter or turns a broadcast into a
+  * shuffle join, these fail before the benchmark does.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3: filters pushed to parquet scans, joins broadcast, top-k via TakeOrdered") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || p.contains("GreaterThan(l_shipdate"), s"lineitem date filter not pushed:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "customer segment filter not pushed")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(p.contains("TakeOrderedAndProject"), "expected top-k operator, not global sort")
+  }
+
+  test("q5: date-range predicate reaches the orders scan") {
+    val p = planOf("q5_local_supplier")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"),
+      s"orders date range not pushed:\n$p")
+  }
+
+  test("ann top-k: rank filter becomes WindowGroupLimit (no full sort per query)") {
+    val p = planOf("q_ann_topk")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("scans prune columns: q_top_customers reads only the needed order columns") {
+    val p = planOf("q_top_customers")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"),
+      s"orders scan should read exactly custkey+totalprice:\n$p")
+  }
+
+  test("dedup signatures plan is shuffle-free up to the explode") {
+    val p = planOf("q_dedup_minhash")
+    // per-doc array computation: a single scan, no Exchange before Generate
+    assert(!p.contains("Exchange"), s"minhash signatures should be map-only:\n$p")
+  }
+}
