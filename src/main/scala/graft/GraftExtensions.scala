@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, Fnv1a, Tokenize}
+import graft.functions.{CosineSim, Fnv1a, H60, Tokenize}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * expressions into the SQL function registry, so
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.fnv1aDesc)
     e.injectFunction(GraftExtensions.cosineDesc)
     e.injectFunction(GraftExtensions.tokenizeDesc)
+    e.injectFunction(GraftExtensions.h60Desc)
   }
 }
 
@@ -41,9 +42,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
     (args: Seq[Expression]) => Tokenize(args.head))
 
+  private val h60Desc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("h60"),
+    new ExpressionInfo(classOf[H60].getName, "h60"),
+    (args: Seq[Expression]) => H60(args.head))
+
   /** Register on an already-built session (test/driver convenience). */
   def register(spark: SparkSession): Unit = {
-    Seq(fnv1aDesc, cosineDesc, tokenizeDesc).foreach { d =>
+    Seq(fnv1aDesc, cosineDesc, tokenizeDesc, h60Desc).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   * overflow portability entirely.
   */
 object PortableHash {
-  /** 60-bit md5-derived hash of a string column. */
-  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  import org.apache.spark.sql.graft.Bridge
+
+  /** 60-bit md5-derived hash of a string column — the fused native
+    * [[graft.functions.H60]] expression (identical values to
+    * `conv(substr(md5(c),1,15),16,10)`, fewer allocations).
+    */
+  def h60(c: Column): Column =
+    Bridge.column(graft.functions.H60(Bridge.expression(c)))
 
   /** Salted variant: independent hash function per salt. */
   def h60(c: Column, salt: Column): Column = h60(concat(c, lit("#"), salt))

@@ -33,6 +33,17 @@ class FormatsSpec extends SparkSpec {
       == df.select("l_returnflag").distinct().count())
   }
 
+  test("orc round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val df = sample
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 100)
+    assert(back.schema == df.schema)
+    assert(back.agg(sum("l_quantity")).head().getDouble(0)
+      == df.agg(sum("l_quantity")).head().getDouble(0))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     graft.Tables.lineitem(spark, sf001)
