@@ -50,15 +50,40 @@ object PortableHash {
   def bind(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), v => body(v)), 1)
 
-  /** Affine MinHash mix over a 31-bit base hash: family member `i` is
-    * `((2i+3)·h + 7919i + 17) mod (2³¹−1)` — all intermediates fit
-    * int64, so DuckDB (which errors on overflow, unlike Spark's
-    * silent wrap) computes it identically.
+  /** Fixed random 31-bit odd multipliers / offsets for the 16-member
+    * affine MinHash family `(a_i·h + b_i) mod (2³¹−1)`. `a` must be
+    * LARGE and random: small multipliers (an earlier `2i+3` draft)
+    * leave the family members mutually correlated — nearly monotone in
+    * h — which produced 129 false-positive near-dup clusters on a
+    * 6000-doc ground-truth corpus (DedupScaleSpec). 31-bit a × 31-bit
+    * h tops out at 2⁶² so every intermediate still fits int64 — DuckDB
+    * errors on overflow where Spark wraps, so that bound is what keeps
+    * the oracle portable.
     */
-  def minhashMix(h: Column, i: Column): Column =
-    ((lit(2) * i + lit(3)) * h + lit(7919) * i + lit(17)) % lit(2147483647L)
+  val MinhashA: Seq[Long] = Seq(
+    114060685L, 143607339L, 658016613L, 1920833001L, 1625018799L,
+    2115868157L, 1839658157L, 1370607937L, 1314768563L, 1516846533L,
+    899342927L, 1761721497L, 1792449689L, 2056989733L, 1252576877L,
+    638180913L)
+  val MinhashB: Seq[Long] = Seq(
+    516347110L, 86660097L, 1034123047L, 390694562L, 1490082986L,
+    1456092803L, 997229158L, 1263980513L, 768208873L, 373428980L,
+    381249819L, 1284903394L, 434862590L, 97658013L, 635475301L,
+    570517314L)
 
-  /** SQL mirror of [[minhashMix]]. */
-  def sqlMinhashMix(h: String, i: String): String =
-    s"((2*$i+3)*$h + 7919*$i + 17) % 2147483647"
+  /** Affine MinHash mix over a 31-bit base hash, family member `i`
+    * (a Column over 0..15): `(a_i·h + b_i) mod (2³¹−1)`.
+    */
+  def minhashMix(h: Column, i: Column): Column = {
+    val aArr = array(MinhashA.map(lit): _*)
+    val bArr = array(MinhashB.map(lit): _*)
+    (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % lit(2147483647L)
+  }
+
+  /** SQL mirror of [[minhashMix]] (DuckDB lists are 1-indexed). */
+  def sqlMinhashMix(h: String, i: String): String = {
+    val aList = MinhashA.mkString("[", ",", "]")
+    val bList = MinhashB.mkString("[", ",", "]")
+    s"($aList[$i+1]*$h + $bList[$i+1]) % 2147483647"
+  }
 }
