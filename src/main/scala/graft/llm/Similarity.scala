@@ -30,7 +30,13 @@ import graft.llm.PortableHash._
   */
 object Similarity {
 
-  val NumPlanes = 8
+  /** 4 hyperplanes → 16 buckets. Bucket count must track corpus size:
+    * 2^planes ≈ corpus/expected-candidates. 8 planes (256 buckets) over
+    * these corpora left ~2 vectors per bucket and 0.03 recall; 16
+    * buckets yields usable recall while still cutting the scan 16×.
+    * At a 10⁹-vector corpus you would raise this (and/or multi-probe).
+    */
+  val NumPlanes = 4
   val Dim = 64
   val K = 5
   val NumQueries = 20

@@ -69,4 +69,23 @@ class DedupScaleSpec extends SparkSpec {
     assert(falseDups.size <= 25, // 0.5% of corpus
       s"too many false positives: ${falseDups.size}")
   }
+
+  test("simhash separates planted near-dups from random pairs") {
+    val sh = Dedup.simhash(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val planted = (0 until 5000 by 10).map(_.toLong)
+    val nearDists = planted.zipWithIndex.map { case (baseId, idx) =>
+      hamming(sh(baseId), sh(5000L + idx * 2 + 1))
+    }
+    val rnd = new scala.util.Random(11)
+    val randomDists = (0 until 500).map { _ =>
+      hamming(sh(rnd.nextInt(5000).toLong), sh(rnd.nextInt(5000).toLong))
+    }
+    val nearAvg = nearDists.sum.toDouble / nearDists.size
+    val randAvg = randomDists.sum.toDouble / randomDists.size
+    info(f"avg hamming: planted near-dups $nearAvg%.2f vs random pairs $randAvg%.2f")
+    assert(nearAvg < randAvg / 2,
+      s"simhash should separate near-dups ($nearAvg) from random ($randAvg)")
+  }
 }
