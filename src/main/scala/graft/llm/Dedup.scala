@@ -196,11 +196,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val nEdges = pairs.count()
+    // broadcast the label table ONLY on the small-graph path — the
+    // distributed path exists precisely because labels may not fit
+    // the driver, so it must shuffle-join
     val labels =
-      if (nEdges <= DriverCCMaxEdges) driverUnionFind(spark, pairs)
+      if (nEdges <= DriverCCMaxEdges) broadcast(driverUnionFind(spark, pairs))
       else distributedLabelProp(pairs)
     Tables.documents(spark, sfDir).select(col("doc_id"))
-      .join(broadcast(labels.withColumnRenamed("doc_id", "ldoc")),
+      .join(labels.withColumnRenamed("doc_id", "ldoc"),
         col("doc_id") === col("ldoc"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))

@@ -14,10 +14,12 @@ import graft.llm.PortableHash._
   *     The small query set is broadcast against the corpus scan, so
   *     the corpus is read once, never shuffled; per-query top-k comes
   *     from a rank-over-window on the (tiny) candidate side.
-  *   - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. An
-  *     8-bit signature buckets the corpus; queries only score their
-  *     own bucket, cutting scan cost ~256× at some recall loss
+  *   - [[lshTopK]]: random-hyperplane LSH — a [[NumPlanes]]-bit
+  *     signature buckets the corpus; queries only score their own
+  *     bucket, cutting scan cost 2^NumPlanes× at some recall loss
   *     (measured against the brute-force baseline in SimilaritySpec).
+  *   - [[ivfTopK]]: IVF-flat cells — data-adaptive partitioning,
+  *     the better recall/cost point on these corpora.
   *
   * Cosine is the codegen'd [[graft.functions.CosineSim]] expression;
   * its sequential double accumulation is bitwise-reproducible in the
@@ -62,11 +64,25 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** 8-bit LSH bucket signature. */
+  /** [[NumPlanes]]-bit LSH bucket signature. */
   def signatureCol(emb: Column): Column =
     (0 until NumPlanes).map { j =>
       when(planeDot(emb, j) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Shared top-k tail: given (neighbor_id, embedding, …) joined with
+    * broadcast (query_id, q_emb, …), score with [[CosineSim]], rank
+    * per query (cos desc, neighbor_id asc — total order), keep K.
+    */
+  private def rankTopK(joined: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
 
   /** Exact brute-force top-k neighbors for the first [[NumQueries]]
     * vectors (self excluded), rank tiebroken by neighbor id.
@@ -75,14 +91,9 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    e.select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rankTopK(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id")))
   }
 
   /** LSH-bucketed approximate top-k: queries score only vectors in
@@ -94,29 +105,24 @@ object Similarity {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
-      .join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rankTopK(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+        .join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("neighbor_id") =!= col("query_id")))
   }
 
   val NumCells = 16
 
   /** IVF-flat ANN: the corpus is partitioned into [[NumCells]] cells
-    * by nearest centroid (centroids = the first K vectors — a
-    * deterministic, engine-portable init; real systems would k-means
+    * by nearest centroid (centroids = the first [[NumCells]] vectors —
+    * a deterministic, engine-portable init; real systems would k-means
     * these, which no SQL oracle can reproduce). Queries probe only
     * their own cell. Complements [[lshTopK]]: IVF cells adapt to the
     * data distribution where hyperplane buckets are data-oblivious.
     *
-    * Scale shape: assignment is a broadcast of K tiny centroids
-    * against one corpus scan (argmax via WindowGroupLimit — no full
-    * sort), probe joins on the cell id. At 100 TB you'd write
+    * Scale shape: assignment is a broadcast of [[NumCells]] tiny
+    * centroids against one corpus scan (argmax via WindowGroupLimit —
+    * no full sort), probe joins on the cell id. At 100 TB you'd write
     * `assigned` out partitioned by cell and probe with partition
     * pruning.
     */
@@ -141,16 +147,11 @@ object Similarity {
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("cell").as("q_cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned
-      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
-      .join(broadcast(q),
-        col("cell") === col("q_cell") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rankTopK(
+      assigned
+        .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+        .join(broadcast(q),
+          col("cell") === col("q_cell") && col("neighbor_id") =!= col("query_id")))
   }
 
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b).

@@ -86,7 +86,8 @@ def main():
             neq = (g != e) & ~(g.isna() & e.isna())
             bad = neq.any(axis=1)
             print(g[bad].head(3)); print(e[bad].head(3))
-    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    total = len(names) + sum(1 for f in failures if f not in names)
+    print(f"\n{total - len(failures)}/{total} queries match")
     sys.exit(1 if failures else 0)
 
 
