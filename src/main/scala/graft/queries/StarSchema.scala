@@ -192,6 +192,36 @@ object StarSchema {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): status totals,
+    * priority totals, and grand total in one pass, with grouping_id
+    * distinguishing the sets.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n, ${sqlDsumSpark("o_totalprice")} AS total,
+         |  grouping_id(o_orderstatus, o_orderpriority) AS gid
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Spark-side SQL fragment for the exact decimal sum (same math as
+    * [[graft.Exact.dsum]], spelled in Spark SQL).
+    */
+  private def sqlDsumSpark(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Bag-semantics set ops: UNION ALL / EXCEPT ALL keep duplicates. */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val cn = Tables.customer(spark, sfDir).select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nationkey"))
+    cn.exceptAll(sn).withColumn("op", lit("cust_except_all"))
+      .unionAll(cn.intersectAll(sn).withColumn("op", lit("intersect_all")))
+      .groupBy(col("op"), col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Approximate sketches over lineitem: HLL distinct counts and
     * approx quantiles. No DuckDB oracle (different sketch
     * implementations) — driver records rows-only; exactness is
@@ -277,6 +307,8 @@ object StarSchema {
     "q_price_quantiles" -> priceQuantiles _,
     "q_scalar_funcs" -> scalarFuncs _,
     "q_cube" -> cubeSummary _,
+    "q_grouping_sets" -> groupingSets _,
+    "q_set_ops_all" -> setOpsAll _,
     "q_outer_join" -> outerJoin _,
     "q_pivot" -> pivotStatus _,
     "q_approx_stats" -> approxStats _,
@@ -379,6 +411,22 @@ object StarSchema {
          |  ${sqlDsum("o_totalprice")} AS total
          |FROM orders
          |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n, ${sqlDsum("o_totalprice")} AS total,
+         |  grouping_id(o_orderstatus, o_orderpriority) AS gid
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_set_ops_all" ->
+      """SELECT op, nationkey, count(*) AS n FROM (
+        |  SELECT 'cust_except_all' AS op, nationkey FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, nationkey FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    INTERSECT ALL SELECT s_nationkey FROM supplier))
+        |GROUP BY op, nationkey""".stripMargin,
     "q_outer_join" ->
       """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
         |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp

@@ -72,6 +72,31 @@ class MRJobSpec extends SparkSpec {
     }
   }
 
+  test("MRJob on a single file; holistic reduce sees all values in one call") {
+    import spark.implicits._
+    val job = MRJob[String, Int, Int](
+      (_, c) => "[A-Za-z]+".r.findAllIn(c).map(w => (w, 1)).toSeq,
+      (k, vs) => vs.size,  // returns the number of values seen in THIS call
+      nReduce = 2)
+    val single = getClass.getResource("/mr/split-1.txt").getPath
+    val out = job.run(spark, single).collect().toMap
+    // every count equals the total occurrences -> reduce saw all values at once
+    assert(out == Map("Hello" -> 1, "my" -> 1, "name" -> 2, "is" -> 1,
+      "Sue" -> 1, "your" -> 1))
+  }
+
+  test("KVText.readKV: line without a tab yields empty value") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kvnotab").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.txt"),
+      "plainkey\nk2\tv2\n   \n")
+    val got = KVText.readKV(spark, s"$dir/data.txt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // blank line skipped (worker.go:144-146); tab-less line -> ("plainkey","")
+    assert(got == Set(("plainkey", ""), ("k2", "v2")))
+  }
+
   test("KVText round trip with FNV-1a bucket placement") {
     import spark.implicits._
     val df = Seq(("k1", "v1"), ("k2", "v\twith\ttabs"), ("k3", "v3"))
