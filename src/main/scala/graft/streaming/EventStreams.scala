@@ -86,6 +86,26 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-stream interval join: each purchase joins error events of
+    * the same user within the preceding 30 minutes. Both sides are
+    * watermarked so the join state is bounded — Spark retains only
+    * errors young enough to still match a future purchase.
+    */
+  def purchasesWithRecentErrors(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val e = errors.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("value").as("error_value"))
+    p.join(e,
+      col("p_user") === col("e_user")
+        && col("e_ts") <= col("p_ts")
+        && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("e_ts"), col("purchase_value"), col("error_value"))
+  }
+
   /** Streaming exactly-once dedup: drop duplicate event_ids within
     * the watermark horizon — the streaming twin of exact dedup (state
     * is bounded by the watermark; late duplicates beyond 1 hour age

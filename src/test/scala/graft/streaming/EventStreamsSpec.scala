@@ -52,6 +52,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join: purchases pick up errors in prior 30 min") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = purchasesWithRecentErrors(purchases.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    errors.addData(
+      Event(100, ts(10), 1, "error", 0.5),
+      Event(101, ts(90), 1, "error", 0.7),   // > 30 min before purchase 2
+      Event(102, ts(100), 2, "error", 0.9))  // other user
+    purchases.addData(
+      Event(1, ts(30), 1, "purchase", 10.0), // joins error at t=10
+      Event(2, ts(130), 1, "purchase", 20.0)) // error at 90 is 40 min prior -> no
+    q.processAllAvailable()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).toSet
+    q.stop()
+    assert(rows == Set((1L, 0.5)), s"got: ${rows.mkString(",")}")
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
