@@ -25,7 +25,8 @@ object SparkEntry {
   ) ++ graft.queries.StarSchema.queries ++ graft.queries.EventWindows.queries ++
     graft.queries.Advanced.queries ++
     graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
-    graft.llm.Similarity.queries ++ graft.llm.Multimodal.queries
+    graft.llm.Similarity.queries ++ graft.llm.Multimodal.queries ++
+    graft.llm.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,5 +53,6 @@ object SparkEntry {
   ) ++ graft.queries.StarSchema.oracles ++ graft.queries.EventWindows.oracles ++
     graft.queries.Advanced.oracles ++
     graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++
-    graft.llm.Similarity.oracles ++ graft.llm.Multimodal.oracles
+    graft.llm.Similarity.oracles ++ graft.llm.Multimodal.oracles ++
+    graft.llm.Pipeline.oracles
 }

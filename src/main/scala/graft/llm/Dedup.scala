@@ -267,6 +267,16 @@ object Dedup {
     labels
   }
 
+  /** The deduplicated corpus itself — the rows a pipeline ships:
+    * keep the min-doc_id representative of each exact-dup group.
+    */
+  def keepRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val keep = exact(spark, sfDir).select(col("keep_doc"))
+    docs.join(keep, docs("doc_id") === keep("keep_doc"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Exact n-gram Jaccard between consecutive doc ids: a doc-level
     * self-join (n rows, broadcastable) with per-row array
     * intersection — no shingle-level shuffle.
@@ -290,6 +300,7 @@ object Dedup {
     "q_dedup_minhash_pairs" -> minhashLshPairs _,
     "q_dedup_simhash" -> simhash _,
     "q_dedup_clusters" -> dedupClusters _,
+    "q_dedup_keep" -> keepRepresentatives _,
     "q_jaccard_adjacent" -> jaccardAdjacent _,
   )
 
@@ -352,6 +363,11 @@ object Dedup {
          |           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash
          |FROM hs""".stripMargin,
+    "q_dedup_keep" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
     "q_jaccard_adjacent" ->
       s"""$sqlShArr
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
