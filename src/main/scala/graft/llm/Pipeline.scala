@@ -22,18 +22,15 @@ object Pipeline {
   def trainingPrep(spark: SparkSession, sfDir: String): DataFrame = {
     val scrubbed = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        trim(regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), "https?://\\S+", "<URL>"),
-            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-          "\\s+", " ")).as("clean"))
+        TextAnalysis.scrubCol(col("text")).as("clean"))
     val gated = scrubbed
       .withColumn("toks", filter(split(col("clean"), " "), w => length(w) > 0))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_punct",
         size(regexp_extract_all(col("clean"), lit("[^A-Za-z0-9\\s]"), lit(0))))
       .filter(col("n_tokens") >= 5
-        && col("n_punct").cast("double") / length(col("clean")) <= lit(0.2))
+        && when(length(col("clean")) > 0,
+          col("n_punct").cast("double") / length(col("clean"))) <= lit(0.2))
     val deduped = gated
       .withColumn("h", md5(lower(col("clean"))))
       .withColumn("keep",
@@ -55,21 +52,17 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q_llm_pipeline" ->
-      """WITH scrubbed AS (
-        |  SELECT doc_id, lang,
-        |    trim(regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
-        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\s+', ' ', 'g')) AS clean
+      s"""WITH scrubbed AS (
+        |  SELECT doc_id, lang, ${TextAnalysis.sqlScrub("text")} AS clean
         |  FROM documents),
         |gated AS (
         |  SELECT doc_id, lang, clean,
         |    len(list_filter(string_split(clean, ' '), w -> length(w) > 0)) AS n_tokens
         |  FROM scrubbed
         |  WHERE len(list_filter(string_split(clean, ' '), w -> length(w) > 0)) >= 5
-        |    AND CAST(len(regexp_extract_all(clean, '[^A-Za-z0-9\s]')) AS DOUBLE)
-        |          / length(clean) <= 0.2),
+        |    AND CASE WHEN length(clean) > 0 THEN
+        |          CAST(len(regexp_extract_all(clean, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+        |          / length(clean) END <= 0.2),
         |deduped AS (
         |  SELECT * FROM (
         |    SELECT *, row_number() OVER (

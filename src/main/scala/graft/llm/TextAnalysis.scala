@@ -105,6 +105,24 @@ object TextAnalysis {
           lit(0L),
           (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
 
+  /** Scrub transform (URL/email placeholders, whitespace collapse,
+    * trim) — single source of truth shared with [[Pipeline]].
+    */
+  def scrubCol(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "https?://\\S+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\s+", " "))
+
+  /** SQL mirror of [[scrubCol]]. */
+  def sqlScrub(expr: String): String =
+    s"""trim(regexp_replace(
+       |  regexp_replace(
+       |    regexp_replace($expr, 'https?://\\S+', '<URL>', 'g'),
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |  '\\s+', ' ', 'g'))""".stripMargin
+
   /** Normalization/scrubbing pass: URLs and emails replaced by
     * placeholder tags, whitespace collapsed, trimmed — the standard
     * pre-dedup cleanup of a training-data pipeline. Pure regex
@@ -112,12 +130,7 @@ object TextAnalysis {
     */
   def scrub(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        trim(regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), "https?://\\S+", "<URL>"),
-            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-          "\\s+", " ")).as("clean_text"))
+      .select(col("doc_id"), scrubCol(col("text")).as("clean_text"))
       .withColumn("n_chars_clean", length(col("clean_text")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -160,14 +173,9 @@ object TextAnalysis {
          |  length(text) AS n_chars
          |FROM documents""".stripMargin,
     "q_llm_scrub" ->
-      """SELECT doc_id, clean_text, length(clean_text) AS n_chars_clean
-        |FROM (SELECT doc_id,
-        |  trim(regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\s+', ' ', 'g')) AS clean_text
-        |FROM documents)""".stripMargin,
+      s"""SELECT doc_id, clean_text, length(clean_text) AS n_chars_clean
+         |FROM (SELECT doc_id, ${sqlScrub("text")} AS clean_text
+         |FROM documents)""".stripMargin,
     "q_llm_fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(

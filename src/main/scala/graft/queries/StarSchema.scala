@@ -194,23 +194,17 @@ object StarSchema {
 
   /** Explicit GROUPING SETS (beyond rollup/cube): status totals,
     * priority totals, and grand total in one pass, with grouping_id
-    * distinguishing the sets.
+    * distinguishing the sets. Pure DataFrame API — no temp-view
+    * session state.
     */
-  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs")
-    spark.sql(
-      s"""SELECT o_orderstatus, o_orderpriority,
-         |  count(*) AS n, ${sqlDsumSpark("o_totalprice")} AS total,
-         |  grouping_id(o_orderstatus, o_orderpriority) AS gid
-         |FROM orders_gs
-         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
-  }
-
-  /** Spark-side SQL fragment for the exact decimal sum (same math as
-    * [[graft.Exact.dsum]], spelled in Spark SQL).
-    */
-  private def sqlDsumSpark(c: String): String =
-    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        grouping_id().as("gid"))
 
   /** Bag-semantics set ops: UNION ALL / EXCEPT ALL keep duplicates. */
   def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
