@@ -65,6 +65,30 @@ object Multimodal {
     }
   }
 
+  /** STUB RESIZE — stands in for an image resize (no codec libs in
+    * this container). Deterministic fake: downsample the payload to
+    * exactly `targetBytes` by striding, recording the new pseudo
+    * dimensions. Real plumbing: binary-in/binary-out column transform
+    * over `mapPartitions`, constant output size per row — the batch
+    * shape a real resampler needs.
+    */
+  def resizeStub(media: Dataset[Media], targetBytes: Int = 64): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val len = m.payload.length
+        val out =
+          if (len == 0) Array.empty[Byte]
+          else Array.tabulate(math.min(targetBytes, len)) { i =>
+            m.payload(((i.toLong * len) / math.min(targetBytes, len)).toInt)
+          }
+        m.copy(payload = out,
+          width = math.min(m.width, targetBytes),
+          height = math.min(m.height, targetBytes))
+      }
+    }
+  }
+
   /** Oracle-checkable feature extraction over the binary payload —
     * the non-stub subset (byte length, hex head, content digest,
     * pseudo-dimensions, normalized first-byte feature).

@@ -23,6 +23,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stub: constant output size, deterministic, dims clamped") {
+    val media = Multimodal.mediaTable(spark, sf001)
+    val resized = Multimodal.resizeStub(media, targetBytes = 32).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { m =>
+      assert(m.payload.length <= 32)
+      assert(m.width <= 32 && m.height <= 32)
+    }
+    val again = Multimodal.resizeStub(media, targetBytes = 32).collect()
+      .map(m => (m.doc_id, m.payload.toSeq)).sortBy(_._1).toSeq
+    assert(again == resized.map(m => (m.doc_id, m.payload.toSeq)).sortBy(_._1).toSeq)
+  }
+
   test("decode stub is deterministic") {
     val media = Multimodal.mediaTable(spark, sf001)
     val a = Multimodal.decodeStub(media).collect().sortBy(f => (f.doc_id, f.frame)).toSeq
