@@ -40,6 +40,15 @@ class PlanAuditSpec extends SparkSpec {
       s"orders scan should read exactly custkey+totalprice:\n$p")
   }
 
+  test("composed training-prep pipeline stays one scan + two shuffles") {
+    val p = planOf("q_llm_pipeline")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"pipeline should scan documents exactly once:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 4, // dedup + final agg (+AQE reads)
+      s"pipeline grew extra shuffles:\n$p")
+    assert(p.contains("WindowGroupLimit"), "dedup row_number should push a group limit")
+  }
+
   test("dedup signatures plan is shuffle-free up to the explode") {
     val p = planOf("q_dedup_minhash")
     // per-doc array computation: a single scan, no Exchange before Generate
