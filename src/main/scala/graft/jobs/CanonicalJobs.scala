@@ -45,9 +45,13 @@ object CanonicalJobs {
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     tokens(spark, sfDir)
       .groupBy("word")
-      .agg(
-        concat_ws(",", sort_array(collect_set(col("doc_id")))).as("doc_ids"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      // single collect_set aggregate; n_docs = size of the same set.
+      // (collect_set + countDistinct together would plan an Expand
+      // double-aggregation — two passes over the token stream.)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(col("word"),
+        concat_ws(",", col("ids")).as("doc_ids"),
+        size(col("ids")).cast("long").as("n_docs"))
 
   /** Distributed grep: documents whose text matches a pattern
     * (filter inside map in the reference idiom — §2.3 of SURVEY.md).
