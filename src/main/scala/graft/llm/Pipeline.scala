@@ -31,7 +31,11 @@ object Pipeline {
       .filter(col("n_tokens") >= 5
         && when(length(col("clean")) > 0,
           col("n_punct").cast("double") / length(col("clean"))) <= lit(0.2))
+    // observe(): per-stage row counters surface in QueryExecution
+    // metrics (SparkListener/observedMetrics) without extra actions —
+    // free pipeline observability at any scale
     val deduped = gated
+      .observe("gated", count(lit(1)).as("rows_after_gate"))
       .withColumn("h", md5(lower(col("clean"))))
       .withColumn("keep",
         row_number().over(org.apache.spark.sql.expressions.Window
