@@ -50,8 +50,71 @@ object Pipeline {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Fixed-size chunking with overlap — the standard pre-tokenization
+    * packing step: 32-token chunks, stride 24 (8-token overlap), last
+    * partial chunk kept. Pure per-row array ops (map-only).
+    */
+  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val size = 32
+    val stride = 24
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.tokensCol.as("ws"))
+      .select(col("doc_id"),
+        posexplode(PortableHash.bind(col("ws")) { ws =>
+          transform(
+            sequence(lit(0),
+              greatest(ceil((org.apache.spark.sql.functions.size(ws) - size)
+                / lit(stride.toDouble)).cast("int"), lit(0))),
+            i => concat_ws(" ", slice(ws, i * stride + lit(1), lit(size))))
+        }))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col").as("chunk_text"))
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(
+          filter(split(col("chunk_text"), " "), w => length(w) > 0)))
+  }
+
+  /** Deterministic train/val split: h60 of the content mod 100 —
+    * stable under re-runs, portable, and stratifiable by any column.
+    */
+  def trainValSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(PortableHash.h60(col("text")) % 100 < 95, "train").otherwise("val"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+
+  /** Benchmark decontamination: flag corpus docs sharing any 5-gram
+    * with the eval set (doc_id < 10 stands in for the benchmark).
+    * Shingle-join shape: |eval shingles| is small, so it broadcasts;
+    * the corpus is scanned once — exactly how decontamination runs at
+    * 100 TB (eval sets are always tiny relative to the corpus).
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), TextAnalysis.tokensCol.as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"),
+          explode(PortableHash.bind(col("ws")) { ws =>
+            transform(sequence(lit(1), size(ws) - 4),
+              i => concat_ws(" ", slice(ws, i, lit(5))))
+          }).as("gram"))
+        .distinct()
+    val docs = Tables.documents(spark, sfDir)
+    val evalGrams = grams(docs.filter(col("doc_id") < 10))
+      .select(col("gram")).distinct()
+    val corpusGrams = grams(docs.filter(col("doc_id") >= 10))
+    corpusGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pipeline" -> trainingPrep _,
+    "q_llm_chunks" -> chunk _,
+    "q_llm_split" -> trainValSplit _,
+    "q_llm_contamination" -> contamination _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -78,5 +141,36 @@ object Pipeline {
         |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
         |  min(doc_id) AS first_doc
         |FROM deduped GROUP BY lang""".stripMargin,
+    "q_llm_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TextAnalysis.sqlTokens} AS ws FROM documents),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) + 1)) AS i,
+         |    ws
+         |  FROM toks)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |  array_to_string(ws[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+         |  CAST(len(list_filter(string_split(array_to_string(ws[i*24 + 1 : i*24 + 32], ' '), ' '),
+         |    w -> length(w) > 0)) AS INT) AS n_tokens
+         |FROM ch""".stripMargin,
+    "q_llm_split" ->
+      s"""SELECT lang,
+         |  CASE WHEN ${PortableHash.sqlH60("text")} % 100 < 95
+         |       THEN 'train' ELSE 'val' END AS split,
+         |  count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_llm_contamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TextAnalysis.sqlTokens} AS ws FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(ws) - 3),
+         |      i -> array_to_string(ws[i : i + 4], ' '))) AS gram
+         |  FROM toks WHERE len(ws) >= 5)
+         |SELECT c.doc_id, count(*) AS n_shared_grams
+         |FROM (SELECT doc_id, gram FROM g WHERE doc_id >= 10) c
+         |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 10) e USING (gram)
+         |GROUP BY c.doc_id""".stripMargin,
   )
 }
