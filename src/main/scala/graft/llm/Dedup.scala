@@ -358,10 +358,10 @@ object Dedup {
          |      w -> CAST('0x' || substr(md5(w || '#sim'), 1, 15) AS BIGINT)) AS hs
          |  FROM documents)
          |SELECT doc_id,
-         |  list_sum(list_transform(range(0, 32), b ->
+         |  CAST(list_sum(list_transform(range(0, 32), b ->
          |    CASE WHEN list_sum(list_transform(hs,
          |           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM hs""".stripMargin,
     "q_dedup_keep" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -137,7 +137,7 @@ object Pipeline {
         |    FROM gated)
         |  WHERE rn = 1)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(n_tokens) AS total_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
         |  min(doc_id) AS first_doc
         |FROM deduped GROUP BY lang""".stripMargin,

@@ -431,9 +431,9 @@ object StarSchema {
         |USING (nationkey)""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_price_quantiles" ->
       """SELECT o_orderstatus,

@@ -16,6 +16,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used for the cross-engine type check. The
+    driver's hash is type-sensitive, so an int64 Spark column vs a
+    DuckDB HUGEINT (which pandas silently converts to float64/object)
+    must FAIL here even when the values are numerically equal."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        # HUGEINT overflows int64 -> duckdb hands back Python ints as
+        # object; flag that as "int" so it mismatches a float column
+        # and matches nothing Spark can emit (Spark maxes at int64).
+        vals = s.dropna()
+        if len(vals) > 0 and all(isinstance(v, int) for v in vals.head(50)):
+            return "bigobj-int"
+        return "object"
+    return str(s.dtype)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -71,6 +95,14 @@ def main():
         if list(g.columns) != list(e.columns):
             failures.append(name)
             print(f"[FAIL] {name}: columns {list(g.columns)} vs oracle {list(e.columns)}")
+            continue
+        kind_bad = [(c, dtype_kind(got[c]), dtype_kind(exp[c]))
+                    for c in g.columns if dtype_kind(got[c]) != dtype_kind(exp[c])]
+        if kind_bad:
+            failures.append(name)
+            for c, kg, ke in kind_bad:
+                print(f"[FAIL] {name}: dtype mismatch on '{c}': spark={kg} "
+                      f"oracle={ke} (uncast HUGEINT sum? wrap in CAST(.. AS BIGINT))")
             continue
         if len(g) != len(e):
             failures.append(name)
