@@ -99,15 +99,19 @@ object Pipeline {
             transform(sequence(lit(1), size(ws) - 4),
               i => concat_ws(" ", slice(ws, i, lit(5))))
           }).as("gram"))
-        .distinct()
     val docs = Tables.documents(spark, sfDir)
     val evalGrams = grams(docs.filter(col("doc_id") < 10))
       .select(col("gram")).distinct()
-    val corpusGrams = grams(docs.filter(col("doc_id") >= 10))
-    corpusGrams
+    // Broadcast-filter FIRST, dedupe after: the corpus gram stream is
+    // reduced to eval-overlapping survivors by a broadcast semi-join
+    // (map-side, no shuffle), so the only shuffle in the query is the
+    // countDistinct over that tiny survivor set — a corpus-wide
+    // distinct here would be the largest shuffle in the engine at
+    // 100 TB.
+    grams(docs.filter(col("doc_id") >= 10))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_grams"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

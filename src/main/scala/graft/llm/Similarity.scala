@@ -120,23 +120,31 @@ object Similarity {
     * their own cell. Complements [[lshTopK]]: IVF cells adapt to the
     * data distribution where hyperplane buckets are data-oblivious.
     *
-    * Scale shape: assignment is a broadcast of [[NumCells]] tiny
-    * centroids against one corpus scan (argmax via WindowGroupLimit —
-    * no full sort), probe joins on the cell id. At 100 TB you'd write
-    * `assigned` out partitioned by cell and probe with partition
-    * pruning.
+    * Scale shape: the [[NumCells]] centroids are inlined as literals,
+    * so assignment is a zero-shuffle map-only pass over one corpus
+    * scan (per-row cosine array + argmax); probe joins on the cell id.
+    * At 100 TB you'd write `assigned` out partitioned by cell and
+    * probe with partition pruning.
     */
   def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val cents = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id").asc)
-    e.crossJoin(broadcast(cents))
-      .withColumn("cos_c", cosine_sim(col("embedding"), col("cent_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // NumCells is a fixed small constant, so the centroids are collected
+    // once (16 rows — bounded at any corpus size) and inlined as array
+    // literals: assignment becomes a zero-shuffle map-only projection,
+    // one codegen'd cosine per centroid per row. The previous form
+    // (crossJoin + row_number over Window.partitionBy(vec_id)) exchanged
+    // NumCells× the corpus just to take a per-row argmax.
+    val cents: Array[Column] = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => array(r.getSeq[Float](1).map(lit): _*))
+    val cosArr = array(cents.map(c => cosine_sim(col("embedding"), c)): _*)
+    // argmax = first position of the max (1-based) — ties resolve to the
+    // lowest cent_id, matching the oracle's (cos DESC, cent_id ASC) rank.
+    e.select(col("vec_id"), col("embedding"),
+      (PortableHash.bind(cosArr)(a => array_position(a, array_max(a))) - 1)
+        .cast("int").as("cell"))
   }
 
   /** IVF-probed approximate top-k, same output shape as the exact
@@ -154,11 +162,30 @@ object Similarity {
           col("cell") === col("q_cell") && col("neighbor_id") =!= col("query_id")))
   }
 
-  /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b).
-    * Brute force here as the oracle-checkable baseline; the LSH
-    * bucket join is the production pair-generation path.
+  /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
+    * candidates from the hyperplane-LSH buckets: only same-bucket
+    * pairs are scored, so cost is Σ bucket² instead of n² — the shape
+    * that survives a 100 TB corpus. Recall vs the exhaustive pair set
+    * is measured against [[embeddingNearDupBrute]] in SimilaritySpec.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", signatureCol(col("embedding")))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Exhaustive O(n²) pair scoring — recall baseline ONLY (used by
+    * SimilaritySpec to measure [[embeddingNearDup]]'s bucket recall);
+    * deliberately not a registered query: the non-equi self-join is a
+    * BroadcastNestedLoopJoin that cannot survive corpus scale.
+    */
+  def embeddingNearDupBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
@@ -252,9 +279,11 @@ object Similarity {
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rank <= $K""".stripMargin,
     "q_embed_near_dup" ->
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH $sqlBuckets
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${sqlCos("a.embedding", "b.embedding")} AS cos
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |FROM buckets a JOIN buckets b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
   )
 }

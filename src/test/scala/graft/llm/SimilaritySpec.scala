@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("bucketed near-dup pairs are a subset of brute-force pairs; recall reported") {
+    val brute = Similarity.embeddingNearDupBrute(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.embeddingNearDup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(brute),
+      s"bucketed produced pairs brute force did not: ${bucketed.diff(brute).take(5)}")
+    val recall = if (brute.isEmpty) 1.0 else bucketed.intersect(brute).size.toDouble / brute.size
+    info(f"bucketed near-dup recall vs brute force at sf0.001: $recall%.3f " +
+      f"(${bucketed.size}/${brute.size} pairs)")
+    assert(recall > 0.0)
+  }
+
   test("LSH top-k is a subset of same-bucket exact ranking; reports recall") {
     val bf = Similarity.bruteForceTopK(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

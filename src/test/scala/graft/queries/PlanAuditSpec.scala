@@ -49,6 +49,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "dedup row_number should push a group limit")
   }
 
+  test("embed near-dup candidates come from an equi-join, not a nested loop") {
+    val p = planOf("q_embed_near_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"near-dup pair generation must be the bucket equi-join, not O(n^2):\n$p")
+  }
+
+  test("IVF cell assignment is map-only (centroid literals, zero Exchange)") {
+    val p = graft.llm.Similarity.ivfAssign(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"ivfAssign should be a map-only pass:\n$p")
+    assert(!p.contains("Join"), s"ivfAssign should not join:\n$p")
+  }
+
+  test("contamination dedups only post-broadcast-join survivors") {
+    val p = planOf("q_llm_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams should broadcast:\n$p")
+    // The streamed (corpus) side prints between the join node and the
+    // build side's BroadcastExchange: it must reach the broadcast
+    // filter without a shuffle. Shuffles above the join (countDistinct
+    // over survivors) and inside the build subtree (eval-set distinct)
+    // both operate on tiny inputs, which is the point.
+    val streamed = p.substring(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange hashpartitioning"),
+      s"corpus gram stream must not shuffle before the broadcast filter:\n$p")
+  }
+
   test("dedup signatures plan is shuffle-free up to the explode") {
     val p = planOf("q_dedup_minhash")
     // per-doc array computation: a single scan, no Exchange before Generate
