@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, Fnv1a, H60, Tokenize}
+import graft.functions.{CosineSim, Fnv1a, H60, Simhash, Tokenize}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * expressions into the SQL function registry, so
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineDesc)
     e.injectFunction(GraftExtensions.tokenizeDesc)
     e.injectFunction(GraftExtensions.h60Desc)
+    e.injectFunction(GraftExtensions.simhashDesc)
   }
 }
 
@@ -47,9 +48,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[H60].getName, "h60"),
     (args: Seq[Expression]) => H60(args.head))
 
+  private val simhashDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash"),
+    new ExpressionInfo(classOf[Simhash].getName, "simhash"),
+    (args: Seq[Expression]) => Simhash(args.head))
+
   /** Register on an already-built session (test/driver convenience). */
   def register(spark: SparkSession): Unit = {
-    Seq(fnv1aDesc, cosineDesc, tokenizeDesc, h60Desc).foreach { d =>
+    Seq(fnv1aDesc, cosineDesc, tokenizeDesc, h60Desc, simhashDesc).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

@@ -147,23 +147,15 @@ object Dedup {
   }
 
   /** SimHash (32-bit): per-bit ±1 votes from token hashes with token
-    * multiplicity, computed entirely per-row. Token array and hash
-    * array are each bound once; the 32 bit-passes are integer-only.
+    * multiplicity, via the native codegen'd [[graft.functions.Simhash]]
+    * expression — one fused hash+vote+fold loop per document. (The
+    * earlier higher-order-function formulation computed the same value
+    * through O(32·tokens) interpreted lambda dispatches per row.)
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr(
-        """element_at(transform(array(
-          |    filter(split(text, '\\s+'), w -> length(w) > 0)), ws ->
-          |  element_at(transform(array(
-          |      transform(ws, w -> CAST(conv(substring(md5(concat(w, '#sim')), 1, 15), 16, 10) AS BIGINT))), hs ->
-          |    aggregate(
-          |      transform(sequence(0, 31), b ->
-          |        CASE WHEN aggregate(hs, 0, (acc, h) ->
-          |                 acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-          |             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
-          |      CAST(0 AS BIGINT), (acc, v) -> acc + v)), 1)), 1)""".stripMargin)
-        .as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.Simhash.simhash(TextAnalysis.tokensCol).as("simhash"))
 
   /** End-to-end near-dup clustering: LSH candidate pairs with
     * est_jaccard >= 0.5 form an undirected graph; connected components
