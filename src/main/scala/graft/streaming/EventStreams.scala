@@ -30,13 +30,16 @@ object EventStreams {
       n_events: Int, session_value: Double)
 
   /** Watermarked tumbling-window aggregation (streaming twin of
-    * EventWindows.hourly).
+    * EventWindows.hourly). `dsum` (decimal-cast sum) makes the money
+    * total associative, so incremental accumulation across micro-
+    * batches is bit-identical to the one-shot batch aggregation —
+    * exact parity, asserted in StreamBatchParitySpec.
     */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.Exact.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.EventWindows
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Batch/stream parity over the REAL events parquet (sf0.01, 10k
+  * events): each streaming twin must produce the same result set as
+  * its batch query when the stream is drained to completion. This is
+  * the "one set of semantics, two execution modes" claim made in
+  * [[EventStreams]], asserted rather than stated.
+  *
+  * Emission mechanics per query:
+  *  - hourly: complete output mode (a finite stream's last windows
+  *    never pass the watermark in append mode), via the real
+  *    file-source readStream + AvailableNow wiring.
+  *  - sessions: append via flatMapGroupsWithState; a far-future
+  *    sentinel event advances the watermark so every real session
+  *    times out and emits.
+  *  - dedup: append; input is the corpus unioned with itself, so the
+  *    dedup has real duplicates to drop.
+  */
+class StreamBatchParitySpec extends SparkSpec {
+  import EventStreams._
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def collectEvents(): Seq[Event] =
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  test("hourly: file-stream AvailableNow (complete mode) equals batch windows") {
+    val raw = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val q = hourlyCounts(raw)
+      .writeStream.format("memory").queryName("parity_hourly")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("parity_hourly").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventWindows.hourly(spark, sfDir)
+      .select(col("window_start"), col("event_type"), col("n"), col("total_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
+  test("sessions: drained flatMapGroupsWithState equals batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = collectEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append").start()
+    input.addData(events)
+    q.processAllAvailable()
+    // sentinel a year ahead: watermark passes every real session's
+    // timeout; the sentinel's own session stays open and is excluded
+    input.addData(Event(-1L, new java.sql.Timestamp(maxTs + 365L * 86400 * 1000),
+      -1L, "sentinel", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("parity_sessions")
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getInt(2).toLong,
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    q.stop()
+    val batch = EventWindows.sessions(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0).getTime, r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
+  test("dedup: duplicated stream collapses to the batch-distinct event set") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = collectEvents()
+    val input = MemoryStream[Event]
+    val q = dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("parity_dedup")
+      .outputMode("append").start()
+    input.addData(events)          // originals
+    q.processAllAvailable()
+    input.addData(events)          // exact duplicates, later micro-batch
+    q.processAllAvailable()
+    val streamedIds = spark.table("parity_dedup").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    val batchIds = graft.Tables.events(spark, sfDir)
+      .select(col("event_id")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(streamedIds == batchIds)
+  }
+}
