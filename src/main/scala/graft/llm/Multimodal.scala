@@ -8,11 +8,15 @@ import graft.llm.PortableHash._
 /** Multimodal-column plumbing for training-data pipelines.
   *
   * Media payloads are opaque `binary` columns + typed metadata — the
-  * layout a 100 TB image/audio corpus uses in parquet. This container
-  * has no image/audio codecs, so the DECODE STEP IS A STUB (a
-  * deterministic fake documented on [[decodeStub]]); everything
-  * Spark-side — schema, batch shape, partition-parallel decode via
-  * `mapPartitions`, feature schema — is real and tested.
+  * layout a 100 TB image/audio corpus uses in parquet. [[decode]]
+  * dispatches on mime: image payloads get a REAL pixel decode via
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — pure JVM, no external codec
+  * libs needed); audio/video mimes fall back to the deterministic
+  * fake on [[decodeStub]] (those codecs are not in this container).
+  * Everything Spark-side — schema, batch shape, partition-parallel
+  * decode via `mapPartitions`, feature schema — is real and tested
+  * on both paths (MultimodalSpec decodes a generated PNG fixture to
+  * known luminance features).
   *
   * The test corpus has no binary table, so payloads derive from
   * `documents.text` bytes (UTF-8) — the plumbing is byte-faithful
@@ -42,26 +46,80 @@ object Multimodal {
       .as[Media]
   }
 
-  /** STUB DECODER — stands in for a real image/audio decode (the
-    * codec libraries are not in this container). Deterministic fake:
-    * "decodes" a payload into `nFrames` evenly-spaced byte offsets and
-    * a [0,1) feature per frame from the byte at each offset. The
-    * partition-parallel batch shape (one decoder instance per
-    * partition, streaming iterator, no driver collect) is exactly what
-    * a real codec UDF needs at scale.
+  /** Mime-dispatching decoder: real pixels for image mimes (via
+    * [[decodeImage]]), deterministic fake for everything else (via
+    * the [[decodeStub]] per-record logic). One decode path per
+    * partition, streaming iterator, no driver collect — the batch
+    * shape a codec UDF needs at scale.
+    */
+  def decode(media: Dataset[Media], nFrames: Int = 4): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.mime.startsWith("image/")) decodeImage(m, nFrames)
+        else fakeFrames(m, nFrames)
+      }
+    }
+  }
+
+  /** REAL image decode: `javax.imageio` reads the payload bytes into
+    * a BufferedImage; the image is split into `nFrames` horizontal
+    * bands ("frames"), and each frame's feature is the band's mean
+    * Rec.601 luma normalized to [0,1]. `offset` is the band's first
+    * pixel row. Unparseable payloads yield zero rows (the at-scale
+    * contract: corrupt media is dropped, not fatal).
+    */
+  private[llm] def decodeImage(m: Media, nFrames: Int): Iterator[FrameFeature] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) Iterator.empty
+    else {
+      val h = img.getHeight
+      val w = img.getWidth
+      (0 until math.min(nFrames, h)).iterator.map { f =>
+        val y0 = (h.toLong * f / nFrames).toInt
+        val y1 = math.max(y0 + 1, (h.toLong * (f + 1) / nFrames).toInt)
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000.0
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        FrameFeature(m.doc_id, f, y0.toLong, sum / n / 255.0)
+      }
+    }
+  }
+
+  /** Deterministic fake frames for mimes with no in-container codec
+    * (audio/video): `nFrames` evenly-spaced byte offsets, feature =
+    * byte at offset scaled to [0,1).
+    */
+  private def fakeFrames(m: Media, nFrames: Int): Iterator[FrameFeature] = {
+    val len = m.payload.length
+    if (len == 0) Iterator.empty
+    else (0 until nFrames).iterator.map { f =>
+      val off = (len.toLong * f) / nFrames
+      FrameFeature(m.doc_id, f, off, (m.payload(off.toInt) & 0xff) / 255.0)
+    }
+  }
+
+  /** STUB DECODER — the non-image fallback as a standalone transform
+    * (kept for the text/audio corpora and the determinism tests).
     */
   def decodeStub(media: Dataset[Media], nFrames: Int = 4): Dataset[FrameFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real impl: init codec once per partition here
-      it.flatMap { m =>
-        val len = m.payload.length
-        if (len == 0) Iterator.empty
-        else (0 until nFrames).iterator.map { f =>
-          val off = (len.toLong * f) / nFrames
-          FrameFeature(m.doc_id, f, off, (m.payload(off.toInt) & 0xff) / 255.0)
-        }
-      }
+      it.flatMap(fakeFrames(_, nFrames))
     }
   }
 

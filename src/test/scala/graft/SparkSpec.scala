@@ -17,6 +17,15 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Straggler mitigation on for the whole suite: the reference's
+      // backup-task story (coordinator.go:203-218) maps to Spark
+      // speculative execution; SpeculationSpec exercises it directly,
+      // and every other suite doubles as proof that results are
+      // speculation-safe (idempotent tasks, committed sinks).
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.multiplier", "1.5")
+      .config("spark.speculation.quantile", "0.5")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -36,6 +36,48 @@ class MultimodalSpec extends SparkSpec {
     assert(again == resized.map(m => (m.doc_id, m.payload.toSeq)).sortBy(_._1).toSeq)
   }
 
+  test("real PNG decode: known 2x2 pixels produce exact luminance features") {
+    import spark.implicits._
+    // 2x2 PNG: top row white+white, bottom row black+black
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.Media(7L, bos.toByteArray, "image/png", 2, 2)).toDS()
+    val frames = Multimodal.decode(media, nFrames = 2).collect().sortBy(_.frame)
+    assert(frames.length == 2)
+    // white band -> luma 255/255 = 1.0; black band -> 0.0 (PNG is lossless)
+    assert(frames(0) == Multimodal.FrameFeature(7L, 0, 0L, 1.0))
+    assert(frames(1) == Multimodal.FrameFeature(7L, 1, 1L, 0.0))
+  }
+
+  test("real JPEG decode round-trips through javax.imageio") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = Seq(Multimodal.Media(8L, bos.toByteArray, "image/jpeg", 4, 4)).toDS()
+    val frames = Multimodal.decode(media, nFrames = 4).collect()
+    assert(frames.length == 4)
+    // JPEG is lossy: a uniform mid-gray should decode to ~0.5 everywhere
+    frames.foreach(f => assert(math.abs(f.feature - 128.0 / 255.0) < 0.05, f.toString))
+  }
+
+  test("corrupt image payloads are dropped, non-image mimes use the fake path") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(1L, Array[Byte](1, 2, 3), "image/png", 0, 0), // corrupt
+      Multimodal.Media(2L, "hello world".getBytes("UTF-8"), "text/plain", 0, 0))
+      .toDS()
+    val frames = Multimodal.decode(media, nFrames = 2).collect()
+    assert(!frames.exists(_.doc_id == 1L), "corrupt image must yield zero rows")
+    assert(frames.count(_.doc_id == 2L) == 2, "non-image mime must use fake frames")
+  }
+
   test("decode stub is deterministic") {
     val media = Multimodal.mediaTable(spark, sf001)
     val a = Multimodal.decodeStub(media).collect().sortBy(f => (f.doc_id, f.frame)).toSeq
