@@ -126,33 +126,75 @@ object Similarity {
     * At 100 TB you'd write `assigned` out partitioned by cell and
     * probe with partition pruning.
     */
-  def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    // NumCells is a fixed small constant, so the centroids are collected
-    // once (16 rows — bounded at any corpus size) and inlined as array
-    // literals: assignment becomes a zero-shuffle map-only projection,
-    // one codegen'd cosine per centroid per row. The previous form
-    // (crossJoin + row_number over Window.partitionBy(vec_id)) exchanged
-    // NumCells× the corpus just to take a per-row argmax.
-    val cents: Array[Column] = e.filter(col("vec_id") < NumCells)
+  /** Deterministic init: the first [[NumCells]] vectors, as plain
+    * float arrays (16 rows — a bounded collect at any corpus size).
+    */
+  private[llm] def firstNCentroids(e: DataFrame): Array[Array[Float]] =
+    e.filter(col("vec_id") < NumCells)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .sortBy(_.getLong(0))
-      .map(r => array(r.getSeq[Float](1).map(lit): _*))
-    val cosArr = array(cents.map(c => cosine_sim(col("embedding"), c)): _*)
-    // argmax = first position of the max (1-based) — ties resolve to the
-    // lowest cent_id, matching the oracle's (cos DESC, cent_id ASC) rank.
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Nearest-centroid assignment against inlined centroid literals:
+    * a zero-shuffle map-only projection, one codegen'd cosine per
+    * centroid per row. (The previous form — crossJoin + row_number
+    * over Window.partitionBy(vec_id) — exchanged NumCells× the corpus
+    * just to take a per-row argmax.) argmax = first position of the
+    * max (1-based), so ties resolve to the lowest cent_id, matching
+    * the oracle's (cos DESC, cent_id ASC) rank.
+    */
+  private[llm] def assignWith(e: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    val centCols = cents.map(c => array(c.toIndexedSeq.map(lit): _*))
+    val cosArr = array(centCols.map(c => cosine_sim(col("embedding"), c)): _*)
     e.select(col("vec_id"), col("embedding"),
       (PortableHash.bind(cosArr)(a => array_position(a, array_max(a))) - 1)
         .cast("int").as("cell"))
   }
 
-  /** IVF-probed approximate top-k, same output shape as the exact
-    * baseline.
+  def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    assignWith(e, firstNCentroids(e))
+  }
+
+  /** Lloyd-refined centroids: `iters` k-means iterations from the
+    * deterministic first-N init. Each iteration is one map-only
+    * assignment pass plus one aggregation whose result is 16×[[Dim]]
+    * values collected to the driver — the classic big-data k-means
+    * shape (the corpus is never shuffled by more than a groupBy on
+    * (cell, dim), and per-iteration driver state is ~4 KB).
+    *
+    * Determinism: per-dimension means accumulate as DECIMAL(28,10)
+    * (associative — partition order can't change the result), then
+    * round to float. Re-running on the same data always yields the
+    * same centroids, which SimilaritySpec relies on.
     */
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val assigned = ivfAssign(spark, sfDir)
-    val q = assigned.filter(col("vec_id") < NumQueries)
+  def kmeansCentroids(spark: SparkSession, sfDir: String, iters: Int = 3): Array[Array[Float]] =
+    kmeansCentroidsOf(Tables.embeddings(spark, sfDir), iters)
+
+  private[llm] def kmeansCentroidsOf(e: DataFrame, iters: Int): Array[Array[Float]] = {
+    var cents = firstNCentroids(e)
+    for (_ <- 1 to iters) {
+      val means = assignWith(e, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(col("v").cast("decimal(28,10)")) / count(lit(1)))
+          .cast("float").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getFloat(2))
+        }
+      // a cell that lost every member keeps its previous centroid
+      cents = Array.tabulate(cents.length)(c => means.getOrElse(c, cents(c)))
+    }
+    cents
+  }
+
+  /** Shared IVF probe: queries score only their own cell. */
+  private[llm] def probeTopK(assigned: DataFrame,
+      queryPred: Column = col("vec_id") < NumQueries): DataFrame = {
+    val q = assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("cell").as("q_cell"))
     rankTopK(
@@ -161,6 +203,26 @@ object Similarity {
         .join(broadcast(q),
           col("cell") === col("q_cell") && col("neighbor_id") =!= col("query_id")))
   }
+
+  /** IVF-probed approximate top-k, same output shape as the exact
+    * baseline.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    probeTopK(ivfAssign(spark, sfDir))
+
+  /** IVF top-k over k-means-refined cells: same probe cost as
+    * [[ivfTopK]] (one cell per query), data-adapted cells → higher
+    * recall where the corpus actually clusters (SimilaritySpec
+    * asserts the lift on clustered ground-truth data with a
+    * degenerate cluster-sorted init; the isotropic synthetic corpus
+    * can only show parity). Not SQL-oracle-checked: 3 unrolled float
+    * k-means iterations are not portably expressible — the driver
+    * records a rows-only check, and the recall/determinism guarantees
+    * live in the spec.
+    */
+  def ivfKmeansTopK(spark: SparkSession, sfDir: String): DataFrame =
+    probeTopK(assignWith(Tables.embeddings(spark, sfDir),
+      kmeansCentroids(spark, sfDir)))
 
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
     * candidates from the hyperplane-LSH buckets: only same-bucket
@@ -231,6 +293,7 @@ object Similarity {
     "q_ann_topk" -> bruteForceTopK _,
     "q_ann_lsh_topk" -> lshTopK _,
     "q_ann_ivf_topk" -> ivfTopK _,
+    "q_ann_ivf_kmeans_topk" -> ivfKmeansTopK _,
     "q_embed_near_dup" -> embeddingNearDup _,
   )
 
