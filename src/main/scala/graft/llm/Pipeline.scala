@@ -114,11 +114,41 @@ object Pipeline {
       .agg(count_distinct(col("gram")).as("n_shared_grams"))
   }
 
+  /** Per-language sampling rates for the mixture: downsample the
+    * high-resource language, keep mid-resource at half, thin the
+    * rest — the domain/language reweighting step every training mix
+    * runs. Values are illustrative; the MECHANISM (deterministic
+    * hash-gated sampling) is the operator.
+    */
+  val MixRates: Map[String, Int] =
+    Map("en" -> 90, "de" -> 50, "es" -> 50, "fr" -> 50).withDefaultValue(20)
+
+  /** Deterministic mixture sampling: a document survives iff
+    * h60(doc_id # "mix") mod 100 falls under its language's rate —
+    * re-run-stable, engine-portable, no RNG state, and map-only (the
+    * gate is a per-row hash compare; the only shuffle is the audit
+    * aggregation). This is how a 100 TB corpus reweights sources
+    * without materializing a shuffled sample.
+    */
+  def sampleMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = MixRates.foldLeft(lit(20)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .withColumn("kept",
+        PortableHash.h60(concat(col("doc_id").cast("string"), lit("#mix"))) % 100 < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        min(when(col("kept"), col("doc_id"))).as("first_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pipeline" -> trainingPrep _,
     "q_llm_chunks" -> chunk _,
     "q_llm_split" -> trainValSplit _,
     "q_llm_contamination" -> contamination _,
+    "q_llm_sample_mix" -> sampleMix _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +206,19 @@ object Pipeline {
          |FROM (SELECT doc_id, gram FROM g WHERE doc_id >= 10) c
          |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 10) e USING (gram)
          |GROUP BY c.doc_id""".stripMargin,
+    "q_llm_sample_mix" -> {
+      val rateCase = "CASE lang " +
+        MixRates.toSeq.sortBy(_._1).map { case (l, r) => s"WHEN '$l' THEN $r" }
+          .mkString(" ") + " ELSE 20 END"
+      s"""SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+         |  min(CASE WHEN kept THEN doc_id END) AS first_kept
+         |FROM (SELECT lang, doc_id,
+         |        ${PortableHash.sqlH60("CAST(doc_id AS VARCHAR) || '#mix'")} % 100
+         |          < $rateCase AS kept
+         |      FROM documents)
+         |GROUP BY lang""".stripMargin
+    },
   )
 }

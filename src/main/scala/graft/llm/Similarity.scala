@@ -210,6 +210,38 @@ object Similarity {
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
     probeTopK(ivfAssign(spark, sfDir))
 
+  val NumProbes = 4
+
+  /** Multi-probe IVF: each query scans its [[NumProbes]] nearest
+    * cells instead of one — the standard recall/cost knob (recall is
+    * provably monotone in the probe count: a true top-k neighbor in
+    * the candidate pool always survives the final rank). Query-side
+    * cell selection is a per-row sort of the [[NumCells]] centroid
+    * cosines (map-only, centroid literals); the corpus side is the
+    * same single assignment pass as [[ivfTopK]], and the probe join
+    * fans each query out to NumProbes equi-join keys.
+    */
+  def ivfMultiProbeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = firstNCentroids(e)
+    val assigned = assignWith(e, cents)
+    val centCols = cents.map(c => array(c.toIndexedSeq.map(lit): _*))
+    // struct sort key (-cos, cent_id): ascending lexicographic order
+    // = (cos desc, cent_id asc), matching the single-probe tiebreak
+    val ranked = array_sort(array(cents.indices.map(i =>
+      struct((-cosine_sim(col("embedding"), centCols(i))).as("negcos"),
+        lit(i).as("cent"))): _*))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(transform(slice(ranked, 1, NumProbes), s => s("cent")))
+          .as("q_cell"))
+    rankTopK(
+      assigned
+        .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+        .join(broadcast(q),
+          col("cell") === col("q_cell") && col("neighbor_id") =!= col("query_id")))
+  }
+
   /** IVF top-k over k-means-refined cells: same probe cost as
     * [[ivfTopK]] (one cell per query), data-adapted cells → higher
     * recall where the corpus actually clusters (SimilaritySpec
@@ -294,6 +326,7 @@ object Similarity {
     "q_ann_lsh_topk" -> lshTopK _,
     "q_ann_ivf_topk" -> ivfTopK _,
     "q_ann_ivf_kmeans_topk" -> ivfKmeansTopK _,
+    "q_ann_ivf_multiprobe" -> ivfMultiProbeTopK _,
     "q_embed_near_dup" -> embeddingNearDup _,
   )
 
@@ -340,6 +373,34 @@ object Similarity {
          |  FROM assigned q JOIN assigned e
          |    ON e.cell = q.cell AND e.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NumQueries)
+         |WHERE rank <= $K""".stripMargin,
+    "q_ann_ivf_multiprobe" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent_emb
+         |  FROM embeddings WHERE vec_id < $NumCells),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |    ${sqlCos("e.embedding", "c.cent_emb")} AS cos_c
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_c DESC, cent_id ASC) AS rn
+         |    FROM scored)
+         |  WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_c DESC, cent_id ASC) AS rn
+         |    FROM scored WHERE vec_id < $NumQueries)
+         |  WHERE rn <= $NumProbes)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+         |  FROM qcells q JOIN assigned e
+         |    ON e.cell = q.cell AND e.vec_id <> q.vec_id)
          |WHERE rank <= $K""".stripMargin,
     "q_embed_near_dup" ->
       s"""WITH $sqlBuckets

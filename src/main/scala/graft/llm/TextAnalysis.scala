@@ -133,12 +133,51 @@ object TextAnalysis {
       .select(col("doc_id"), scrubCol(col("text")).as("clean_text"))
       .withColumn("n_chars_clean", length(col("clean_text")))
 
+  /** Gopher-style intra-document repetition signal: the fraction of
+    * 3-grams that are duplicates of an earlier 3-gram in the same
+    * document. Heavily repetitive boilerplate (nav bars, spam, keyword
+    * stuffing) scores high and gets gated. Entirely per-row array
+    * work — map-only, no shuffle, the 100 TB quality-filter shape.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        PortableHash.bind(tokensCol) { ws =>
+          when(size(ws) >= 3,
+            transform(sequence(lit(1), size(ws) - 2),
+              i => concat_ws(" ", slice(ws, i, lit(3)))))
+            .otherwise(array().cast("array<string>"))
+        }.as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_frac"))
+      .withColumn("is_repetitive", coalesce(col("dup_frac") > 0.2, lit(false)))
+
+  /** Corpus vocabulary: top-100 whitespace tokens by frequency, with
+    * a (count desc, token asc) total order. The classic wordcount →
+    * top-k: map-side partial aggregation before the shuffle, then
+    * TakeOrderedAndProject — no global sort of the vocabulary.
+    */
+  def vocabulary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokensCol).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_lang_id" -> langId _,
     "q_llm_quality" -> qualityScore _,
     "q_llm_token_count" -> tokenCount _,
     "q_llm_fingerprint" -> fingerprint _,
     "q_llm_scrub" -> scrub _,
+    "q_llm_repetition" -> repetition _,
+    "q_llm_vocab" -> vocabulary _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +222,30 @@ object TextAnalysis {
          |      list_transform($sqlTokens, w -> ${sqlH60("w")})),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
          |FROM documents""".stripMargin,
+    "q_llm_repetition" ->
+      s"""SELECT doc_id, n_grams, n_distinct,
+         |  CASE WHEN n_grams > 0
+         |       THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams END AS dup_frac,
+         |  COALESCE(CASE WHEN n_grams > 0
+         |       THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams END > 0.2,
+         |    false) AS is_repetitive
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(grams) AS INT) AS n_grams,
+         |    CAST(len(list_distinct(grams)) AS INT) AS n_distinct
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(ws) >= 3
+         |           THEN list_transform(range(1, len(ws) - 1),
+         |                  i -> array_to_string(ws[i : i + 2], ' '))
+         |           ELSE [] END AS grams
+         |    FROM (SELECT doc_id, $sqlTokens AS ws FROM documents)))""".stripMargin,
+    "q_llm_vocab" ->
+      """SELECT token, cnt FROM (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY token)
+        |ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
   )
 }

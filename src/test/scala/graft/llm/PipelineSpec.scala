@@ -25,6 +25,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sample mix is deterministic and separates per-language keep rates") {
+    def run() = Pipeline.sampleMix(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = run(); val b = run()
+    assert(a == b, "hash-gated sampling must be re-run stable")
+    a.foreach { case (lang, (total, kept)) =>
+      assert(kept <= total, s"$lang kept more than it had")
+    }
+    def frac(l: String) = a(l)._2.toDouble / a(l)._1
+    // en is gated at 90%, zh at 20% — the observed fractions must
+    // reflect the mixture even with binomial noise at 500 docs
+    assert(frac("en") > frac("zh"),
+      f"en ${frac("en")}%.2f should exceed zh ${frac("zh")}%.2f")
+    assert(frac("en") > 0.7 && frac("zh") < 0.45)
+  }
+
   test("train/val split is ~95/5 and deterministic") {
     val a = Pipeline.trainValSplit(spark, sf001).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

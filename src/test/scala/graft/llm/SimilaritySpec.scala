@@ -111,6 +111,23 @@ class SimilaritySpec extends SparkSpec {
       f"k-means must lift recall on clustered data: $refined%.3f <= $plain%.3f")
   }
 
+  test("multi-probe IVF dominates single-probe: hits are a superset, recall >=") {
+    val bf = Similarity.bruteForceTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.ivfTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.ivfMultiProbeTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a true top-k neighbor reachable at nprobe=1 stays reachable and
+    // still outranks everything that outranked it at nprobe=4
+    assert(single.intersect(bf).subsetOf(multi.intersect(bf)),
+      "multi-probe lost a true neighbor single-probe had")
+    val r1 = single.intersect(bf).size.toDouble / bf.size
+    val r4 = multi.intersect(bf).size.toDouble / bf.size
+    info(f"IVF recall at sf0.001: nprobe=1 $r1%.3f, nprobe=${Similarity.NumProbes} $r4%.3f")
+    assert(r4 >= r1)
+  }
+
   test("bucketed near-dup pairs are a subset of brute-force pairs; recall reported") {
     val brute = Similarity.embeddingNearDupBrute(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

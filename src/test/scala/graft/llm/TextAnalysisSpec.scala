@@ -1,0 +1,53 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("repetition: invariants over the corpus; short docs are never repetitive") {
+    val rows = TextAnalysis.repetition(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nGrams = r.getInt(1); val nDistinct = r.getInt(2)
+      assert(nDistinct <= nGrams && nDistinct >= 0)
+      if (nGrams > 0) {
+        val frac = r.getDouble(3)
+        assert(frac >= 0.0 && frac <= 1.0)
+        assert(r.getBoolean(4) == frac > 0.2)
+      } else {
+        assert(r.isNullAt(3), "0-gram docs must have null dup_frac")
+        assert(!r.getBoolean(4), "0-gram docs are not repetitive")
+      }
+    }
+  }
+
+  test("repetition: a stuffed document scores high, unique text scores 0") {
+    import spark.implicits._
+    // route handcrafted text through the same column logic by renaming
+    val df = Seq(
+      (1L, ("buy now " * 50).trim),          // one 3-gram repeated
+      (2L, (1 to 40).mkString(" ")))         // all 3-grams unique
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.tokensCol.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n"),
+        size(array_distinct(
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", slice(col("ws"), i, lit(3)))))).as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // "buy now buy now ..." has only 2 distinct 3-grams over 98 total
+    assert(got(1L)._2 <= 3 && got(1L)._1 == 100)
+    assert(got(2L)._2 == got(2L)._1 - 2, "unique text: every 3-gram distinct")
+  }
+
+  test("vocabulary: top-k rows, counts non-increasing, ties broken by token") {
+    val rows = TextAnalysis.vocabulary(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // the sf0.001 corpus has a small closed vocabulary (< 100 tokens)
+    assert(rows.length > 0 && rows.length <= 100)
+    rows.sliding(2).foreach { case Array((t1, c1), (t2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && t1 < t2), s"order violated at ($t1,$c1) ($t2,$c2)")
+    }
+  }
+}
