@@ -41,9 +41,19 @@ object CanonicalJobs {
 
   /** Inverted index: word → comma-joined sorted distinct doc ids.
     * String-joined (not array) so the DuckDB oracle compares exactly.
+    *
+    * The index only needs DISTINCT (word, doc) pairs, so tokens are
+    * deduplicated per document with a per-row `array_distinct` BEFORE
+    * the explode: the aggregate's input shrinks from every token
+    * occurrence to each document's vocabulary (~30× here) — the
+    * map-side-combine discipline applied one step earlier than the
+    * aggregation can do it.
     */
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
-    tokens(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          filter(split(col("text"), "\\s+"), w => length(w) > 0))).as("word"))
       .groupBy("word")
       // single collect_set aggregate; n_docs = size of the same set.
       // (collect_set + countDistinct together would plan an Expand

@@ -10,13 +10,14 @@ import graft.llm.PortableHash._
   * Media payloads are opaque `binary` columns + typed metadata — the
   * layout a 100 TB image/audio corpus uses in parquet. [[decode]]
   * dispatches on mime: image payloads get a REAL pixel decode via
-  * `javax.imageio` (PNG/JPEG/BMP/GIF — pure JVM, no external codec
-  * libs needed); audio/video mimes fall back to the deterministic
-  * fake on [[decodeStub]] (those codecs are not in this container).
-  * Everything Spark-side — schema, batch shape, partition-parallel
-  * decode via `mapPartitions`, feature schema — is real and tested
-  * on both paths (MultimodalSpec decodes a generated PNG fixture to
-  * known luminance features).
+  * `javax.imageio` (PNG/JPEG/BMP/GIF), audio payloads a REAL PCM
+  * decode via `javax.sound.sampled` (WAV/AIFF/AU) — both pure JVM,
+  * no external codec libs needed; video mimes fall back to the
+  * deterministic fake on [[decodeStub]] (those codecs are not in
+  * this container). Everything Spark-side — schema, batch shape,
+  * partition-parallel decode via `mapPartitions`, feature schema —
+  * is real and tested on every path (MultimodalSpec decodes
+  * generated PNG/JPEG/WAV fixtures to known luminance/RMS features).
   *
   * The test corpus has no binary table, so payloads derive from
   * `documents.text` bytes (UTF-8) — the plumbing is byte-faithful
@@ -47,17 +48,62 @@ object Multimodal {
   }
 
   /** Mime-dispatching decoder: real pixels for image mimes (via
-    * [[decodeImage]]), deterministic fake for everything else (via
-    * the [[decodeStub]] per-record logic). One decode path per
-    * partition, streaming iterator, no driver collect — the batch
-    * shape a codec UDF needs at scale.
+    * [[decodeImage]]), real PCM samples for audio mimes (via
+    * [[decodeAudio]] — `javax.sound.sampled` reads WAV/AIFF/AU
+    * without external codec libraries), deterministic fake for
+    * everything else (video codecs are not in this container). One
+    * decode path per partition, streaming iterator, no driver
+    * collect — the batch shape a codec UDF needs at scale.
     */
   def decode(media: Dataset[Media], nFrames: Int = 4): Dataset[FrameFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
         if (m.mime.startsWith("image/")) decodeImage(m, nFrames)
+        else if (m.mime.startsWith("audio/")) decodeAudio(m, nFrames)
         else fakeFrames(m, nFrames)
+      }
+    }
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parses the container
+    * and yields signed 16-bit PCM; the sample stream is split into
+    * `nFrames` windows and each frame's feature is the window's RMS
+    * amplitude normalized to [0,1]. `offset` is the window's first
+    * sample index. Unparseable payloads yield zero rows (corrupt
+    * media drops, not fatal), matching [[decodeImage]].
+    */
+  private[llm] def decodeAudio(m: Media, nFrames: Int): Iterator[FrameFeature] = {
+    val samples =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = new javax.sound.sampled.AudioFormat(
+          in.getFormat.getSampleRate, 16, in.getFormat.getChannels, true, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)) / 32768.0
+          i += 1
+        }
+        out
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (samples == null || samples.length == 0) Iterator.empty
+    else {
+      val n = samples.length
+      (0 until math.min(nFrames, n)).iterator.map { f =>
+        val s0 = (n.toLong * f / nFrames).toInt
+        val s1 = math.max(s0 + 1, (n.toLong * (f + 1) / nFrames).toInt)
+        var sumSq = 0.0
+        var i = s0
+        while (i < s1) { sumSq += samples(i) * samples(i); i += 1 }
+        FrameFeature(m.doc_id, f, s0.toLong, math.sqrt(sumSq / (s1 - s0)))
       }
     }
   }

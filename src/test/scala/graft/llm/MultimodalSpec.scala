@@ -67,15 +67,40 @@ class MultimodalSpec extends SparkSpec {
     frames.foreach(f => assert(math.abs(f.feature - 128.0 / 255.0) < 0.05, f.toString))
   }
 
+  test("real WAV decode: loud half then silent half produce exact RMS features") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 1000 samples 16-bit mono: first 500 at constant +0.5, rest 0
+    val samples = Array.tabulate[Short](1000)(i =>
+      if (i < 500) (0.5 * 32768).toShort else 0)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte; bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Multimodal.Media(9L, bos.toByteArray, "audio/wav", 0, 0)).toDS()
+    val frames = Multimodal.decode(media, nFrames = 2).collect().sortBy(_.frame)
+    assert(frames.length == 2)
+    assert(frames(0).offset == 0L && frames(1).offset == 500L)
+    assert(math.abs(frames(0).feature - 0.5) < 1e-3, s"loud half RMS: ${frames(0)}")
+    assert(frames(1).feature == 0.0, s"silent half RMS: ${frames(1)}")
+  }
+
   test("corrupt image payloads are dropped, non-image mimes use the fake path") {
     import spark.implicits._
     val media = Seq(
-      Multimodal.Media(1L, Array[Byte](1, 2, 3), "image/png", 0, 0), // corrupt
-      Multimodal.Media(2L, "hello world".getBytes("UTF-8"), "text/plain", 0, 0))
+      Multimodal.Media(1L, Array[Byte](1, 2, 3), "image/png", 0, 0),  // corrupt
+      Multimodal.Media(2L, "hello world".getBytes("UTF-8"), "text/plain", 0, 0),
+      Multimodal.Media(3L, Array[Byte](9, 9, 9), "audio/wav", 0, 0))  // corrupt
       .toDS()
     val frames = Multimodal.decode(media, nFrames = 2).collect()
     assert(!frames.exists(_.doc_id == 1L), "corrupt image must yield zero rows")
-    assert(frames.count(_.doc_id == 2L) == 2, "non-image mime must use fake frames")
+    assert(frames.count(_.doc_id == 2L) == 2, "non-media mime must use fake frames")
+    assert(!frames.exists(_.doc_id == 3L), "corrupt audio must yield zero rows")
   }
 
   test("decode stub is deterministic") {
