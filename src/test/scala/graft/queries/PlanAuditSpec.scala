@@ -81,4 +81,24 @@ class PlanAuditSpec extends SparkSpec {
     // per-doc array computation: a single scan, no Exchange before Generate
     assert(!p.contains("Exchange"), s"minhash signatures should be map-only:\n$p")
   }
+
+  test("suite-wide smell sweep: no nested-loop joins, no cartesian products") {
+    // A nested-loop join is scale-hostile when BOTH sides scale with
+    // the data. Two queries carry a provably BOUNDED build side and
+    // are exempt: q_ann_topk broadcasts the fixed NumQueries query
+    // vectors against one corpus scan (the documented exact baseline,
+    // O(n * queries)), and q_above_avg_balance broadcasts a single-row
+    // global aggregate (O(n * 1)). Everything else must be free of
+    // these operators — a failure means a refactor silently degraded
+    // a join into O(n^2).
+    val boundedBuildSide = Set("q_ann_topk", "q_above_avg_balance")
+    val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
+      .toSeq.sorted.flatMap { name =>
+        val p = planOf(name)
+        val smells = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(p.contains)
+        if (smells.isEmpty) None else Some(s"$name: ${smells.mkString(", ")}")
+      }
+    assert(offenders.isEmpty, s"scale-hostile operators found:\n${offenders.mkString("\n")}")
+  }
 }
