@@ -92,6 +92,37 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("interval join: drained stream-stream join equals the batch non-equi join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = collectEvents()
+    val pIn = MemoryStream[Event]
+    val eIn = MemoryStream[Event]
+    val q = purchasesWithRecentErrors(pIn.toDF(), eIn.toDF())
+      .writeStream.format("memory").queryName("parity_ssj")
+      .outputMode("append").start()
+    pIn.addData(events.filter(_.event_type == "purchase"))
+    eIn.addData(events.filter(_.event_type == "error"))
+    q.processAllAvailable()
+    val streamed = spark.table("parity_ssj").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).getTime)).toSet
+    q.stop()
+    val all = graft.Tables.events(spark, sfDir)
+    val p = all.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val e = all.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val batch = p.join(e,
+        col("p_user") === col("e_user")
+          && col("e_ts") <= col("p_ts")
+          && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("e_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("dedup: duplicated stream collapses to the batch-distinct event set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
