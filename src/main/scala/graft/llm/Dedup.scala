@@ -121,8 +121,15 @@ object Dedup {
     * of the two signature arrays.
     */
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // Materialize signatures once: the plan references `sigs` three
+    // times (band explode + two candidate-attach joins), and without a
+    // checkpoint each reference re-runs the md5+affine-mix pipeline
+    // over every shingle. Signatures are ~16 longs per document —
+    // orders of magnitude smaller than the text they summarize — so
+    // persisting them is the right trade at any corpus size.
     val sigs = shArrTable(spark, sfDir)
       .select(col("doc_id"), mhsOf(col("sh")).as("mhs"))
+      .localCheckpoint(true)
     val bands = sigs.select(col("doc_id"),
       posexplode(bind(col("mhs")) { mhs =>
         transform(sequence(lit(0), lit(7)), b => concat(
