@@ -73,12 +73,60 @@ object EventWindows {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Three-step conversion funnel (view → click → purchase, strictly
+    * time-ordered per user): stage timestamps are unordered-frame
+    * window minima chained per user — all three share one hash
+    * partitioning on user_id, so the whole funnel costs a single
+    * exchange plus one final global aggregate. No per-user UDF, no
+    * event-sequence collect.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("v", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts") > col("v"), col("ts"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c"), col("ts"))).over(w))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("v").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("c").isNotNull, col("user_id"))).as("n_view_click"),
+        countDistinct(when(col("p").isNotNull, col("user_id"))).as("n_full_funnel"))
+  }
+
+  /** Daily retention cohorts: users grouped by first-active day, with
+    * day-1 and day-7 return counts. One distinct (user, day) pass,
+    * one window for the cohort day, one aggregate — no self-join of
+    * the activity table.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("cohort_day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("day") === date_add(col("cohort_day"), 1),
+          col("user_id"))).as("n_d1"),
+        countDistinct(when(col("day") === date_add(col("cohort_day"), 7),
+          col("user_id"))).as("n_d7"))
+      // emit the day as midnight-UTC timestamp: every other date in
+      // the suite flows as timestamp[us], and a date32 column hits
+      // engine-dependent pandas representations in the compare
+      .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+        col("n_users"), col("n_d1"), col("n_d7"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> hourly _,
     "q_events_sliding" -> sliding _,
     "q_events_sessions" -> sessions _,
     "q_events_hour_of_day" -> hourOfDay _,
     "q_events_json" -> jsonProps _,
+    "q_events_funnel" -> funnel _,
+    "q_events_retention" -> retention _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -125,5 +173,30 @@ object EventWindows {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+        |  (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q_events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (
+        |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM days)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN day = cohort_day + 1 THEN user_id END) AS n_d1,
+        |  count(DISTINCT CASE WHEN day = cohort_day + 7 THEN user_id END) AS n_d7
+        |FROM d GROUP BY cohort_day""".stripMargin,
   )
 }
