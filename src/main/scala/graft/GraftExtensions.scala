@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, Fnv1a, H60, Simhash, Tokenize}
+import graft.functions.{CosineSim, Fnv1a, H60, MinhashSigs, Simhash, Tokenize}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * expressions into the SQL function registry, so
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.tokenizeDesc)
     e.injectFunction(GraftExtensions.h60Desc)
     e.injectFunction(GraftExtensions.simhashDesc)
+    e.injectFunction(GraftExtensions.minhashDesc)
   }
 }
 
@@ -53,9 +54,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Simhash].getName, "simhash"),
     (args: Seq[Expression]) => Simhash(args.head))
 
+  private val minhashDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sigs"),
+    new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+    (args: Seq[Expression]) => MinhashSigs(args.head))
+
   /** Register on an already-built session (test/driver convenience). */
   def register(spark: SparkSession): Unit = {
-    Seq(fnv1aDesc, cosineDesc, tokenizeDesc, h60Desc, simhashDesc).foreach { d =>
+    Seq(fnv1aDesc, cosineDesc, tokenizeDesc, h60Desc, simhashDesc,
+      minhashDesc).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

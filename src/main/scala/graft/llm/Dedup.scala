@@ -62,15 +62,14 @@ object Dedup {
   private def shArrTable(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(col("doc_id"), shingleArr.as("sh"))
 
-  /** 16 MinHash values as an array column from a bound shingle array:
-    * one h60 per shingle (31-bit base), then 16 affine mixes;
-    * mh[i] = min over shingles of mix_i(h31(s)).
+  /** 16 MinHash values as an array column: the native codegen'd
+    * [[graft.functions.MinhashSigs]] expression — one fused
+    * hash+16-minima loop per document (the earlier nested-HOF
+    * formulation dispatched interpreted lambdas O(16·shingles) times
+    * per row; MinhashSigsSpec asserts bit-exact equivalence).
     */
   private def mhsOf(sh: Column): Column =
-    bind(transform(sh, s => h60(s).bitwiseAND(lit(0x7fffffffL)))) { hv =>
-      transform(sequence(lit(0), lit(15)),
-        i => array_min(transform(hv, h => minhashMix(h, i))))
-    }
+    graft.functions.MinhashSigs.minhash_sigs(sh)
 
   private val sqlMhs =
     s"""list_transform(range(0, 16),
