@@ -34,10 +34,7 @@ object Dedup {
   private def shingleArr: Column =
     bind(TextAnalysis.tokensCol) { ws =>
       array_distinct(
-        when(size(ws) >= 3,
-          transform(sequence(lit(1), size(ws) - 2),
-            i => concat_ws(" ",
-              element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+        when(size(ws) >= 3, graft.functions.Ngrams.ngrams(ws, 3))
           .otherwise(array(concat_ws(" ", ws))))
     }
 

@@ -95,10 +95,7 @@ object Pipeline {
       df.select(col("doc_id"), TextAnalysis.tokensCol.as("ws"))
         .filter(size(col("ws")) >= 5)
         .select(col("doc_id"),
-          explode(PortableHash.bind(col("ws")) { ws =>
-            transform(sequence(lit(1), size(ws) - 4),
-              i => concat_ws(" ", slice(ws, i, lit(5))))
-          }).as("gram"))
+          explode(graft.functions.Ngrams.ngrams(col("ws"), 5)).as("gram"))
     val docs = Tables.documents(spark, sfDir)
     val evalGrams = grams(docs.filter(col("doc_id") < 10))
       .select(col("gram")).distinct()

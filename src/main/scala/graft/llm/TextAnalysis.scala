@@ -142,12 +142,9 @@ object TextAnalysis {
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        PortableHash.bind(tokensCol) { ws =>
-          when(size(ws) >= 3,
-            transform(sequence(lit(1), size(ws) - 2),
-              i => concat_ws(" ", slice(ws, i, lit(3)))))
-            .otherwise(array().cast("array<string>"))
-        }.as("grams"))
+        // native fused n-gram loop; < 3 tokens yields empty, matching
+        // the old guarded-HOF form
+        graft.functions.Ngrams.ngrams(tokensCol, 3).as("grams"))
       .select(col("doc_id"),
         size(col("grams")).as("n_grams"),
         size(array_distinct(col("grams"))).as("n_distinct"))
