@@ -82,6 +82,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"minhash signatures should be map-only:\n$p")
   }
 
+  test("repetition filter is map-only; vocabulary reads only the text column") {
+    val rep = planOf("q_llm_repetition")
+    assert(!rep.contains("Exchange"), s"repetition must be a map-only pass:\n$rep")
+    val vocab = planOf("q_llm_vocab")
+    assert(vocab.contains("ReadSchema: struct<text:string>"),
+      s"vocabulary should scan only the text column:\n$vocab")
+    assert(vocab.contains("TakeOrderedAndProject"),
+      s"vocabulary top-k must not globally sort:\n$vocab")
+  }
+
   test("suite-wide smell sweep: no nested-loop joins, no cartesian products") {
     // A nested-loop join is scale-hostile when BOTH sides scale with
     // the data. Two queries carry a provably BOUNDED build side and
