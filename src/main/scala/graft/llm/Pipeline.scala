@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -127,10 +127,13 @@ object Pipeline {
     * aggregation). This is how a 100 TB corpus reweights sources
     * without materializing a shuffled sample.
     */
+  /** Per-row sampling rate for the current `lang` column value. */
+  private def rateCol = MixRates.foldLeft(lit(20)) { case (acc, (l, r)) =>
+    when(col("lang") === l, lit(r)).otherwise(acc)
+  }
+
   def sampleMix(spark: SparkSession, sfDir: String): DataFrame = {
-    val rate = MixRates.foldLeft(lit(20)) { case (acc, (l, r)) =>
-      when(col("lang") === l, lit(r)).otherwise(acc)
-    }
+    val rate = rateCol
     Tables.documents(spark, sfDir)
       .withColumn("kept",
         PortableHash.h60(concat(col("doc_id").cast("string"), lit("#mix"))) % 100 < rate)
@@ -140,8 +143,74 @@ object Pipeline {
         min(when(col("kept"), col("doc_id"))).as("first_kept"))
   }
 
+  /** The WHOLE prep flow as one declarative query — what a user of
+    * this engine actually ships:
+    *
+    *   scrub → quality gate → exact dedup (keep min-id)
+    *     → drop the eval set (doc_id < 10) and everything sharing a
+    *       5-gram with it (decontamination, broadcast-filtered)
+    *     → language-mixture sampling (hash-gated, deterministic)
+    *     → 32/24 chunking
+    *     → per-language corpus statistics
+    *
+    * Every stage is the already-oracle-checked operator above,
+    * composed as one Catalyst plan. Scale shape: per-doc work is
+    * map-only array expressions; the dedup window and the final agg
+    * are the only corpus-keyed shuffles; eval grams broadcast; the
+    * contaminated-id set (tiny) comes back as a broadcast anti-join.
+    */
+  def fullPrep(spark: SparkSession, sfDir: String): DataFrame = {
+    def toks(c: Column) = filter(split(c, " "), w => length(w) > 0)
+    val scrubbed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.scrubCol(col("text")).as("clean"))
+    val gated = scrubbed
+      .withColumn("ws", toks(col("clean")))
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("clean"), lit("[^A-Za-z0-9\\s]"), lit(0))))
+      .filter(col("n_tokens") >= 5
+        && when(length(col("clean")) > 0,
+          col("n_punct").cast("double") / length(col("clean"))) <= lit(0.2))
+    val deduped = gated
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(lower(col("clean")))).orderBy(col("doc_id").asc)))
+      .filter(col("rn") === 1)
+    val corpus = deduped.filter(col("doc_id") >= 10)
+    val evalGrams = scrubbed.filter(col("doc_id") < 10)
+      .select(explode(graft.functions.Ngrams.ngrams(toks(col("clean")), 5)).as("gram"))
+      .distinct()
+    val contaminatedIds = corpus
+      .select(col("doc_id"),
+        explode(graft.functions.Ngrams.ngrams(col("ws"), 5)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col("doc_id")).distinct()
+    val sampled = corpus
+      .join(contaminatedIds, Seq("doc_id"), "left_anti")
+      .filter(PortableHash.h60(
+        concat(col("doc_id").cast("string"), lit("#mix"))) % 100 < rateCol)
+    val chunked = sampled
+      .select(col("lang"), col("doc_id"),
+        posexplode(PortableHash.bind(col("ws")) { ws =>
+          transform(
+            sequence(lit(0),
+              greatest(ceil((size(ws) - 32) / lit(24.0)).cast("int"), lit(0))),
+            i => concat_ws(" ", slice(ws, i * 24 + lit(1), lit(32))))
+        }))
+      .withColumn("chunk_tokens", size(toks(col("col"))))
+    chunked
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).cast("long").as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pipeline" -> trainingPrep _,
+    "q_llm_full_pipeline" -> fullPrep _,
     "q_llm_chunks" -> chunk _,
     "q_llm_split" -> trainValSplit _,
     "q_llm_contamination" -> contamination _,
@@ -203,6 +272,58 @@ object Pipeline {
          |FROM (SELECT doc_id, gram FROM g WHERE doc_id >= 10) c
          |JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 10) e USING (gram)
          |GROUP BY c.doc_id""".stripMargin,
+    "q_llm_full_pipeline" -> {
+      val rateCase = "CASE lang " +
+        MixRates.toSeq.sortBy(_._1).map { case (l, r) => s"WHEN '$l' THEN $r" }
+          .mkString(" ") + " ELSE 20 END"
+      val grams5 = "list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i : i + 4], ' '))"
+      s"""WITH scrubbed AS (
+         |  SELECT doc_id, lang, ${TextAnalysis.sqlScrub("text")} AS clean
+         |  FROM documents),
+         |gated AS (
+         |  SELECT doc_id, lang, clean,
+         |    list_filter(string_split(clean, ' '), w -> length(w) > 0) AS ws
+         |  FROM scrubbed
+         |  WHERE len(list_filter(string_split(clean, ' '), w -> length(w) > 0)) >= 5
+         |    AND CASE WHEN length(clean) > 0 THEN
+         |          CAST(len(regexp_extract_all(clean, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |          / length(clean) END <= 0.2),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(lower(clean)) ORDER BY doc_id ASC) AS rn
+         |    FROM gated)
+         |  WHERE rn = 1),
+         |corpus AS (SELECT * FROM deduped WHERE doc_id >= 10),
+         |evalg AS (
+         |  SELECT DISTINCT unnest($grams5) AS gram
+         |  FROM (SELECT list_filter(string_split(clean, ' '), w -> length(w) > 0) AS ws
+         |        FROM scrubbed WHERE doc_id < 10) t
+         |  WHERE len(ws) >= 5),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest($grams5) AS gram
+         |        FROM corpus WHERE len(ws) >= 5) g
+         |  JOIN evalg USING (gram)),
+         |sampled AS (
+         |  SELECT * FROM corpus
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND ${PortableHash.sqlH60("CAST(doc_id AS VARCHAR) || '#mix'")} % 100
+         |          < $rateCase),
+         |ch AS (
+         |  SELECT lang, doc_id,
+         |    unnest(range(0, greatest(CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT), 0) + 1)) AS i,
+         |    ws
+         |  FROM sampled)
+         |SELECT lang,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(len(list_filter(
+         |    string_split(array_to_string(ws[i*24 + 1 : i*24 + 32], ' '), ' '),
+         |    w -> length(w) > 0))) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM ch GROUP BY lang""".stripMargin
+    },
     "q_llm_sample_mix" -> {
       val rateCase = "CASE lang " +
         MixRates.toSeq.sortBy(_._1).map { case (l, r) => s"WHEN '$l' THEN $r" }
