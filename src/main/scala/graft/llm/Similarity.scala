@@ -145,6 +145,12 @@ object Similarity {
     * the oracle's (cos DESC, cent_id ASC) rank.
     */
   private[llm] def assignWith(e: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    // zero centroids (empty corpus): array() types as array<null> and
+    // the argmax expression fails ANALYSIS — emit a null cell instead
+    // (there are no rows to assign anyway)
+    if (cents.isEmpty)
+      return e.select(col("vec_id"), col("embedding"),
+        lit(null).cast("int").as("cell"))
     val centCols = cents.map(c => array(c.toIndexedSeq.map(lit): _*))
     val cosArr = array(centCols.map(c => cosine_sim(col("embedding"), c)): _*)
     e.select(col("vec_id"), col("embedding"),
@@ -225,6 +231,10 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
     val cents = firstNCentroids(e)
     val assigned = assignWith(e, cents)
+    if (cents.isEmpty)
+      // empty corpus: no cells to rank; the single-probe path already
+      // yields the correct empty result
+      return probeTopK(assigned)
     val centCols = cents.map(c => array(c.toIndexedSeq.map(lit): _*))
     // struct sort key (-cos, cent_id): ascending lexicographic order
     // = (cos desc, cent_id asc), matching the single-probe tiebreak
