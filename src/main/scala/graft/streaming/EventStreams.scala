@@ -119,6 +119,25 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Exactly-once parquet sink via foreachBatch: each micro-batch
+    * writes to its own `batch=<id>` directory with overwrite, so a
+    * RETRY of batch N replaces N's own output instead of appending a
+    * duplicate — idempotence under the at-least-once delivery the
+    * checkpoint gives, which composes to exactly-once. This is the
+    * production sink shape when the built-in file sink's commit log
+    * can't own the destination (e.g. a table batch jobs also write).
+    */
+  def exactlyOnceParquetSink(df: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-source streaming pipeline over the events parquet — the
     * readStream → transform → writeStream wiring. `availableNow`
     * makes it a run-to-completion incremental batch (the pattern for

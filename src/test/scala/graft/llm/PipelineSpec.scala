@@ -41,6 +41,14 @@ class PipelineSpec extends SparkSpec {
     assert(frac("en") > 0.7 && frac("zh") < 0.45)
   }
 
+  test("observe() metrics surface pipeline stage counters without extra actions") {
+    val df = Pipeline.trainingPrep(spark, sf001)
+    df.collect()
+    val gated = df.queryExecution.observedMetrics("gated")
+    assert(gated.getAs[Long]("rows_after_gate") > 0,
+      "the gated-stage counter should have counted surviving rows")
+  }
+
   test("train/val split is ~95/5 and deterministic") {
     val a = Pipeline.trainValSplit(spark, sf001).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

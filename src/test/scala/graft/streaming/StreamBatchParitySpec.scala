@@ -123,6 +123,29 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("exactly-once sink: a re-run from the same checkpoint adds nothing") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("eos").toString
+    def runOnce(): Unit = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val q = exactlyOnceParquetSink(stream, s"$base/out", s"$base/ckpt")
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(s"$base/out").count()
+    runOnce()  // same checkpoint: no new input -> no new batches
+    val afterSecond = spark.read.parquet(s"$base/out").count()
+    val expected = graft.Tables.events(spark, sfDir).count()
+    assert(afterFirst == expected, s"sink wrote $afterFirst of $expected rows")
+    assert(afterSecond == afterFirst, "re-run from checkpoint duplicated rows")
+  }
+
   test("dedup: duplicated stream collapses to the batch-distinct event set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
