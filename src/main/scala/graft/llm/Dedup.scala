@@ -79,6 +79,30 @@ object Dedup {
        |  FROM sharr),
        |sigs AS (SELECT doc_id, $sqlMhs AS mhs FROM hvt)""".stripMargin
 
+  /** Shared CTE chain ending in `comp(doc, cluster)` — the connected-
+    * components result reused by the clusters and near-keep oracles.
+    */
+  private lazy val sqlCompChain =
+    s"""$sqlShArr,
+       |$sqlSigs,
+       |$sqlBandsCand,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      len(list_filter(list_zip(sa.mhs, sb.mhs), p -> p[1] = p[2])) / 16.0 AS est
+       |    FROM cand
+       |    JOIN sigs sa ON sa.doc_id = doc_a
+       |    JOIN sigs sb ON sb.doc_id = doc_b)
+       |  WHERE est >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach(doc, r) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)""".stripMargin
+
   /** Shared band + candidate-pair CTEs (used by the pairs and the
     * clusters oracles — keep them textually identical).
     */
@@ -272,6 +296,23 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** NEAR-dup deduplicated corpus: keep the min-doc_id representative
+    * of every connected near-dup cluster (singletons represent
+    * themselves) — the [[keepRepresentatives]] counterpart at
+    * est_jaccard ≥ 0.5 instead of exact equality. The cluster table
+    * is tiny (one row per document in a non-singleton cluster would
+    * be the worst case; here it's one per document, keyed for a
+    * broadcast-friendly semi-join).
+    */
+  def keepNearDupRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = dedupClusters(spark, sfDir)
+      .filter(col("is_dup") === false)
+      .select(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .join(reps, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Exact n-gram Jaccard between consecutive doc ids: a doc-level
     * self-join (n rows, broadcastable) with per-row array
     * intersection — no shingle-level shuffle.
@@ -296,6 +337,7 @@ object Dedup {
     "q_dedup_simhash" -> simhash _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_keep" -> keepRepresentatives _,
+    "q_dedup_near_keep" -> keepNearDupRepresentatives _,
     "q_jaccard_adjacent" -> jaccardAdjacent _,
   )
 
@@ -318,34 +360,20 @@ object Dedup {
          |FROM cand
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin,
-    "q_dedup_clusters" -> {
-      val base =
-        s"""$sqlShArr,
-           |$sqlSigs,
-           |$sqlBandsCand,
-           |pairs AS (
-           |  SELECT doc_a, doc_b FROM (
-           |    SELECT doc_a, doc_b,
-           |      len(list_filter(list_zip(sa.mhs, sb.mhs), p -> p[1] = p[2])) / 16.0 AS est
-           |    FROM cand
-           |    JOIN sigs sa ON sa.doc_id = doc_a
-           |    JOIN sigs sb ON sb.doc_id = doc_b)
-           |  WHERE est >= 0.5),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-           |reach(doc, r) AS (
-           |  SELECT doc, doc FROM nodes
-           |  UNION
-           |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-           |comp AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)
-           |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
-           |  COALESCE(c.cluster, d.doc_id) <> d.doc_id AS is_dup
-           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin
+    "q_dedup_clusters" ->
       // the recursive member (reach) requires the RECURSIVE keyword on
       // the single WITH that opens the chained CTE list
-      base.replaceFirst("WITH ", "WITH RECURSIVE ")
-    },
+      s"""$sqlCompChain
+         |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+         |  COALESCE(c.cluster, d.doc_id) <> d.doc_id AS is_dup
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE "),
+    "q_dedup_near_keep" ->
+      s"""$sqlCompChain
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+         |WHERE COALESCE(c.cluster, d.doc_id) = d.doc_id""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE "),
     "q_dedup_simhash" ->
       s"""WITH hs AS (
          |  SELECT doc_id,
