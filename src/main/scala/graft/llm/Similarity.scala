@@ -151,7 +151,7 @@ object Similarity {
     if (cents.isEmpty)
       return e.select(col("vec_id"), col("embedding"),
         lit(null).cast("int").as("cell"))
-    val centCols = cents.map(c => array(c.toIndexedSeq.map(lit): _*))
+    val centCols = cents.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*))
     val cosArr = array(centCols.map(c => cosine_sim(col("embedding"), c)): _*)
     e.select(col("vec_id"), col("embedding"),
       (PortableHash.bind(cosArr)(a => array_position(a, array_max(a))) - 1)
