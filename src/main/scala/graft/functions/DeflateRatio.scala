@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression ratio of a string's UTF-8 bytes under DEFLATE level 6:
+  * `compressed_size / raw_size`. A standard training-data quality
+  * signal — highly repetitive text (boilerplate, keyword stuffing,
+  * generated spam) compresses far below natural prose, so a low
+  * ratio flags low-entropy documents cheaply and
+  * language-independently. Empty input yields null.
+  *
+  * Deterministic for a given input (fixed level and strategy, no
+  * dictionary), so re-runs and retries agree; NOT mirrored in SQL —
+  * DEFLATE output is implementation-defined across libraries, which
+  * is exactly the class of operator the rows-only oracle mode exists
+  * for. One Deflater per evaluation keeps the expression
+  * thread-safe under codegen.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio requires a string argument, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateRatio.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = "graft.functions.DeflateRatio"
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |Object r = $f.compute($c);
+       |if (r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ((Double) r).doubleValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
+object DeflateRatio {
+
+  def compute(s: UTF8String): java.lang.Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return null
+    val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      java.lang.Double.valueOf(compressed.toDouble / raw.length)
+    } finally d.end()
+  }
+
+  /** Column API: `deflate_ratio($"text")`. */
+  def deflate_ratio(text: Column): Column =
+    Bridge.column(DeflateRatio(Bridge.expression(text)))
+}

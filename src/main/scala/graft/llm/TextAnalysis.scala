@@ -167,6 +167,21 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(100)
 
+  /** Compression-based quality signal: DEFLATE ratio per document
+    * plus a low-entropy gate (ratio < 0.3 on ≥200-byte docs flags
+    * machine-repetitive content). Map-only; not SQL-mirrorable
+    * (DEFLATE bytes are implementation-defined) → rows-only oracle
+    * mode, with the ordering/determinism guarantees asserted in
+    * TextAnalysisSpec instead.
+    */
+  def compressionSignal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        graft.functions.DeflateRatio.deflate_ratio(col("text")).as("deflate_ratio"))
+      .withColumn("is_low_entropy",
+        coalesce(col("deflate_ratio") < 0.3 && col("n_bytes") >= 200, lit(false)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_lang_id" -> langId _,
     "q_llm_quality" -> qualityScore _,
@@ -175,6 +190,7 @@ object TextAnalysis {
     "q_llm_scrub" -> scrub _,
     "q_llm_repetition" -> repetition _,
     "q_llm_vocab" -> vocabulary _,
+    "q_llm_compression" -> compressionSignal _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -41,6 +41,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L)._2 == got(2L)._1 - 2, "unique text: every 3-gram distinct")
   }
 
+  test("compression signal: repetitive text compresses far below varied text") {
+    import spark.implicits._
+    import graft.functions.DeflateRatio.deflate_ratio
+    val df = Seq(
+      (1L, "spam spam spam " * 100),                       // ~low ratio
+      (2L, (1 to 300).map(i => s"w${i * 7919}").mkString(" ")), // varied
+      (3L, ""))                                            // empty -> null
+      .toDF("id", "text")
+      .select(col("id"), deflate_ratio(col("text")).as("r"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).get < 0.1, s"repetitive ratio ${got(1L)}")
+    assert(got(2L).get > 0.3, s"varied ratio ${got(2L)}")
+    assert(got(1L).get < got(2L).get)
+    assert(got(3L).isEmpty)
+    // deterministic across evaluations
+    val again = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(again == got)
+  }
+
+  test("compression signal over the corpus: ratios in range, gate consistent") {
+    val rows = TextAnalysis.compressionSignal(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getDouble(2)
+      assert(ratio > 0.0 && ratio < 1.2, s"ratio out of range: $r")
+      assert(r.getBoolean(3) == (ratio < 0.3 && r.getInt(1) >= 200))
+    }
+  }
+
   test("vocabulary: top-k rows, counts non-increasing, ties broken by token") {
     val rows = TextAnalysis.vocabulary(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1)))
