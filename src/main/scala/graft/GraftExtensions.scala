@@ -26,7 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
   private val fnv1aDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
