@@ -54,25 +54,16 @@ object Pipeline {
     * packing step: 32-token chunks, stride 24 (8-token overlap), last
     * partial chunk kept. Pure per-row array ops (map-only).
     */
-  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
-    val size = 32
-    val stride = 24
+  def chunk(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextAnalysis.tokensCol.as("ws"))
       .select(col("doc_id"),
-        posexplode(PortableHash.bind(col("ws")) { ws =>
-          transform(
-            sequence(lit(0),
-              greatest(ceil((org.apache.spark.sql.functions.size(ws) - size)
-                / lit(stride.toDouble)).cast("int"), lit(0))),
-            i => concat_ws(" ", slice(ws, i * stride + lit(1), lit(size))))
-        }))
+        posexplode(graft.functions.Chunks.chunks(col("ws"), 32, 24)))
       .select(col("doc_id"), col("pos").as("chunk_id"),
         col("col").as("chunk_text"))
       .withColumn("n_tokens",
         org.apache.spark.sql.functions.size(
           filter(split(col("chunk_text"), " "), w => length(w) > 0)))
-  }
 
   /** Deterministic train/val split: h60 of the content mod 100 —
     * stable under re-runs, portable, and stratifiable by any column.
@@ -199,12 +190,7 @@ object Pipeline {
         concat(col("doc_id").cast("string"), lit("#mix"))) % 100 < rateCol)
     val chunked = sampled
       .select(col("lang"), col("doc_id"),
-        posexplode(PortableHash.bind(col("ws")) { ws =>
-          transform(
-            sequence(lit(0),
-              greatest(ceil((size(ws) - 32) / lit(24.0)).cast("int"), lit(0))),
-            i => concat_ws(" ", slice(ws, i * 24 + lit(1), lit(32))))
-        }))
+        posexplode(graft.functions.Chunks.chunks(col("ws"), 32, 24)))
       .withColumn("chunk_tokens", size(toks(col("col"))))
     chunked
       .groupBy(col("lang"))
