@@ -38,10 +38,11 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // a crashed query must not silently improve the total: it is
+    // omitted from `queries` (so sum(queries) == value always holds)
+    // and surfaced by name in `failed`
+    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // a crashed query must not silently improve the total: its (tiny)
-    // elapsed time is excluded and its name is surfaced in `failed`
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum

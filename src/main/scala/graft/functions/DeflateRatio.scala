@@ -19,8 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * dictionary), so re-runs and retries agree; NOT mirrored in SQL —
   * DEFLATE output is implementation-defined across libraries, which
   * is exactly the class of operator the rows-only oracle mode exists
-  * for. One Deflater per evaluation keeps the expression
-  * thread-safe under codegen.
+  * for. Deflater instances are thread-local (reset per row), keeping
+  * the expression thread-safe under codegen without per-row native
+  * allocation.
   */
 case class DeflateRatio(child: Expression) extends UnaryExpression {
 
@@ -51,19 +52,24 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
 }
 
 object DeflateRatio {
+  // one native zlib instance per thread, reset per row — same pattern
+  // as H60's thread-local MessageDigest; allocating/ending a Deflater
+  // per document would malloc/free native state on the hot path
+  private val deflater = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(6, /* nowrap = */ true))
+  private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 
   def compute(s: UTF8String): java.lang.Double = {
     val raw = s.getBytes
     if (raw.length == 0) return null
-    val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var compressed = 0L
-      while (!d.finished()) compressed += d.deflate(buf)
-      java.lang.Double.valueOf(compressed.toDouble / raw.length)
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val b = buf.get()
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(b)
+    java.lang.Double.valueOf(compressed.toDouble / raw.length)
   }
 
   /** Column API: `deflate_ratio($"text")`. */

@@ -23,15 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * 31-bit h ≤ 2⁶² keeps every intermediate in int64, which is what
   * keeps the DuckDB oracle portable).
   *
-  * Null shingles inside the array are skipped; an all-null or empty
-  * array yields an array of 16 nulls-free sentinel minima — callers
-  * never pass one (shingleArr always emits ≥1 shingle), and the
-  * empty-input value (2³¹−1, the modulus, larger than any mix output)
-  * is deterministic either way.
+  * Null shingles inside the array are skipped; an all-null or EMPTY
+  * array yields NULL — no minimum exists, and a sentinel signature
+  * would make every empty document collide on every LSH band. (The
+  * engine's own shingler always emits ≥1 shingle; this matters for
+  * the registered `minhash_sigs` SQL function surface.)
   */
 case class MinhashSigs(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -44,8 +45,11 @@ case class MinhashSigs(child: Expression) extends UnaryExpression {
     MinhashSigs.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinhashSigs.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |Object r = graft.functions.MinhashSigs.compute($c);
+      |if (r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
     copy(child = newChild)
@@ -56,13 +60,17 @@ object MinhashSigs {
   private val A: Array[Long] = graft.llm.PortableHash.MinhashA.toArray
   private val B: Array[Long] = graft.llm.PortableHash.MinhashB.toArray
 
-  /** One pass: hash each shingle, fold 16 running minima. */
+  /** One pass: hash each shingle, fold 16 running minima; null when
+    * no non-null shingle exists (no minimum is defined).
+    */
   def compute(shingles: ArrayData): ArrayData = {
     val mins = Array.fill(16)(Mod)
     val n = shingles.numElements()
+    var any = false
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
+        any = true
         val h = H60.hash(shingles.getUTF8String(i)) & 0x7fffffffL
         var j = 0
         while (j < 16) {
@@ -73,7 +81,7 @@ object MinhashSigs {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!any) null else new GenericArrayData(mins)
   }
 
   /** Column API: `minhash_sigs($"shingles")`. */

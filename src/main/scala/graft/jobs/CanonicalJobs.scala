@@ -52,8 +52,7 @@ object CanonicalJobs {
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(array_distinct(
-          filter(split(col("text"), "\\s+"), w => length(w) > 0))).as("word"))
+        explode(array_distinct(graft.llm.TextAnalysis.tokensCol)).as("word"))
       .groupBy("word")
       // single collect_set aggregate; n_docs = size of the same set.
       // (collect_set + countDistinct together would plan an Expand

@@ -146,10 +146,13 @@ object Dedup {
     // checkpoint each reference re-runs the md5+affine-mix pipeline
     // over every shingle. Signatures are ~16 longs per document —
     // orders of magnitude smaller than the text they summarize — so
-    // persisting them is the right trade at any corpus size.
+    // persisting them is the right trade at any corpus size. LAZY
+    // (eager=false): materialization happens at first action, so
+    // merely constructing the query (plan audits, explain dumps)
+    // stays free.
     val sigs = shArrTable(spark, sfDir)
       .select(col("doc_id"), mhsOf(col("sh")).as("mhs"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bands = sigs.select(col("doc_id"),
       posexplode(bind(col("mhs")) { mhs =>
         transform(sequence(lit(0), lit(7)), b => concat(
@@ -299,17 +302,17 @@ object Dedup {
   /** NEAR-dup deduplicated corpus: keep the min-doc_id representative
     * of every connected near-dup cluster (singletons represent
     * themselves) — the [[keepRepresentatives]] counterpart at
-    * est_jaccard ≥ 0.5 instead of exact equality. The cluster table
-    * is tiny (one row per document in a non-singleton cluster would
-    * be the worst case; here it's one per document, keyed for a
-    * broadcast-friendly semi-join).
+    * est_jaccard ≥ 0.5 instead of exact equality. Shaped as an
+    * ANTI-join against the is_dup set: that side is O(actual
+    * duplicates) — genuinely tiny and broadcastable — where the
+    * keep-side is approximately the whole corpus.
     */
   def keepNearDupRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
-    val reps = dedupClusters(spark, sfDir)
-      .filter(col("is_dup") === false)
+    val dups = dedupClusters(spark, sfDir)
+      .filter(col("is_dup"))
       .select(col("doc_id"))
     Tables.documents(spark, sfDir)
-      .join(reps, Seq("doc_id"), "left_semi")
+      .join(broadcast(dups), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 

@@ -93,6 +93,10 @@ object Multimodal {
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => null
         case _: java.io.IOException => null
+        // getAudioInputStream(fmt, in) throws this for VALID audio the
+        // JVM can't convert to 16-bit signed PCM (e.g. PCM_FLOAT) —
+        // same contract as unparseable: drop, don't kill the task
+        case _: IllegalArgumentException => null
       }
     if (samples == null || samples.length == 0) Iterator.empty
     else {
@@ -146,8 +150,9 @@ object Multimodal {
   }
 
   /** Deterministic fake frames for mimes with no in-container codec
-    * (audio/video): `nFrames` evenly-spaced byte offsets, feature =
-    * byte at offset scaled to [0,1).
+    * (video and other non-image/non-audio payloads): `nFrames`
+    * evenly-spaced byte offsets, feature = byte at offset scaled to
+    * [0,1).
     */
   private def fakeFrames(m: Media, nFrames: Int): Iterator[FrameFeature] = {
     val len = m.payload.length

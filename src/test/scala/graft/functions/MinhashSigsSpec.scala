@@ -48,6 +48,18 @@ class MinhashSigsSpec extends SparkSpec {
     assert(rows(0) != rows(2))
   }
 
+  test("empty or all-null shingle arrays yield null, not a colliding sentinel") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq.empty[String])),
+      (2L, None),
+      (3L, Some(Seq("a b c"))))
+      .toDF("id", "sh")
+      .select(col("id"), MinhashSigs.minhash_sigs(col("sh")).as("mhs"))
+    val got = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got(1L) && got(2L) && !got(3L))
+  }
+
   test("minhash_sigs is registered in the SQL function registry") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql("SELECT minhash_sigs(array('a b c')) AS s")
