@@ -30,7 +30,9 @@ object Explain {
           "the plan-shape claims in README/BASELINE: pushed filters, pruned\n" +
           "scans, broadcast dims, map-only per-doc work, no scale-hostile\n" +
           "joins. PlanAuditSpec asserts the load-bearing properties; this file\n" +
-          "is for human review.\n")
+          "is for human review. `Scan ExistingRDD` nodes are the checkpointed\n" +
+          "MinHash-signature intermediate (computed once, referenced three\n" +
+          "times — see Dedup.minhashLshPairs).\n")
         Headline.foreach { q =>
           md.append(s"\n## $q\n\n```\n${planOf(q).trim}\n```\n")
         }
