@@ -1,8 +1,9 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Materialize, Tables}
 import graft.llm.PortableHash._
 
 /** Deduplication operators for training-data pipelines: exact
@@ -15,15 +16,30 @@ import graft.llm.PortableHash._
   * Scale design — everything per-document is computed over shingle
   * ARRAYS inside the row (map-only, zero shuffle): signatures,
   * simhash, per-doc shingle sets. The only shuffles in the whole
-  * module are (a) the LSH band bucket self-join for candidate pairs —
-  * cost sum(bucket²), never the n² all-pairs — and (b) the final tiny
-  * aggregations. Two performance rules learned the hard way at sf0.1
-  * (70 s → ~1 s class hotspots):
+  * module are (a) one collapse of (doc_id, token-hash, signature)
+  * rows — never the text — into exact-duplicate groups, (b) the LSH
+  * band bucket self-join over group REPRESENTATIVES — cost
+  * sum(bucket²) over distinct contents, never the n² all-pairs — and
+  * (c) the final tiny aggregations. Two performance rules learned the
+  * hard way at sf0.1 (70 s → ~1 s class hotspots):
   *   - never reference a computed array twice inside a projection or
   *     HOF lambda without [[PortableHash.bind]] — argument trees
   *     re-evaluate per element access;
   *   - one md5 per shingle, then cheap affine integer mixes for the
   *     16-way family ([[PortableHash.minhashMix]]) — not 16 md5s.
+  *
+  * Exact-dup pre-collapse (the LSH skew guard): m documents with
+  * identical token streams share every MinHash value, so without the
+  * collapse all 8 bands collide and the band self-join emits
+  * m(m-1)/2 candidate pairs per group — a 10⁵-member boilerplate
+  * group (normal in any web corpus) would emit 5×10⁹ pairs from one
+  * bucket. [[sigTable]] therefore collapses identical token streams
+  * to their min-doc_id representative FIRST (carrying the group size
+  * as a weight); bands, candidate pairs, and connected components run
+  * over representatives only, and cluster membership is expanded back
+  * through the groups at the end. ScaleSmokeSpec plants a 10⁴-member
+  * identical group and asserts the candidate-pair count stays
+  * O(distinct contents).
   */
 object Dedup {
 
@@ -41,8 +57,9 @@ object Dedup {
   /** Shared tokenizer SQL — one source of truth with TextAnalysis. */
   private val sqlWs = TextAnalysis.sqlTokens
 
-  /** CTE producing (doc_id, sh) with sh = distinct shingle list —
-    * mirrors [[shingleArr]].
+  /** CTE producing (doc_id, sh) with sh = distinct shingle list for
+    * EVERY document — mirrors [[shingleArr]]; used by the
+    * full-corpus signature and jaccard oracles.
     */
   private val sqlShArr =
     s"""WITH toks AS (
@@ -79,42 +96,39 @@ object Dedup {
        |  FROM sharr),
        |sigs AS (SELECT doc_id, $sqlMhs AS mhs FROM hvt)""".stripMargin
 
-  /** Shared CTE chain ending in `comp(doc, cluster)` — the connected-
-    * components result reused by the clusters and near-keep oracles.
+  /** The collapse key: md5 over the -joined token stream. Two
+    * documents with equal keys have identical shingle sets, hence
+    * identical MinHash signatures — the invariant the pre-collapse
+    * rests on. (Distinct from [[exact]]'s lowercased/ws-normalized
+    * content hash, which groups MORE texts than signature equality
+    * would — e.g. case variants whose shingles differ.)
     */
-  private lazy val sqlCompChain =
-    s"""$sqlShArr,
-       |$sqlSigs,
-       |$sqlBandsCand,
-       |pairs AS (
-       |  SELECT doc_a, doc_b FROM (
-       |    SELECT doc_a, doc_b,
-       |      len(list_filter(list_zip(sa.mhs, sb.mhs), p -> p[1] = p[2])) / 16.0 AS est
-       |    FROM cand
-       |    JOIN sigs sa ON sa.doc_id = doc_a
-       |    JOIN sigs sb ON sb.doc_id = doc_b)
-       |  WHERE est >= 0.5),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
-       |reach(doc, r) AS (
-       |  SELECT doc, doc FROM nodes
-       |  UNION
-       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-       |comp AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)""".stripMargin
+  private def tokenHash: Column =
+    md5(concat_ws("\u0001", TextAnalysis.tokensCol))
 
-  /** Shared band + candidate-pair CTEs (used by the pairs and the
-    * clusters oracles — keep them textually identical).
+  /** Per-document signature/collapse table:
+    * (doc_id, mhs, rep, n_dups, grp_chars) where rep = min doc_id
+    * over identical token streams and n_dups/grp_chars weight the
+    * group. One corpus scan, map-only per-doc hashing, then ONE
+    * shuffle of (doc_id, hash, 16-long signature) rows — the text
+    * itself never moves. Staged ([[graft.Materialize]]): bands, the
+    * two candidate est-joins, and the doc→rep expansion all re-read
+    * it, and signatures are orders of magnitude smaller than the
+    * text they summarize. Lazy: merely constructing plans (audits,
+    * explain dumps) materializes nothing.
     */
-  private val sqlBandsCand =
-    """bands AS (
-      |  SELECT doc_id, CAST(b AS INT) AS band,
-      |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
-      |  FROM sigs CROSS JOIN range(0, 8) t(b)),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  private def sigTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("th"))
+    Materialize.stage(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          tokenHash.as("th"), mhsOf(shingleArr).as("mhs"))
+        .select(col("doc_id"), col("mhs"),
+          min(col("doc_id")).over(w).as("rep"),
+          count(lit(1)).over(w).as("n_dups"),
+          sum(col("n_chars")).over(w).as("grp_chars")),
+      eager = false)
+  }
 
   /** Exact dedup: md5 over whitespace-normalized lowercased text;
     * representative = min doc_id per group.
@@ -126,33 +140,20 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signatures, exploded flat as (doc_id, i, mh) for the
-    * oracle compare.
+  /** MinHash signatures for EVERY document, exploded flat as
+    * (doc_id, i, mh) for the oracle compare.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     shArrTable(spark, sfDir)
       .select(col("doc_id"), posexplode(mhsOf(col("sh"))))
       .select(col("doc_id"), col("pos").as("i"), col("col").as("mh"))
 
-  /** MinHash-LSH candidate pairs: 8 bands × 2 rows. Band signatures
-    * are strings "2b:mh[2b],2b+1:mh[2b+1]" computed per-row from the
-    * bound signature array; docs collide when one band matches
-    * exactly. est_jaccard = match fraction across all 16 from a zip
-    * of the two signature arrays.
+  /** LSH band candidate pairs over a (doc_id, mhs) signature set:
+    * 8 bands × 2 rows; docs collide when one band matches exactly.
+    * est_jaccard = match fraction across all 16 from a zip of the two
+    * signature arrays.
     */
-  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // Materialize signatures once: the plan references `sigs` three
-    // times (band explode + two candidate-attach joins), and without a
-    // checkpoint each reference re-runs the md5+affine-mix pipeline
-    // over every shingle. Signatures are ~16 longs per document —
-    // orders of magnitude smaller than the text they summarize — so
-    // persisting them is the right trade at any corpus size. LAZY
-    // (eager=false): materialization happens at first action, so
-    // merely constructing the query (plan audits, explain dumps)
-    // stays free.
-    val sigs = shArrTable(spark, sfDir)
-      .select(col("doc_id"), mhsOf(col("sh")).as("mhs"))
-      .localCheckpoint(false)
+  private def lshPairsOf(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(bind(col("mhs")) { mhs =>
         transform(sequence(lit(0), lit(7)), b => concat(
@@ -176,6 +177,17 @@ object Dedup {
           b => b)) / 16.0).as("est_jaccard"))
   }
 
+  /** MinHash-LSH candidate pairs between exact-group REPRESENTATIVES
+    * (see the pre-collapse note in the object scaladoc): pairs within
+    * a group of identical token streams are not emitted — they are
+    * exact duplicates by construction, already collapsed under their
+    * representative with weight n_dups.
+    */
+  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    lshPairsOf(sigTable(spark, sfDir)
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("mhs")))
+
   /** SimHash (32-bit): per-bit ±1 votes from token hashes with token
     * multiplicity, via the native codegen'd [[graft.functions.Simhash]]
     * expression — one fused hash+vote+fold loop per document. (The
@@ -187,49 +199,83 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.Simhash.simhash(TextAnalysis.tokensCol).as("simhash"))
 
-  /** End-to-end near-dup clustering: LSH candidate pairs with
-    * est_jaccard >= 0.5 form an undirected graph; connected components
-    * are computed by distributed min-label propagation to fixpoint
-    * (each round: every node takes the min cluster id among itself and
-    * its neighbors). Every document gets a cluster id (= min doc_id of
-    * its component; singletons cluster with themselves) and an is_dup
-    * flag. The DuckDB oracle computes the same components with a
-    * recursive CTE.
-    *
-    * Scale: the loop is O(component diameter) joins over the EDGE set
-    * (tiny after LSH banding), never over the corpus; localCheckpoint
-    * truncates lineage so plans don't grow per iteration. This is the
-    * standard large-graph CC shape (label propagation); the corpus
-    * table is touched exactly once at the end.
-    */
   /** Edge sets at most this size are solved with driver-side
     * union-find (one job, microseconds of CPU); larger graphs fall
-    * back to the distributed label-propagation loop. LSH banding keeps
-    * real near-dup graphs far below this even at corpus scale — the
-    * pair count is O(actual duplicates), not O(corpus).
+    * back to distributed large-star/small-star. LSH banding over
+    * collapsed representatives keeps real near-dup graphs far below
+    * this even at corpus scale — the pair count is O(distinct
+    * near-duplicate contents), not O(corpus).
     */
   private val DriverCCMaxEdges = 1000000L
 
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // checkpoint pairs first: the LSH pipeline above it is the
-    // expensive part — compute it once
-    val pairs = minhashLshPairs(spark, sfDir)
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+  /** Representative-level cluster labels (rep_doc, cluster) for the
+    * collapsed near-dup graph at est_jaccard >= 0.5. Input `sigs`
+    * must be the representative signature set.
+    */
+  private def repClusterLabels(spark: SparkSession, sigs: DataFrame): DataFrame = {
+    // stage pairs first: the LSH pipeline above them is the expensive
+    // part — compute it once, then both the size probe and CC read it
+    val pairs = Materialize.stage(
+      lshPairsOf(sigs)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")))
     val nEdges = pairs.count()
     // broadcast the label table ONLY on the small-graph path — the
     // distributed path exists precisely because labels may not fit
     // the driver, so it must shuffle-join
-    val labels =
-      if (nEdges <= DriverCCMaxEdges) broadcast(driverUnionFind(spark, pairs))
-      else distributedLabelProp(pairs)
-    Tables.documents(spark, sfDir).select(col("doc_id"))
+    if (nEdges <= DriverCCMaxEdges) broadcast(driverUnionFind(spark, pairs))
+    else largeSmallStarCC(pairs)
+  }
+
+  /** End-to-end near-dup clustering: LSH candidate pairs over
+    * exact-group representatives (est_jaccard >= 0.5) form an
+    * undirected graph; connected components label each
+    * representative, and membership is expanded back through the
+    * exact groups — every document gets cluster = the min doc_id of
+    * its component (identical token streams land in their
+    * representative's cluster, exactly as they did when banded
+    * individually: equal signatures collide in every band at est
+    * 1.0). Singletons cluster with themselves; is_dup flags every
+    * non-representative member. The DuckDB oracle computes the same
+    * collapse + components with a window + recursive CTE.
+    *
+    * Scale: CC runs over the EDGE set (tiny after LSH banding over
+    * representatives), never over the corpus; the corpus-sized
+    * signature table is staged once and the text never shuffles.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = sigTable(spark, sfDir)
+    val labels = repClusterLabels(spark,
+      st.filter(col("doc_id") === col("rep")).select(col("doc_id"), col("mhs")))
+    st.select(col("doc_id"), col("rep"))
+      .join(labels.withColumnRenamed("doc_id", "ldoc"),
+        col("rep") === col("ldoc"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
+      .withColumn("is_dup", col("cluster") =!= col("doc_id"))
+  }
+
+  /** Weighted near-dup cluster statistics, computed entirely ON the
+    * collapsed representation: every representative carries its
+    * exact-group weight (n_dups, grp_chars), so the reported counts
+    * reflect the TRUE corpus — n_docs is physical documents, not
+    * representatives — while the aggregation only ever touches
+    * O(distinct contents) rows. The oracle cross-checks by expanding
+    * to all documents and re-aggregating.
+    */
+  def dedupClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = sigTable(spark, sfDir)
+    val reps = st.filter(col("doc_id") === col("rep"))
+    val labels = repClusterLabels(spark, reps.select(col("doc_id"), col("mhs")))
+    reps
       .join(labels.withColumnRenamed("doc_id", "ldoc"),
         col("doc_id") === col("ldoc"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster"), col("doc_id")).as("cluster"))
-      .withColumn("is_dup", col("cluster") =!= col("doc_id"))
+      .select(coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        col("n_dups"), col("grp_chars"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(col("n_dups")).as("n_docs"),
+        sum(col("grp_chars")).as("total_chars"))
   }
 
   /** Union-find over a collected edge list — exact min-label
@@ -256,37 +302,60 @@ object Dedup {
     nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster")
   }
 
-  /** Distributed min-label propagation to fixpoint — the path for
-    * graphs too large to collect. O(diameter) rounds of small joins;
-    * localCheckpoint truncates lineage per round.
+  /** Distributed connected components by large-star/small-star
+    * alternation — the path for edge sets too large to collect.
+    * O(log d) rounds (vs O(diameter) for naive label propagation);
+    * each round is two grouped min-aggregations + joins over the EDGE
+    * set only, and convergence is read off the rounds' own joined
+    * frames (the count of re-pointed neighbors) — no extra
+    * except()/anti-join probe.
+    *
+    * Invariant: edges stay oriented u > v. Per round:
+    *   - large-star: every node's strictly LARGER neighbors re-point
+    *     to min(N(u) ∪ u) — applied from both directions of each
+    *     edge via the symmetrized view;
+    *   - small-star: every node's (strictly smaller) neighbors and
+    *     the node itself re-point to min(N(u) ∪ u).
+    * Joint fixpoint ⟺ no node has both a smaller and a larger
+    * neighbor AND every non-root has exactly one (root) neighbor —
+    * i.e. the edge set is a star forest, whose edges ARE the
+    * (member, cluster) labels; min-labels match union-find exactly
+    * because both star ops only ever re-point toward neighborhood
+    * minima.
     */
-  private def distributedLabelProp(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint(true)
-    val maxIters = 50
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val prop = labels.join(edges, labels("doc_id") === edges("src"))
-        .select(edges("dst").as("doc_id"), col("cluster"))
-      val next = labels.unionAll(prop)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
-      changed = next.except(labels).count()
-      labels = next
-      iter += 1
+  private[llm] def largeSmallStarCC(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    var edges = Materialize.stage(
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ljoin = Materialize.stage(
+        sym.join(lmin, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"), col("u").as("prev")))
+      val largeChanged = ljoin.filter(col("v") =!= col("prev")).count()
+      val ls = ljoin.select(col("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star (ls is oriented u > v, so all neighbors are smaller)
+      val smin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val sjoin = Materialize.stage(ls.join(smin, "u"))
+      val smallChanged = sjoin.filter(col("v") =!= col("m")).count()
+      val ss = sjoin.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(smin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      edges = Materialize.stage(ss)
+      converged = largeChanged == 0 && smallChanged == 0
+      round += 1
     }
-    // fail loudly rather than return a silently-split clustering: a
-    // component with diameter > maxIters hasn't converged (would need
-    // the large-star/small-star doubling variant, which converges in
-    // O(log diameter) rounds)
-    require(changed == 0,
-      s"connected components did not converge after $maxIters rounds")
-    labels
+    require(converged,
+      s"connected components did not converge after $maxRounds large/small-star rounds")
+    edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .unionAll(edges.select(col("v").as("doc_id"), col("v").as("cluster")).distinct())
   }
 
   /** The deduplicated corpus itself — the rows a pipeline ships:
@@ -333,12 +402,74 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** Collapse CTE chain mirroring [[sigTable]]: toks → grp (rep,
+    * n_dups, grp_chars via windows over the token-stream hash) →
+    * sharr restricted to representatives.
+    */
+  private val sqlGrp =
+    s"""WITH toks AS (
+       |  SELECT doc_id, n_chars, $sqlWs AS ws FROM documents),
+       |grp AS (
+       |  SELECT doc_id, n_chars, ws,
+       |    min(doc_id) OVER (PARTITION BY md5(array_to_string(ws, chr(1)))) AS rep,
+       |    count(*)   OVER (PARTITION BY md5(array_to_string(ws, chr(1)))) AS n_dups,
+       |    sum(n_chars) OVER (PARTITION BY md5(array_to_string(ws, chr(1)))) AS grp_chars
+       |  FROM toks),
+       |sharr AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(ws) >= 3
+       |         THEN list_transform(range(1, len(ws) - 1),
+       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |         ELSE [array_to_string(ws, ' ')] END) AS sh
+       |  FROM grp WHERE doc_id = rep)""".stripMargin
+
+  /** Shared band + candidate-pair CTEs (used by the pairs and the
+    * clusters oracles — keep them textually identical).
+    */
+  private val sqlBandsCand =
+    """bands AS (
+      |  SELECT doc_id, CAST(b AS INT) AS band,
+      |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
+      |  FROM sigs CROSS JOIN range(0, 8) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared CTE chain ending in `comp(doc, cluster)` over the
+    * REPRESENTATIVE graph — reused by the clusters, near-keep, and
+    * cluster-stats oracles.
+    */
+  private lazy val sqlCompChain =
+    s"""$sqlGrp,
+       |$sqlSigs,
+       |$sqlBandsCand,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      len(list_filter(list_zip(sa.mhs, sb.mhs), p -> p[1] = p[2])) / 16.0 AS est
+       |    FROM cand
+       |    JOIN sigs sa ON sa.doc_id = doc_a
+       |    JOIN sigs sb ON sb.doc_id = doc_b)
+       |  WHERE est >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach(doc, r) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact _,
     "q_dedup_minhash" -> minhashSignatures _,
     "q_dedup_minhash_pairs" -> minhashLshPairs _,
     "q_dedup_simhash" -> simhash _,
     "q_dedup_clusters" -> dedupClusters _,
+    "q_dedup_cluster_stats" -> dedupClusterStats _,
     "q_dedup_keep" -> keepRepresentatives _,
     "q_dedup_near_keep" -> keepNearDupRepresentatives _,
     "q_jaccard_adjacent" -> jaccardAdjacent _,
@@ -355,7 +486,7 @@ object Dedup {
          |SELECT doc_id, CAST(i AS INT) AS i, mhs[i + 1] AS mh
          |FROM sigs CROSS JOIN range(0, 16) t(i)""".stripMargin,
     "q_dedup_minhash_pairs" ->
-      s"""$sqlShArr,
+      s"""$sqlGrp,
          |$sqlSigs,
          |$sqlBandsCand
          |SELECT doc_a, doc_b,
@@ -367,15 +498,27 @@ object Dedup {
       // the recursive member (reach) requires the RECURSIVE keyword on
       // the single WITH that opens the chained CTE list
       s"""$sqlCompChain
-         |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
-         |  COALESCE(c.cluster, d.doc_id) <> d.doc_id AS is_dup
-         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc""".stripMargin
+         |SELECT g.doc_id, COALESCE(c.cluster, g.rep) AS cluster,
+         |  COALESCE(c.cluster, g.rep) <> g.doc_id AS is_dup
+         |FROM grp g LEFT JOIN comp c ON g.rep = c.doc""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE "),
+    "q_dedup_cluster_stats" ->
+      s"""$sqlCompChain
+         |SELECT cluster, count(*) AS n_docs, count(DISTINCT rep) AS n_reps,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM (
+         |  SELECT g.doc_id, g.rep, g.n_chars,
+         |    COALESCE(c.cluster, g.rep) AS cluster
+         |  FROM grp g LEFT JOIN comp c ON g.rep = c.doc)
+         |GROUP BY cluster""".stripMargin
         .replaceFirst("WITH ", "WITH RECURSIVE "),
     "q_dedup_near_keep" ->
       s"""$sqlCompChain
          |SELECT d.doc_id, d.lang, d.source, d.n_chars
-         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
-         |WHERE COALESCE(c.cluster, d.doc_id) = d.doc_id""".stripMargin
+         |FROM documents d
+         |JOIN grp g ON g.doc_id = d.doc_id
+         |LEFT JOIN comp c ON g.rep = c.doc
+         |WHERE COALESCE(c.cluster, g.rep) = d.doc_id""".stripMargin
         .replaceFirst("WITH ", "WITH RECURSIVE "),
     "q_dedup_simhash" ->
       s"""WITH hs AS (

@@ -169,14 +169,16 @@ object Pipeline {
           .partitionBy(md5(lower(col("clean")))).orderBy(col("doc_id").asc)))
       .filter(col("rn") === 1)
     // The deduped corpus feeds BOTH the contamination gram stream and
-    // the sampling/chunking tail; checkpoint the three columns those
+    // the sampling/chunking tail; stage the three columns those
     // need (lazily — materialized once at first action) instead of
     // re-running scrub+gate+window per branch. (Token arrays are a
     // bounded multiple of the text they replace — the
-    // persist-vs-recompute trade that favors persisting.)
-    val corpus = deduped.filter(col("doc_id") >= 10)
-      .select(col("doc_id"), col("lang"), col("ws"))
-      .localCheckpoint(false)
+    // persist-vs-recompute trade that favors persisting; the
+    // local-vs-disk-vs-reliable dial is [[graft.Materialize]].)
+    val corpus = graft.Materialize.stage(
+      deduped.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("lang"), col("ws")),
+      eager = false)
     val evalGrams = scrubbed.filter(col("doc_id") < 10)
       .select(explode(graft.functions.Ngrams.ngrams(toks(col("clean")), 5)).as("gram"))
       .distinct()

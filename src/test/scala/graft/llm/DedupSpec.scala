@@ -44,12 +44,31 @@ class DedupSpec extends SparkSpec {
     assert(agree03 >= 8, s"near-dup should agree on most of 16 minhashes, got $agree03")
   }
 
-  test("LSH pairs surface the exact and near dups, not the unrelated doc") {
+  test("LSH pairs surface the near dup; exact dups are pre-collapsed") {
     val pairs = Dedup.minhashLshPairs(spark, dupDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    assert(pairs((0L, 1L)) == 1.0)
+    // doc 1 is byte-identical to doc 0: identical token stream, so it
+    // collapses under representative 0 BEFORE banding — no (0,1) pair
+    // (the pair would be one cell of the m² band-bucket blowup the
+    // collapse exists to prevent)
+    assert(!pairs.contains((0L, 1L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 1L || b == 1L })
     assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) > 0.4)
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("cluster stats weight collapsed groups back to true corpus counts") {
+    val rows = Dedup.dedupClusterStats(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster 0 = {0, 1 (exact dup, collapsed), 3 (near dup)}:
+    // 2 representatives, 3 physical docs, chars of all three
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    assert(rows(0L) == ((2L, 3L, 2 * base.length + near.length)))
+    // docs 2 and 4 are singleton clusters of one physical doc each
+    assert(rows(2L)._1 == 1L && rows(2L)._2 == 1L)
+    assert(rows(4L)._1 == 1L && rows(4L)._2 == 1L)
+    assert(rows.keySet == Set(0L, 2L, 4L))
   }
 
   test("simhash: identical docs equal; near-dup hamming < unrelated hamming") {

@@ -50,4 +50,44 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(frac <= 0.01,
       s"$disagreements replica sets were not clustered together")
   }
+
+  test("a 10^4-member identical group yields O(group) work, not O(group^2) pairs") {
+    // the classic LSH skew failure: byte-identical docs share all 16
+    // minhash values, so without exact-dup pre-collapse every band
+    // collides and this corpus emits 10^4*(10^4-1)/2 ≈ 5*10^7
+    // candidate pairs from ONE bucket. With the collapse the group is
+    // one representative and the pair count stays O(distinct contents).
+    val m = 10000L
+    val boiler = "standard boilerplate terms of service text repeated verbatim " +
+      "across the entire corpus on every single page without any variation at all"
+    val distinctTail = (0 until 50).map { i =>
+      (m + i, s"genuinely distinct document number $i about topic${i} with its own words ${i * 37}")
+    }
+    val dir = Files.createTempDirectory("planted10k").toString
+    import spark.implicits._
+    val group = spark.range(m).select(
+      col("id").as("doc_id"), lit(boiler).as("text"),
+      lit("en").as("lang"), lit("web").as("source"),
+      lit(boiler.length.toLong).as("n_chars"))
+    val tail = distinctTail.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("web").as("source"), length(col("text")).cast("long").as("n_chars"))
+    group.unionAll(tail).repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val t0 = System.nanoTime()
+    val nPairs = Dedup.minhashLshPairs(spark, dir).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"candidate pairs: $nPairs, in $secs%.1f s")
+    assert(nPairs < 1000,
+      s"pre-collapse failed: $nPairs candidate pairs from a corpus of one " +
+        "identical group + 50 distinct docs")
+
+    // membership still expands through the group: every copy clusters
+    // under the min doc_id, and the weighted stats see all 10^4 docs
+    val stats = Dedup.dedupClusterStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(0L)._2 == m, s"cluster 0 should weight $m docs, got ${stats(0L)}")
+    assert(stats(0L)._1 == 1L, "the identical group is ONE representative")
+  }
 }
