@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the whole projection away), while writing nothing.
   * One warmup action first so JVM/codegen/parquet-footer warmup isn't
   * billed to the first query.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and
+  * reports the MIN: single-JVM timings swing ±15-20% on JIT/GC, so a
+  * tail-run sample can't distinguish a regression from noise — the
+  * per-query minimum is the stable statistic. The total is the sum
+  * of per-query minimums.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,14 +36,18 @@ object Bench {
     force(SparkEntry.queries("mr_grep")(spark, sfDir))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { force(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      // a query that failed in ANY rep is reported failed, not timed
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     // a crashed query must not silently improve the total: it is
     // omitted from `queries` (so sum(queries) == value always holds)

@@ -266,6 +266,56 @@ object Similarity {
     probeTopK(assignWith(Tables.embeddings(spark, sfDir),
       kmeansCentroids(spark, sfDir)))
 
+  /** On-disk IVF index: the [[ivfAssign]] output written as parquet
+    * PARTITIONED BY cell — the materialization the [[ivfTopK]]
+    * scaladoc promises for corpus scale: assign once, write once,
+    * then every probe batch reads ONLY its cells' partitions.
+    */
+  def writeIvfIndex(spark: SparkSession, sfDir: String, path: String): Unit =
+    ivfAssign(spark, sfDir).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe the on-disk index: top-k for the first [[NumQueries]]
+    * vectors, scanning only their cells via PARTITION PRUNING — the
+    * query set is bounded, so collecting its distinct cells is O(k),
+    * and the resulting static IN-filter reaches the scan as a
+    * PartitionFilter (asserted in SimilaritySpec): at [[NumCells]]
+    * cells a single-cell probe reads 1/NumCells of the index, no
+    * matter how large the corpus. Output is identical to [[ivfTopK]].
+    */
+  def probeIvfIndex(spark: SparkSession, path: String): DataFrame = {
+    // explicit schema: no footer-sampling inference pass over the
+    // index, and a zero-row index (no files, only the dir) still
+    // reads as a typed empty relation
+    val idx = spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT")
+      .parquet(path)
+    val q = idx.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val cells = q.select(col("q_cell")).distinct().collect()
+      .filterNot(_.isNullAt(0)).map(_.getInt(0))
+    val corpus =
+      if (cells.isEmpty) idx.filter(lit(false))
+      else idx.filter(col("cell").isin(cells.toIndexedSeq: _*))
+    rankTopK(
+      corpus
+        .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+        .join(broadcast(q),
+          col("cell") === col("q_cell") && col("neighbor_id") =!= col("query_id")))
+  }
+
+  /** Registered end-to-end form: materialize the partitioned index
+    * (to a deterministic per-corpus temp path), then probe it.
+    * Output — and oracle — identical to [[ivfTopK]]: the index is a
+    * physical layout change, never a semantic one.
+    */
+  def ivfIndexProbeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    writeIvfIndex(spark, sfDir, path)
+    probeIvfIndex(spark, path)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
     * candidates from the hyperplane-LSH buckets: only same-bucket
     * pairs are scored, so cost is Σ bucket² instead of n² — the shape
@@ -331,10 +381,35 @@ object Similarity {
        |  FROM embeddings CROSS JOIN planes
        |  GROUP BY vec_id, embedding)""".stripMargin
 
+  private lazy val sqlIvfTopK =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb
+       |  FROM embeddings WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ${sqlCos("e.embedding", "c.cent_emb")} AS cos_c
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC, cent_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+       |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+       |  FROM assigned q JOIN assigned e
+       |    ON e.cell = q.cell AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rank <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> bruteForceTopK _,
     "q_ann_lsh_topk" -> lshTopK _,
     "q_ann_ivf_topk" -> ivfTopK _,
+    "q_ann_ivf_index_probe" -> ivfIndexProbeTopK _,
     "q_ann_ivf_kmeans_topk" -> ivfKmeansTopK _,
     "q_ann_ivf_multiprobe" -> ivfMultiProbeTopK _,
     "q_embed_near_dup" -> embeddingNearDup _,
@@ -361,29 +436,11 @@ object Similarity {
          |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rank <= $K""".stripMargin,
-    "q_ann_ivf_topk" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cent_emb
-         |  FROM embeddings WHERE vec_id < $NumCells),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.cent_id,
-         |    ${sqlCos("e.embedding", "c.cent_emb")} AS cos_c
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cent_id AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_c DESC, cent_id ASC) AS rn
-         |    FROM scored)
-         |  WHERE rn = 1)
-         |SELECT query_id, neighbor_id, rank, cos FROM (
-         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
-         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
-         |  FROM assigned q JOIN assigned e
-         |    ON e.cell = q.cell AND e.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries)
-         |WHERE rank <= $K""".stripMargin,
+    "q_ann_ivf_topk" -> sqlIvfTopK,
+    // the on-disk partitioned index is a physical layout change only:
+    // the probe's results — and therefore its oracle — are exactly
+    // the in-memory IVF top-k
+    "q_ann_ivf_index_probe" -> sqlIvfTopK,
     "q_ann_ivf_multiprobe" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent_emb

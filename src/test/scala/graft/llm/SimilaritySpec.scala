@@ -155,4 +155,19 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall vs brute force at sf0.001: $recall%.3f " +
       f"(${buckets.values.toSet.size} buckets over ${buckets.size} vectors)")
   }
+
+  test("on-disk IVF index: probe is partition-pruned AND identical to in-memory top-k") {
+    val probe = Similarity.ivfIndexProbeTopK(spark, sf001)
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val want = Similarity.ivfTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == want, "index probe must be a pure physical-layout change")
+    // the corpus-side scan must carry a PartitionFilter on cell — the
+    // claim that a probe reads 1/NumCells of the index rests on it.
+    // (executedPlan inspected only after THIS DataFrame's execution.)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe scan should prune partitions on cell:\n$plan")
+  }
 }
