@@ -130,6 +130,15 @@ object Dedup {
       eager = false)
   }
 
+  /** The full 16-value MinHash signature serialized as one string —
+    * the est_jaccard = 1.0 collapse key that
+    * [[graft.streaming.DocStreams.minhashDedupStream]] keys its
+    * incremental state on. Empty/token-less docs serialize to "" and
+    * therefore collapse together, matching the batch window collapse.
+    */
+  private[graft] def signatureKey: Column =
+    concat_ws(",", transform(mhsOf(shingleArr), v => v.cast("string")))
+
   /** Exact dedup: md5 over whitespace-normalized lowercased text;
     * representative = min doc_id per group.
     */

@@ -146,6 +146,40 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(afterSecond == afterFirst, "re-run from checkpoint duplicated rows")
   }
 
+  test("doc dedup: incremental minhash-signature dedup equals the batch collapse") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val n = docs.map(_._1).max + 1
+    // byte-identical copies under higher ids, arriving a batch later:
+    // every one must be suppressed by state from the first batch
+    val dups = docs.map { case (id, t) => (id + n, t) }
+    val input = MemoryStream[(Long, String)]
+    val q = DocStreams.minhashDedupStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("parity_docdedup")
+      .outputMode("append").start()
+    input.addData(docs)
+    q.processAllAvailable()
+    input.addData(dups)
+    q.processAllAvailable()
+    val streamedRows = spark.table("parity_docdedup").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    q.stop()
+    assert(streamedRows.length == streamedRows.toSet.size,
+      "a signature must never be emitted twice")
+    // batch twin over originals + dups: collapse by the same full
+    // signature, keep the min doc_id
+    val batch = (docs ++ dups).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.Dedup.signatureKey.as("sig"))
+      .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(streamedRows.toSet == batch,
+      s"stream-only: ${(streamedRows.toSet -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamedRows.toSet).take(3)}")
+  }
+
   test("dedup: duplicated stream collapses to the batch-distinct event set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
