@@ -11,13 +11,17 @@ import graft.llm.PortableHash._
   * layout a 100 TB image/audio corpus uses in parquet. [[decode]]
   * dispatches on mime: image payloads get a REAL pixel decode via
   * `javax.imageio` (PNG/JPEG/BMP/GIF), audio payloads a REAL PCM
-  * decode via `javax.sound.sampled` (WAV/AIFF/AU) — both pure JVM,
-  * no external codec libs needed; video mimes fall back to the
-  * deterministic fake on [[decodeStub]] (those codecs are not in
-  * this container). Everything Spark-side — schema, batch shape,
+  * decode via `javax.sound.sampled` (WAV/AIFF/AU), video payloads a
+  * REAL Motion-JPEG decode ([[decodeVideo]]: RIFF/AVI chunk walk or
+  * concatenated-JPEG split, frames through imageio) — all pure JVM,
+  * no external codec libs; other codecs' video (H.264 etc.) has no
+  * JVM decoder in this container and correctly yields zero rows.
+  * Non-media mimes fall back to the deterministic fake on
+  * [[decodeStub]]. Everything Spark-side — schema, batch shape,
   * partition-parallel decode via `mapPartitions`, feature schema —
   * is real and tested on every path (MultimodalSpec decodes
-  * generated PNG/JPEG/WAV fixtures to known luminance/RMS features).
+  * generated PNG/JPEG/WAV/AVI fixtures to known luminance/RMS
+  * features).
   *
   * The test corpus has no binary table, so payloads derive from
   * `documents.text` bytes (UTF-8) — the plumbing is byte-faithful
@@ -50,10 +54,11 @@ object Multimodal {
   /** Mime-dispatching decoder: real pixels for image mimes (via
     * [[decodeImage]]), real PCM samples for audio mimes (via
     * [[decodeAudio]] — `javax.sound.sampled` reads WAV/AIFF/AU
-    * without external codec libraries), deterministic fake for
-    * everything else (video codecs are not in this container). One
-    * decode path per partition, streaming iterator, no driver
-    * collect — the batch shape a codec UDF needs at scale.
+    * without external codec libraries), real Motion-JPEG frames for
+    * video mimes (via [[decodeVideo]]), deterministic fake for
+    * non-media mimes. One decode path per partition, streaming
+    * iterator, no driver collect — the batch shape a codec UDF
+    * needs at scale.
     */
   def decode(media: Dataset[Media], nFrames: Int = 4): Dataset[FrameFeature] = {
     import media.sparkSession.implicits._
@@ -61,9 +66,85 @@ object Multimodal {
       it.flatMap { m =>
         if (m.mime.startsWith("image/")) decodeImage(m, nFrames)
         else if (m.mime.startsWith("audio/")) decodeAudio(m, nFrames)
+        else if (m.mime.startsWith("video/")) decodeVideo(m, nFrames)
         else fakeFrames(m, nFrames)
       }
     }
+  }
+
+  /** REAL video decode for the one family pure JVM can do — Motion
+    * JPEG: an AVI container is RIFF framing and its MJPEG frames are
+    * plain JPEGs inside 'movi' `##dc`/`##db` chunks, so a RIFF walk
+    * plus `javax.imageio` decodes it with no native codec; bare
+    * payloads are tried as (concatenated) JPEG, the M-JPEG-over-HTTP
+    * layout. `nFrames` frames are sampled evenly across the clip and
+    * ONLY the sampled frames are pixel-decoded (frame extraction is
+    * byte slicing); feature = whole-frame mean Rec.601 luma in [0,1],
+    * offset = the sampled frame's index in the clip. Unparseable
+    * payloads (or other codecs' AVIs, whose chunks won't start with
+    * a JPEG SOI) yield zero rows — same corrupt-drops contract as
+    * image/audio.
+    */
+  private[llm] def decodeVideo(m: Media, nFrames: Int): Iterator[FrameFeature] = {
+    val frames = mjpegFrames(m.payload)
+    val n = frames.length
+    if (n == 0) Iterator.empty
+    else (0 until math.min(nFrames, n)).iterator.flatMap { f =>
+      val idx = (n.toLong * f / nFrames).toInt
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(idx)))
+        catch { case _: java.io.IOException => null }
+      if (img == null) Iterator.empty
+      else Iterator.single(
+        FrameFeature(m.doc_id, f, idx.toLong, bandLuma(img, 0, img.getHeight)))
+    }
+  }
+
+  /** JPEG frame byte-ranges of an MJPEG payload: the 'movi' `##dc`/
+    * `##db` chunks of a RIFF AVI, or FFD8…FFD9 spans of a bare
+    * concatenated-JPEG stream. Pure byte slicing — no pixel work.
+    * Malformed framing stops the walk at the last well-formed chunk
+    * (partial media decodes partially, the corpus-scale contract).
+    */
+  private def mjpegFrames(p: Array[Byte]): Vector[Array[Byte]] = {
+    def cc(off: Int): String =
+      if (off + 4 > p.length) "" else new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def isJpeg(off: Int): Boolean =
+      off + 2 <= p.length && (p(off) & 0xff) == 0xff && (p(off + 1) & 0xff) == 0xd8
+    val out = Vector.newBuilder[Array[Byte]]
+    if (cc(0) == "RIFF" && cc(8) == "AVI ") {
+      def walk(start: Long, end: Long): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = cc(off.toInt)
+          val size = u32(off.toInt + 4)
+          val dataStart = off + 8
+          if (size < 0 || dataStart + size > end) return // malformed: stop
+          if (id == "LIST" || id == "RIFF") walk(dataStart + 4, dataStart + size)
+          else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))
+              && isJpeg(dataStart.toInt))
+            out += java.util.Arrays.copyOfRange(p, dataStart.toInt, (dataStart + size).toInt)
+          off = dataStart + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, p.length.toLong)
+    } else if (isJpeg(0)) {
+      // bare (concatenated) JPEG: split after each EOI marker — FFD9
+      // cannot appear raw inside entropy data (FF bytes are stuffed)
+      var start = 0
+      var i = 0
+      while (i + 1 < p.length) {
+        if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9) {
+          out += java.util.Arrays.copyOfRange(p, start, i + 2)
+          start = i + 2
+          i += 2
+        } else i += 1
+      }
+    }
+    out.result()
   }
 
   /** REAL audio decode: `javax.sound.sampled` parses the container
@@ -126,27 +207,32 @@ object Multimodal {
     if (img == null) Iterator.empty
     else {
       val h = img.getHeight
-      val w = img.getWidth
       (0 until math.min(nFrames, h)).iterator.map { f =>
         val y0 = (h.toLong * f / nFrames).toInt
         val y1 = math.max(y0 + 1, (h.toLong * (f + 1) / nFrames).toInt)
-        var sum = 0.0
-        var n = 0
-        var y = y0
-        while (y < y1) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000.0
-            n += 1
-            x += 1
-          }
-          y += 1
-        }
-        FrameFeature(m.doc_id, f, y0.toLong, sum / n / 255.0)
+        FrameFeature(m.doc_id, f, y0.toLong, bandLuma(img, y0, y1))
       }
     }
+  }
+
+  /** Mean Rec.601 luma of pixel rows [y0, y1), normalized to [0,1]. */
+  private def bandLuma(img: java.awt.image.BufferedImage, y0: Int, y1: Int): Double = {
+    val w = img.getWidth
+    var sum = 0.0
+    var n = 0
+    var y = y0
+    while (y < y1) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0
+        n += 1
+        x += 1
+      }
+      y += 1
+    }
+    sum / n / 255.0
   }
 
   /** Deterministic fake frames for mimes with no in-container codec

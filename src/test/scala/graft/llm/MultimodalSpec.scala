@@ -90,6 +90,67 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).feature == 0.0, s"silent half RMS: ${frames(1)}")
   }
 
+  /** A real (minimal) MJPEG AVI: RIFF framing with an hdrl list and
+    * a movi list of 00dc chunks, each chunk one JPEG frame.
+    */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, contents: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ contents)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def grayJpeg(level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
+    for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("real MJPEG/AVI video decode: sampled frames carry their gray levels") {
+    import spark.implicits._
+    // 8 frames at gray levels 16, 48, ..., 240: brightness encodes
+    // the frame index, so sampling is verifiable
+    val levels = (0 until 8).map(f => 16 + 28 * f)
+    val avi = mjpegAvi(levels.map(grayJpeg))
+    val media = Seq(Multimodal.Media(11L, avi, "video/x-msvideo", 16, 12)).toDS()
+    val frames = Multimodal.decode(media, nFrames = 4).collect().sortBy(_.frame)
+    assert(frames.length == 4)
+    // nFrames=4 over 8 frames samples indices 0, 2, 4, 6
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.offset == 2L * i, s"sampled wrong frame: $f")
+      val want = levels(2 * i) / 255.0
+      assert(math.abs(f.feature - want) < 0.05,
+        s"frame $i: luma ${f.feature}, want ~$want")
+    }
+  }
+
+  test("bare concatenated-JPEG payload decodes as M-JPEG; corrupt video drops") {
+    import spark.implicits._
+    val cat = grayJpeg(32) ++ grayJpeg(224)
+    val media = Seq(
+      Multimodal.Media(12L, cat, "video/mjpeg", 16, 12),
+      Multimodal.Media(13L, Array[Byte](0, 1, 2, 3), "video/mp4", 0, 0))
+      .toDS()
+    val frames = Multimodal.decode(media, nFrames = 2).collect()
+    val mine = frames.filter(_.doc_id == 12L).sortBy(_.frame)
+    assert(mine.length == 2)
+    assert(math.abs(mine(0).feature - 32 / 255.0) < 0.05)
+    assert(math.abs(mine(1).feature - 224 / 255.0) < 0.05)
+    assert(!frames.exists(_.doc_id == 13L), "undecodable video must yield zero rows")
+  }
+
   test("corrupt image payloads are dropped, non-image mimes use the fake path") {
     import spark.implicits._
     val media = Seq(
