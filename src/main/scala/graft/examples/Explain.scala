@@ -9,8 +9,8 @@ object Explain {
   private val Headline = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_top_customers", "q_dedup_minhash", "q_dedup_minhash_pairs",
-    "q_llm_contamination", "q_ann_ivf_topk", "q_embed_near_dup",
-    "q_llm_full_pipeline")
+    "q_dedup_cluster_stats", "q_llm_contamination", "q_ann_ivf_topk",
+    "q_ann_ivf_index_probe", "q_embed_near_dup", "q_llm_full_pipeline")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -30,9 +30,10 @@ object Explain {
           "the plan-shape claims in README/BASELINE: pushed filters, pruned\n" +
           "scans, broadcast dims, map-only per-doc work, no scale-hostile\n" +
           "joins. PlanAuditSpec asserts the load-bearing properties; this file\n" +
-          "is for human review. `Scan ExistingRDD` nodes are the checkpointed\n" +
-          "MinHash-signature intermediate (computed once, referenced three\n" +
-          "times — see Dedup.minhashLshPairs).\n")
+          "is for human review. `Scan ExistingRDD` nodes are staged\n" +
+          "intermediates (graft.Materialize; e.g. the collapse+signature\n" +
+          "table computed once and re-read by bands, est-joins, and the\n" +
+          "doc-to-representative expansion — see Dedup.sigTable).\n")
         Headline.foreach { q =>
           md.append(s"\n## $q\n\n```\n${planOf(q).trim}\n```\n")
         }
