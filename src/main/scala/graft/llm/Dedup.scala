@@ -162,8 +162,11 @@ object Dedup {
     * est_jaccard = match fraction across all 16 from a zip of the two
     * signature arrays.
     */
-  private def lshPairsOf(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
+  /** (doc_id, band, sig) band rows of a (doc_id, mhs) signature set:
+    * 8 bands × 2 signature values serialized per row.
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       posexplode(bind(col("mhs")) { mhs =>
         transform(sequence(lit(0), lit(7)), b => concat(
           (b * 2).cast("string"), lit(":"),
@@ -172,6 +175,9 @@ object Dedup {
           element_at(mhs, b * 2 + 2).cast("string")))
       }))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+
+  private def lshPairsOf(sigs: DataFrame): DataFrame = {
+    val bands = bandsOf(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
@@ -212,10 +218,13 @@ object Dedup {
     * union-find (one job, microseconds of CPU); larger graphs fall
     * back to distributed large-star/small-star. LSH banding over
     * collapsed representatives keeps real near-dup graphs far below
-    * this even at corpus scale — the pair count is O(distinct
-    * near-duplicate contents), not O(corpus).
+    * the default even at corpus scale — the pair count is O(distinct
+    * near-duplicate contents), not O(corpus). Tunable per session
+    * (`spark.graft.cc.maxDriverEdges`) so cluster deploys can size it
+    * to driver memory — and tests can force the distributed path.
     */
-  private val DriverCCMaxEdges = 1000000L
+  private def driverCCMaxEdges(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.cc.maxDriverEdges", "1000000").toLong
 
   /** Representative-level cluster labels (rep_doc, cluster) for the
     * collapsed near-dup graph at est_jaccard >= 0.5. Input `sigs`
@@ -232,7 +241,7 @@ object Dedup {
     // broadcast the label table ONLY on the small-graph path — the
     // distributed path exists precisely because labels may not fit
     // the driver, so it must shuffle-join
-    if (nEdges <= DriverCCMaxEdges) broadcast(driverUnionFind(spark, pairs))
+    if (nEdges <= driverCCMaxEdges(spark)) broadcast(driverUnionFind(spark, pairs))
     else largeSmallStarCC(pairs)
   }
 
@@ -286,6 +295,27 @@ object Dedup {
         sum(col("n_dups")).as("n_docs"),
         sum(col("grp_chars")).as("total_chars"))
   }
+
+  /** LSH band-bucket size histogram over representatives — the
+    * operational probe for "will the band self-join blow up": the
+    * candidate join costs Σ bucket², and this reports, per band and
+    * bucket size, how many buckets exist and how many candidate
+    * pairs they will emit. Run it BEFORE a giant dedup to size the
+    * job. It also guards the collapse invariant: identical documents
+    * can no longer inflate buckets, so a large bucket here is a
+    * genuinely near-duplicate content family, not boilerplate skew.
+    */
+  def bandBucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    bandsOf(sigTable(spark, sfDir)
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("mhs")))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("band"), col("bucket_size"), col("n_buckets"),
+        (expr("CAST(bucket_size * (bucket_size - 1) / 2 AS BIGINT)")
+          * col("n_buckets")).as("est_pairs"))
 
   /** Union-find over a collected edge list — exact min-label
     * components in one pass, for graphs that fit the driver.
@@ -437,15 +467,18 @@ object Dedup {
   /** Shared band + candidate-pair CTEs (used by the pairs and the
     * clusters oracles — keep them textually identical).
     */
-  private val sqlBandsCand =
+  private val sqlBands =
     """bands AS (
       |  SELECT doc_id, CAST(b AS INT) AS band,
       |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
-      |  FROM sigs CROSS JOIN range(0, 8) t(b)),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+      |  FROM sigs CROSS JOIN range(0, 8) t(b))""".stripMargin
+
+  private val sqlBandsCand =
+    s"""$sqlBands,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Shared CTE chain ending in `comp(doc, cluster)` over the
     * REPRESENTATIVE graph — reused by the clusters, near-keep, and
@@ -479,6 +512,7 @@ object Dedup {
     "q_dedup_simhash" -> simhash _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_cluster_stats" -> dedupClusterStats _,
+    "q_dedup_band_stats" -> bandBucketStats _,
     "q_dedup_keep" -> keepRepresentatives _,
     "q_dedup_near_keep" -> keepNearDupRepresentatives _,
     "q_jaccard_adjacent" -> jaccardAdjacent _,
@@ -503,6 +537,15 @@ object Dedup {
          |FROM cand
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin,
+    "q_dedup_band_stats" ->
+      s"""$sqlGrp,
+         |$sqlSigs,
+         |$sqlBands,
+         |buckets AS (
+         |  SELECT band, sig, count(*) AS bucket_size FROM bands GROUP BY band, sig)
+         |SELECT band, bucket_size, count(*) AS n_buckets,
+         |  CAST(bucket_size * (bucket_size - 1) / 2 AS BIGINT) * count(*) AS est_pairs
+         |FROM buckets GROUP BY band, bucket_size""".stripMargin,
     "q_dedup_clusters" ->
       // the recursive member (reach) requires the RECURSIVE keyword on
       // the single WITH that opens the chained CTE list

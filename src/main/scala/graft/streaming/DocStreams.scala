@@ -22,12 +22,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * band plus a doc-level vote; the batch path remains the reference
   * semantics for that.
   *
-  * Scale: state is one (signature → doc_id) entry per DISTINCT
-  * content ever seen — the same O(distinct) bound as the batch
-  * collapse. NoTimeout keeps suppression forever; a production
-  * deployment bounds storage with a ProcessingTimeTimeout TTL,
-  * trading recall of very-late duplicates (the watermark tradeoff
-  * [[EventStreams.dedupStream]] documents for events).
+  * Scale: [[minhashDedupStream]] state is one (signature → doc_id)
+  * entry per DISTINCT content ever seen — the same O(distinct) bound
+  * as the batch collapse, held forever. [[minhashDedupStreamTtl]] is
+  * the bounded-storage variant: an EVENT-time TTL evicts signatures
+  * unseen for `ttl`, so state holds only the recently-seen distinct
+  * contents and a very late duplicate is re-admitted — the explicit
+  * recall/storage trade. (Event time, not processing time, for the
+  * same reason the windowed aggregations use it: deterministic under
+  * replay and backfill, and timeouts that fire off the watermark
+  * terminate cleanly under AvailableNow/processAllAvailable, which a
+  * processing-time timeout never does — it demands a batch per clock
+  * tick forever.)
   */
 object DocStreams {
 
@@ -52,6 +58,48 @@ object DocStreams {
             val keep = rows.map(_._1).min
             state.update(keep)
             Iterator.single(KeptDoc(keep, sig))
+          }
+      }
+  }
+
+  /** TTL-bounded variant over a (doc_id, text, ts) frame: a
+    * signature's state expires when the watermark passes its last
+    * sighting + `ttl` (duplicate arrivals refresh the clock —
+    * eviction means "unseen for ttl", not "first seen ttl ago").
+    * `watermarkDelay` is the usual lateness allowance on `ts`.
+    */
+  def minhashDedupStreamTtl(docs: DataFrame, ttl: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    val ttlMs = ttl.toMillis
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), graft.llm.Dedup.signatureKey.as("sig"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (sig: String, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // one pass over the single-use iterator (bounded: this
+            // signature's rows within ONE micro-batch)
+            val rs = rows.toArray
+            val seen = rs.iterator.map(_._3.getTime).max
+            // a timeout timestamp must sit past the current watermark
+            // (a late straggler's ts+ttl may not)
+            val expiry = math.max(seen + ttlMs, state.getCurrentWatermarkMs + 1)
+            if (state.exists) {
+              state.setTimeoutTimestamp(expiry) // refresh on duplicate sighting
+              Iterator.empty
+            } else {
+              val keep = rs.iterator.map(_._1).min
+              state.update(keep) // state must exist before a timeout can be set
+              state.setTimeoutTimestamp(expiry)
+              Iterator.single(KeptDoc(keep, sig))
+            }
           }
       }
   }

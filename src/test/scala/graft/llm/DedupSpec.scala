@@ -92,6 +92,21 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (4L, false))
   }
 
+  test("band-bucket stats: per-band membership covers every representative") {
+    val rows = Dedup.bandBucketStats(spark, dupDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 4 representatives (doc 1 collapsed into 0): every band's buckets
+    // partition them, so sizes x counts sum to 4 per band
+    (0 until 8).foreach { b =>
+      val inBand = rows.filter(_._1 == b)
+      assert(inBand.map(r => r._2 * r._3).sum == 4L, s"band $b: $inBand")
+    }
+    // est_pairs is the candidate-join cost: n_buckets * size*(size-1)/2
+    rows.foreach { case (_, size, n, est) =>
+      assert(est == n * size * (size - 1) / 2)
+    }
+  }
+
   test("adjacent jaccard: dup pair = 1.0, case-variant and unrelated = 0.0") {
     val j = Dedup.jaccardAdjacent(spark, dupDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
