@@ -296,6 +296,40 @@ object Dedup {
         sum(col("grp_chars")).as("total_chars"))
   }
 
+  /** SimHash near-dup candidate pairs by the pigeonhole chunk trick:
+    * the 32-bit simhash splits into four 8-bit chunks, and any two
+    * hashes within Hamming distance 3 agree on at least one chunk
+    * (3 differing bits touch at most 3 of the 4), so an equi-join on
+    * (chunk_index, chunk_value) finds every such pair without an
+    * all-pairs scan — the same Σ bucket² cost shape as MinHash
+    * banding, over a 4× smaller band table. Exact-dup groups are
+    * pre-collapsed first (identical token streams share the simhash
+    * bit-for-bit, the same m² guard as [[minhashLshPairs]]). Output:
+    * (doc_a, doc_b, hamming ≤ 3) between representatives.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("th"))
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokenHash.as("th"),
+        graft.functions.Simhash.simhash(TextAnalysis.tokensCol).as("simhash"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("simhash"))
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("ci"),
+        ((col("simhash") >> (i * 8)).bitwiseAND(lit(255L))).as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   /** LSH band-bucket size histogram over representatives — the
     * operational probe for "will the band self-join blow up": the
     * candidate join costs Σ bucket², and this reports, per band and
@@ -510,6 +544,7 @@ object Dedup {
     "q_dedup_minhash" -> minhashSignatures _,
     "q_dedup_minhash_pairs" -> minhashLshPairs _,
     "q_dedup_simhash" -> simhash _,
+    "q_dedup_simhash_pairs" -> simhashPairs _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_cluster_stats" -> dedupClusterStats _,
     "q_dedup_band_stats" -> bandBucketStats _,
@@ -537,6 +572,28 @@ object Dedup {
          |FROM cand
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin,
+    "q_dedup_simhash_pairs" ->
+      s"""$sqlGrp,
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(ws, w -> CAST('0x' || substr(md5(w || '#sim'), 1, 15) AS BIGINT)) AS hs
+         |  FROM grp WHERE doc_id = rep),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 32), b ->
+         |      CASE WHEN list_sum(list_transform(hs,
+         |             h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM hs),
+         |chunks AS (
+         |  SELECT doc_id, simhash, CAST(i AS INT) AS ci,
+         |    (simhash >> (CAST(i AS INT) * 8)) & 255 AS cv
+         |  FROM sh CROSS JOIN range(0, 4) t(i))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_dedup_band_stats" ->
       s"""$sqlGrp,
          |$sqlSigs,

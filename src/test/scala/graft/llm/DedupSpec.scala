@@ -92,6 +92,22 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (4L, false))
   }
 
+  test("simhash pigeonhole pairs = exactly the rep pairs within hamming 3") {
+    val sh = Dedup.simhash(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // representatives: doc 1 collapses into 0 (identical token stream)
+    val reps = Seq(0L, 2L, 3L, 4L)
+    val expected = (for {
+      a <- reps; b <- reps if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashPairs(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got $got, want $expected")
+    assert(!got.exists(p => p._1 == 1L || p._2 == 1L), "doc 1 must be collapsed away")
+  }
+
   test("band-bucket stats: per-band membership covers every representative") {
     val rows = Dedup.bandBucketStats(spark, dupDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
