@@ -317,7 +317,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i => struct(lit(i).as("ci"),
-        ((col("simhash") >> (i * 8)).bitwiseAND(lit(255L))).as("cv"))): _*)).as("c"))
+        shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)).as("cv"))): _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
     chunks.as("a")
       .join(chunks.as("b"),
