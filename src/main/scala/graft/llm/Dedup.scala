@@ -431,6 +431,25 @@ object Dedup {
       .unionAll(edges.select(col("v").as("doc_id"), col("v").as("cluster")).distinct())
   }
 
+  /** [[dedupClusters]] with the driver union-find disabled, forcing
+    * the large/small-star distributed path — the same labels by
+    * construction (both re-point only toward neighborhood minima),
+    * registered as its own query so the oracle gate exercises the
+    * 100 TB code path, not just the small-graph shortcut. The CC
+    * branch is chosen eagerly (the staged pair count), so the conf
+    * flip can be scoped to construction and restored after.
+    */
+  def dedupClustersDistributed(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.graft.cc.maxDriverEdges"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try dedupClusters(spark, sfDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The deduplicated corpus itself — the rows a pipeline ships:
     * keep the min-doc_id representative of each exact-dup group.
     */
@@ -546,6 +565,7 @@ object Dedup {
     "q_dedup_simhash" -> simhash _,
     "q_dedup_simhash_pairs" -> simhashPairs _,
     "q_dedup_clusters" -> dedupClusters _,
+    "q_dedup_clusters_dist" -> dedupClustersDistributed _,
     "q_dedup_cluster_stats" -> dedupClusterStats _,
     "q_dedup_band_stats" -> bandBucketStats _,
     "q_dedup_keep" -> keepRepresentatives _,
@@ -606,6 +626,14 @@ object Dedup {
     "q_dedup_clusters" ->
       // the recursive member (reach) requires the RECURSIVE keyword on
       // the single WITH that opens the chained CTE list
+      s"""$sqlCompChain
+         |SELECT g.doc_id, COALESCE(c.cluster, g.rep) AS cluster,
+         |  COALESCE(c.cluster, g.rep) <> g.doc_id AS is_dup
+         |FROM grp g LEFT JOIN comp c ON g.rep = c.doc""".stripMargin
+        .replaceFirst("WITH ", "WITH RECURSIVE "),
+    // identical oracle: the distributed path must produce the exact
+    // same min-label components as the driver union-find
+    "q_dedup_clusters_dist" ->
       s"""$sqlCompChain
          |SELECT g.doc_id, COALESCE(c.cluster, g.rep) AS cluster,
          |  COALESCE(c.cluster, g.rep) <> g.doc_id AS is_dup

@@ -89,5 +89,18 @@ class ScaleSmokeSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(stats(0L)._2 == m, s"cluster 0 should weight $m docs, got ${stats(0L)}")
     assert(stats(0L)._1 == 1L, "the identical group is ONE representative")
+
+    // the simhash chunk join shares the pre-collapse: identical docs
+    // share the simhash bit-for-bit, so without it the group fills all
+    // four 8-bit chunk buckets and emits the same 5*10^7 pairs (every
+    // pair at hamming 0 passes the <= 3 filter — the filter is no
+    // guard). With the collapse, candidates stay O(distinct contents).
+    val t1 = System.nanoTime()
+    val nSimPairs = Dedup.simhashPairs(spark, dir).count()
+    val simSecs = (System.nanoTime() - t1) / 1e9
+    info(f"simhash pigeonhole pairs: $nSimPairs, in $simSecs%.1f s")
+    assert(nSimPairs < 1000,
+      s"simhash pre-collapse failed: $nSimPairs pairs from one identical " +
+        "group + 50 distinct docs")
   }
 }

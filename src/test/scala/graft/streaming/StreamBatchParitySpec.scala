@@ -180,6 +180,50 @@ class StreamBatchParitySpec extends SparkSpec {
         s"batch-only: ${(batch -- streamedRows.toSet).take(3)}")
   }
 
+  test("doc dedup TTL: real corpus — fresh dups suppressed, evicted sigs re-admitted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val n = docs.map(_._1).max + 1
+    val t0 = 1_700_000_000_000L
+    def at(minutes: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(t0 + minutes * 60000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStreams
+      .minhashDedupStreamTtl(input.toDS().toDF("doc_id", "text", "ts"),
+        ttl = java.time.Duration.ofHours(1), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("parity_docdedup_ttl")
+      .outputMode("append").start()
+    // wave 1: the whole corpus at 00:00 — distinct signatures emit
+    input.addData(docs.map { case (id, t) => (id, t, at(0)) })
+    q.processAllAvailable()
+    // wave 2 at 00:30, inside the 1 h TTL: every copy suppressed
+    input.addData(docs.map { case (id, t) => (id + n, t, at(30)) })
+    q.processAllAvailable()
+    // clock doc at 05:00 pushes the watermark past every 01:30 expiry
+    input.addData((-1L, "watermark advancing clock document", at(300)))
+    q.processAllAvailable()
+    // wave 3 at 05:30, after eviction: the corpus re-admits wholesale
+    input.addData(docs.map { case (id, t) => (id + 2 * n, t, at(330)) })
+    q.processAllAvailable()
+    val streamed = spark.table("parity_docdedup_ttl")
+      .filter(col("doc_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    // batch twin: the min-doc_id signature collapse, once per
+    // surviving wave (wave 2 leaves no trace — suppression is total)
+    val collapse = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.Dedup.signatureKey.as("sig"))
+      .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    val expected = (collapse ++ collapse.map { case (id, s) => (id + 2 * n, s) }).toSet
+    assert(streamed == expected,
+      s"stream-only: ${(streamed -- expected).take(3)}; " +
+        s"expected-only: ${(expected -- streamed).take(3)}")
+  }
+
   test("dedup: duplicated stream collapses to the batch-distinct event set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
