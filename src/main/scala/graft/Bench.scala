@@ -47,17 +47,21 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       // a query that failed in ANY rep is reported failed, not timed
-      (name, times.map(_._1).min, times.forall(_._2))
+      (name, times.map(_._1).min, times.forall(_._2), times.head._1)
     }
     // a crashed query must not silently improve the total: it is
     // omitted from `queries` (so sum(queries) == value always holds)
     // and surfaced by name in `failed`
-    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, true, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    // total_rep1 = sum of FIRST-rep times: directly comparable to the
+    // single-rep sampling earlier rounds reported, so the min-of-n
+    // switch doesn't break round-over-round continuity
+    val totalRep1 = results.collect { case (_, _, true, f) => f }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_rep1":$totalRep1,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
