@@ -182,6 +182,63 @@ object TextAnalysis {
       .withColumn("is_low_entropy",
         coalesce(col("deflate_ratio") < 0.3 && col("n_bytes") >= 200, lit(false)))
 
+  /** TF-IDF top-5 keyword extraction per document. IDF is kept in
+    * rational form (`N / df`, no logarithm) so every score is a single
+    * correctly-rounded IEEE division of exact integers — bit-identical
+    * across engines, unlike `ln()` whose last ulp is libm-specific.
+    * Ranking is totally ordered by (score desc, token asc).
+    *
+    * Scale: the three shuffles are each necessary and each minimal —
+    * tf on (doc_id, token) with map-side combine, df as a second
+    * combine over the already-collapsed tf table (never the raw token
+    * stream), the final top-k on doc_id. N arrives as a broadcast
+    * one-row aggregate, not a driver action.
+    */
+  def tfidfTopK(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), explode(tokensCol).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfTab, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Unigram commonness score: the tf-weighted mean corpus probability
+    * of a document's tokens, `sum_t c(t) / (n_tokens * T)` — the
+    * no-logarithm stand-in for unigram-LM perplexity filtering (CCNet
+    * style): gibberish and rare-token-stuffed docs score near 0,
+    * stopword prose scores high. The numerator is an exact BIGINT sum
+    * (order-free), the final division a single IEEE op — deterministic
+    * cross-engine where a log-perplexity would not be.
+    *
+    * Scale: count table built once on the collapsed token key, joined
+    * back token-level (the general shape when the vocabulary outgrows
+    * a broadcast), re-aggregated per doc; T broadcast as one row.
+    */
+  def commonness(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), explode(tokensCol).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t_total"))
+    tok.join(counts, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("mass"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("mass"),
+        (col("mass").cast("double") / (col("n_tokens") * col("t_total")))
+          .as("commonness"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_lang_id" -> langId _,
     "q_llm_quality" -> qualityScore _,
@@ -191,6 +248,8 @@ object TextAnalysis {
     "q_llm_repetition" -> repetition _,
     "q_llm_vocab" -> vocabulary _,
     "q_llm_compression" -> compressionSignal _,
+    "q_llm_tfidf" -> ((s: SparkSession, d: String) => tfidfTopK(s, d)),
+    "q_llm_commonness" -> commonness _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -260,5 +319,35 @@ object TextAnalysis {
         |  WHERE length(token) > 0
         |  GROUP BY token)
         |ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+    "q_llm_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |dft AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+         |    CAST(tf.tf AS DOUBLE) * n.n_docs / dft.df AS tfidf
+         |  FROM tf JOIN dft USING (token) CROSS JOIN n)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk,
+         |  token, tf, df, tfidf
+         |FROM scored
+         |QUALIFY rk <= 5""".stripMargin,
+    "q_llm_commonness" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         |counts AS (
+         |  SELECT token, count(*) AS c FROM tok GROUP BY token),
+         |total AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM counts),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS mass
+         |  FROM tok JOIN counts USING (token) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, mass,
+         |  CAST(mass AS DOUBLE) / (n_tokens * t_total) AS commonness
+         |FROM perdoc CROSS JOIN total""".stripMargin,
   )
 }

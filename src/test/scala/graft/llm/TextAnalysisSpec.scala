@@ -72,6 +72,44 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tfidf + commonness: hand-computed values on a planted 3-doc corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    Seq(
+      (0L, "common common rare0"),
+      (1L, "common rare1"),
+      (2L, "common rare1 rare1"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("web").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // df(common)=3, df(rare0)=1, df(rare1)=2, N=3
+    val tfidf = TextAnalysis.tfidfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(5))).toMap
+    assert(tfidf((0L, 1L)) == ("rare0", 3.0))   // 1*3/1
+    assert(tfidf((0L, 2L)) == ("common", 2.0))  // 2*3/3
+    assert(tfidf((1L, 1L)) == ("rare1", 1.5))   // 1*3/2
+    assert(tfidf((2L, 1L)) == ("rare1", 3.0))   // 2*3/2
+    assert(tfidf((2L, 2L)) == ("common", 1.0))
+
+    // c(common)=4, c(rare0)=1, c(rare1)=3, T=8
+    val com = TextAnalysis.commonness(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(com(0L) == ((3L, 9L, 9.0 / 24)))
+    assert(com(1L) == ((2L, 7L, 7.0 / 16)))
+    assert(com(2L) == ((3L, 10L, 10.0 / 24)))
+  }
+
+  test("commonness over the corpus: scores in (0,1], rare-heavy below stopword prose") {
+    val rows = TextAnalysis.commonness(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c > 0.0 && c <= 1.0, s"commonness out of range: $r")
+    }
+  }
+
   test("vocabulary: top-k rows, counts non-increasing, ties broken by token") {
     val rows = TextAnalysis.vocabulary(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1)))
