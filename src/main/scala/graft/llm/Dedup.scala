@@ -404,24 +404,38 @@ object Dedup {
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
+      // Two jobs per round: each star's "did anything move" count
+      // rides the staging action as an observed metric instead of a
+      // separate count() job, and each staged frame is the ONE frame
+      // the next step reads twice.
       // large-star
+      val lObs = org.apache.spark.sql.Observation()
       val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       val lmin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ljoin = Materialize.stage(
-        sym.join(lmin, "u").filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"), col("u").as("prev")))
-      val largeChanged = ljoin.filter(col("v") =!= col("prev")).count()
-      val ls = ljoin.select(col("u"), col("v"))
-        .filter(col("u") =!= col("v")).distinct()
+      val ljoin = sym.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"), col("u").as("prev"))
+        .observe(lObs, coalesce(sum(when(col("v") =!= col("prev"), 1L).otherwise(0L)), lit(0L)).as("changed"))
+      // ls is read twice below (grouped min + join) — stage it, and
+      // fold the changed-count observation into the same action
+      val ls = Materialize.stage(ljoin.select(col("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct())
+      val largeChanged = lObs.get("changed").asInstanceOf[Long]
       // small-star (ls is oriented u > v, so all neighbors are smaller)
+      val sObs = org.apache.spark.sql.Observation()
       val smin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val sjoin = Materialize.stage(ls.join(smin, "u"))
-      val smallChanged = sjoin.filter(col("v") =!= col("m")).count()
-      val ss = sjoin.select(col("v").as("u"), col("m").as("v"))
-        .unionAll(smin.select(col("u"), col("m").as("v")))
+      val sjoin = ls.join(smin, "u")
+        .observe(sObs, coalesce(sum(when(col("v") =!= col("m"), 1L).otherwise(0L)), lit(0L)).as("changed"))
+      // one pass over the join: each row re-points its neighbor AND
+      // re-emits its center edge; distinct collapses the per-row
+      // duplicate centers the old two-branch union read sjoin twice for
+      val ss = sjoin.select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
         .filter(col("u") =!= col("v")).distinct()
       edges = Materialize.stage(ss)
+      val smallChanged = sObs.get("changed").asInstanceOf[Long]
       converged = largeChanged == 0 && smallChanged == 0
       round += 1
     }
