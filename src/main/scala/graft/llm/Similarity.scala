@@ -349,6 +349,53 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Per-vector symmetric int8 scalar quantization:
+    * `scale = 127 / max|v_i|`, `q_i = floor(v_i * scale + 0.5)` —
+    * `floor(x + 0.5)` rather than `round()` because half-up-vs-half-
+    * even at exact .5 is engine-specific while floor is IEEE-exact
+    * everywhere. The scale is bound once per row (HOF binding rule).
+    */
+  private def sq8Col(emb: Column): Column =
+    bind(emb) { e =>
+      bind(lit(127.0) / array_max(transform(e, v => abs(v.cast("double"))))) { scale =>
+        transform(e, v => floor(v.cast("double") * scale + lit(0.5)))
+      }
+    }
+
+  /** Exact integer dot product of two int8-quantized arrays — a
+    * BIGINT fold, order-free and engine-exact (≤ 64·127² ≈ 10⁶,
+    * nowhere near overflow).
+    */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** SQ8 (int8 scalar-quantized) brute-force top-k: the storage-scale
+    * ANN path — 4 bytes/dim float32 becomes 1 byte/dim, the distance
+    * kernel becomes an exact integer dot, and only the final
+    * normalization touches floats (sqrt and division are correctly
+    * rounded per IEEE 754, so even this approximate score is
+    * bit-reproducible cross-engine — unlike a float32 accumulation).
+    * Quantized arrays and norms are computed once per vector in a
+    * projection, not per candidate pair. Recall vs the exact baseline
+    * is asserted in SimilaritySpec.
+    */
+  def sq8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), sq8Col(col("embedding")).as("q8"))
+      .withColumn("sn", sqrt(idot(col("q8"), col("q8")).cast("double")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq8"), col("sn").as("qsn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    e.select(col("vec_id").as("neighbor_id"), col("q8"), col("sn"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        idot(col("qq8"), col("q8")).cast("double") / (col("qsn") * col("sn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("qcos"))
+  }
+
   // ---- oracle SQL ----------------------------------------------------
 
   /** Ordered-reduce cosine between two FLOAT[] SQL expressions —
@@ -412,6 +459,7 @@ object Similarity {
     "q_ann_ivf_index_probe" -> ivfIndexProbeTopK _,
     "q_ann_ivf_kmeans_topk" -> ivfKmeansTopK _,
     "q_ann_ivf_multiprobe" -> ivfMultiProbeTopK _,
+    "q_ann_sq8_topk" -> sq8TopK _,
     "q_embed_near_dup" -> embeddingNearDup _,
   )
 
@@ -437,6 +485,32 @@ object Similarity {
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rank <= $K""".stripMargin,
     "q_ann_ivf_topk" -> sqlIvfTopK,
+    "q_ann_sq8_topk" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, embedding,
+         |    127.0 / list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+         |  FROM embeddings),
+         |sq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      v -> floor(CAST(v AS DOUBLE) * scale + 0.5)) AS q8
+         |  FROM sc),
+         |nrm AS (
+         |  SELECT vec_id, q8,
+         |    sqrt(CAST(list_sum(list_transform(q8, v -> CAST(v * v AS BIGINT))) AS DOUBLE)) AS sn
+         |  FROM sq)
+         |SELECT query_id, neighbor_id, rank, qcos FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY CAST(list_sum(list_transform(list_zip(q.q8, e.q8),
+         |          p -> CAST(p[1] * p[2] AS BIGINT))) AS DOUBLE) / (q.sn * e.sn) DESC,
+         |        e.vec_id ASC) AS rank,
+         |    CAST(list_sum(list_transform(list_zip(q.q8, e.q8),
+         |        p -> CAST(p[1] * p[2] AS BIGINT))) AS DOUBLE) / (q.sn * e.sn) AS qcos
+         |  FROM nrm q JOIN nrm e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rank <= $K""".stripMargin,
     // the on-disk partitioned index is a physical layout change only:
     // the probe's results — and therefore its oracle — are exactly
     // the in-memory IVF top-k

@@ -34,6 +34,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8 top-k: int8 quantization keeps high recall vs the exact baseline") {
+    val bf = Similarity.bruteForceTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(spark, sf001).collect()
+    val byQuery = sq.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NumQueries)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to Similarity.K))
+      rs.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    }
+    val recall = sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(bf).size.toDouble / bf.size
+    info(f"SQ8 recall vs brute force at sf0.001: $recall%.3f")
+    // int8 keeps ~7 significant bits per dim — the scan is the same
+    // brute force, only the scores are quantized, so recall should be
+    // near-perfect, not LSH-like
+    assert(recall >= 0.8, f"SQ8 recall $recall%.3f below 0.8")
+  }
+
   test("IVF top-k: every vector assigned to exactly one cell; recall reported") {
     val assigned = Similarity.ivfAssign(spark, sf001)
     val n = graft.Tables.embeddings(spark, sf001).count()

@@ -104,7 +104,8 @@ class PlanAuditSpec extends SparkSpec {
     // these operators — a failure means a refactor silently degraded
     // a join into O(n^2).
     val boundedBuildSide =
-      Set("q_ann_topk", "q_above_avg_balance", "q_llm_tfidf", "q_llm_commonness")
+      Set("q_ann_topk", "q_ann_sq8_topk", "q_above_avg_balance",
+        "q_llm_tfidf", "q_llm_commonness")
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
