@@ -198,7 +198,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
     val tok = docs.select(col("doc_id"), explode(tokensCol).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // staged: df derives from tf and the join reads tf again — without
+    // this the token explode + (doc_id, token) shuffle runs twice
+    // (Catalyst can't reuse the exchange: the df branch prunes the
+    // count, so the subtrees differ)
+    val tf = graft.Materialize.stage(
+      tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")),
+      eager = false)
     val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
