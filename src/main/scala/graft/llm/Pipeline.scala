@@ -19,11 +19,16 @@ import graft.Tables
   */
 object Pipeline {
 
-  def trainingPrep(spark: SparkSession, sfDir: String): DataFrame = {
-    val scrubbed = Tables.documents(spark, sfDir)
+  /** Stateless scrub + quality-gate stage over a (doc_id, lang, text)
+    * frame — pure projections and filters, so the SAME code runs on a
+    * batch DataFrame and a streaming one
+    * ([[graft.streaming.DocStreams.prepStream]] reuses it verbatim;
+    * parity asserted in StreamBatchParitySpec).
+    */
+  private[graft] def scrubGate(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         TextAnalysis.scrubCol(col("text")).as("clean"))
-    val gated = scrubbed
       .withColumn("toks", filter(split(col("clean"), " "), w => length(w) > 0))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_punct",
@@ -31,6 +36,9 @@ object Pipeline {
       .filter(col("n_tokens") >= 5
         && when(length(col("clean")) > 0,
           col("n_punct").cast("double") / length(col("clean"))) <= lit(0.2))
+
+  def trainingPrep(spark: SparkSession, sfDir: String): DataFrame = {
+    val gated = scrubGate(Tables.documents(spark, sfDir))
     // observe(): per-stage row counters surface in QueryExecution
     // metrics (SparkListener/observedMetrics) without extra actions —
     // free pipeline observability at any scale

@@ -62,6 +62,39 @@ object DocStreams {
       }
   }
 
+  case class PrepDoc(doc_id: Long, lang: String, n_tokens: Int)
+
+  /** Streaming ingest prep: the batch pipeline's stateless
+    * scrub + quality gate ([[graft.llm.Pipeline.scrubGate]], reused
+    * VERBATIM — one set of semantics, two execution modes) composed
+    * with incremental first-wins exact dedup keyed on the same
+    * normalized content hash the batch window collapse uses. The
+    * output is the deduplicated, gated document stream a continuous
+    * corpus ingest would append to the training store.
+    *
+    * Scale: the stateless stages are per-row (no watermark needed);
+    * dedup state is one (hash → doc_id) entry per distinct surviving
+    * content — the same O(distinct) bound as the batch collapse.
+    */
+  def prepStream(docs: DataFrame): Dataset[PrepDoc] = {
+    import docs.sparkSession.implicits._
+    graft.llm.Pipeline.scrubGate(docs)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        md5(lower(col("clean"))).as("h"))
+      .as[(Long, String, Int, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(Long, String, Int, String)],
+            state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(_._1)
+            state.update(first._1)
+            Iterator.single(PrepDoc(first._1, first._2, first._3))
+          }
+      }
+  }
+
   /** TTL-bounded variant over a (doc_id, text, ts) frame: a
     * signature's state expires when the watermark passes its last
     * sighting + `ttl` (duplicate arrivals refresh the clock —

@@ -180,6 +180,47 @@ class StreamBatchParitySpec extends SparkSpec {
         s"batch-only: ${(batch -- streamedRows.toSet).take(3)}")
   }
 
+  test("prep stream: scrub+gate+dedup ingest equals the batch pipeline's kept set") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, base)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val n = docs.map(_._1).max + 1
+    val dups = docs.map { case (id, l, t) => (id + n, l, t) }
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocStreams
+      .prepStream(input.toDS().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("parity_prep")
+      .outputMode("append").start()
+    input.addData(docs)
+    q.processAllAvailable()
+    input.addData(dups)   // byte-identical copies a batch later: all suppressed
+    q.processAllAvailable()
+    val streamed = spark.table("parity_prep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    q.stop()
+    assert(streamed.map(_._1).distinct.length == streamed.length)
+    // batch twin over the SAME union corpus, through the same stages
+    val dir = java.nio.file.Files.createTempDirectory("prep").toString
+    (docs ++ dups).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("text"), col("lang"),
+        lit("web").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.llm.Pipeline.scrubGate(graft.Tables.documents(spark, dir))
+      .withColumn("h", md5(lower(col("clean"))))
+      .withColumn("keep", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id").asc)) === 1)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("lang"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(streamed.toSet == batch,
+      s"stream-only: ${(streamed.toSet -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed.toSet).take(3)}")
+  }
+
   test("doc dedup TTL: real corpus — fresh dups suppressed, evicted sigs re-admitted") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
