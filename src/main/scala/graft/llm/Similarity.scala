@@ -129,7 +129,7 @@ object Similarity {
   /** Deterministic init: the first [[NumCells]] vectors, as plain
     * float arrays (16 rows — a bounded collect at any corpus size).
     */
-  private[llm] def firstNCentroids(e: DataFrame): Array[Array[Float]] =
+  private[graft] def firstNCentroids(e: DataFrame): Array[Array[Float]] =
     e.filter(col("vec_id") < NumCells)
       .select(col("vec_id"), col("embedding"))
       .collect()
@@ -144,7 +144,7 @@ object Similarity {
     * max (1-based), so ties resolve to the lowest cent_id, matching
     * the oracle's (cos DESC, cent_id ASC) rank.
     */
-  private[llm] def assignWith(e: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+  private[graft] def assignWith(e: DataFrame, cents: Array[Array[Float]]): DataFrame = {
     // zero centroids (empty corpus): array() types as array<null> and
     // the argmax expression fails ANALYSIS — emit a null cell instead
     // (there are no rows to assign anyway)

@@ -123,6 +123,33 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("IVF index stream: two-wave incremental build probes identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/testdata/sf0.001"
+    val ebatch = graft.Tables.embeddings(spark, base)
+    val cents = graft.llm.Similarity.firstNCentroids(ebatch)
+    val vecs = ebatch.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val mid = vecs.length / 2
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EmbeddingStreams.ivfIndexStream(
+      input.toDS().toDF("vec_id", "embedding"), cents,
+      s"$dir/idx", s"$dir/ckpt")
+    input.addData(vecs.take(mid))    // initial index build
+    q.processAllAvailable()
+    input.addData(vecs.drop(mid))    // later arrivals append into cells
+    q.processAllAvailable()
+    q.stop()
+    val probed = graft.llm.Similarity.probeIvfIndex(spark, s"$dir/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val batch = graft.llm.Similarity.ivfTopK(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(probed == batch,
+      s"probe-only: ${(probed -- batch).take(3)}; batch-only: ${(batch -- probed).take(3)}")
+  }
+
   test("exactly-once sink: a re-run from the same checkpoint adds nothing") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("eos").toString
