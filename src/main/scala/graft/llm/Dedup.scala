@@ -491,6 +491,67 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Cross-corpus dedup — the production INCREMENTAL mode: a new
+    * batch (here `source = batchSource`) is deduplicated AGAINST the
+    * existing reference corpus (every other source) rather than
+    * within itself. Per batch document: `is_exact` iff its global
+    * exact-group contains a reference doc (identical token streams);
+    * `near_ref`/`near_est` give the best (est desc, ref asc)
+    * reference representative within est_jaccard ≥ 0.5 found by a
+    * band join BETWEEN the two rep sets; `drop` is the combined
+    * verdict a pipeline would anti-join on.
+    *
+    * Scale: reuses the staged global collapse ([[sigTable]]) — both
+    * sides pre-collapsed, so a boilerplate group on either side is
+    * one band row, and the cross join cost is Σ bucket_B·bucket_R
+    * over distinct contents. The reference text never moves; only
+    * rep signatures meet the batch in the shuffle.
+    */
+  def crossCorpusDedup(spark: SparkSession, sfDir: String,
+      batchSource: String = "src0"): DataFrame = {
+    val st = sigTable(spark, sfDir)
+    val mem = st.select(col("doc_id"), col("rep"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val bmem = mem.filter(col("source") === batchSource)
+    val rrep = mem.filter(col("source") =!= batchSource)
+      .select(col("rep")).distinct()
+    val repSig = st.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("mhs"))
+    val bsig = repSig.join(
+      bmem.select(col("rep").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val rsig = repSig.join(
+      rrep.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val cand = bandsOf(bsig).as("a")
+      .join(bandsOf(rsig).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("brep"), col("b.doc_id").as("rref"))
+      .distinct()
+    val w = Window.partitionBy(col("brep"))
+      .orderBy(col("near_est").desc, col("rref").asc)
+    val best = cand
+      .join(repSig.select(col("doc_id").as("brep"), col("mhs").as("mhs_a")), "brep")
+      .join(repSig.select(col("doc_id").as("rref"), col("mhs").as("mhs_b")), "rref")
+      .select(col("brep"), col("rref"),
+        (size(filter(zip_with(col("mhs_a"), col("mhs_b"), (x, y) => x === y),
+          b => b)) / 16.0).as("near_est"))
+      .filter(col("near_est") >= 0.5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("brep"), col("rref").as("near_ref"), col("near_est"))
+    bmem
+      .join(rrep.withColumnRenamed("rep", "xrep")
+          .withColumn("is_exact", lit(true)),
+        col("rep") === col("xrep"), "left")
+      .join(best, col("rep") === col("brep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact"), lit(false)).as("is_exact"),
+        col("near_ref"), col("near_est"))
+      .withColumn("is_drop",
+        col("is_exact") || col("near_est").isNotNull)
+  }
+
   /** Exact n-gram Jaccard between consecutive doc ids: a doc-level
     * self-join (n rows, broadcastable) with per-row array
     * intersection — no shingle-level shuffle.
@@ -534,11 +595,13 @@ object Dedup {
   /** Shared band + candidate-pair CTEs (used by the pairs and the
     * clusters oracles — keep them textually identical).
     */
-  private val sqlBands =
-    """bands AS (
-      |  SELECT doc_id, CAST(b AS INT) AS band,
-      |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
-      |  FROM sigs CROSS JOIN range(0, 8) t(b))""".stripMargin
+  private def sqlBandsOver(from: String, name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id, CAST(b AS INT) AS band,
+       |    (b*2) || ':' || mhs[b*2 + 1] || ',' || (b*2+1) || ':' || mhs[b*2 + 2] AS sig
+       |  FROM $from CROSS JOIN range(0, 8) t(b))""".stripMargin
+
+  private val sqlBands = sqlBandsOver("sigs", "bands")
 
   private val sqlBandsCand =
     s"""$sqlBands,
@@ -584,6 +647,7 @@ object Dedup {
     "q_dedup_band_stats" -> bandBucketStats _,
     "q_dedup_keep" -> keepRepresentatives _,
     "q_dedup_near_keep" -> keepNearDupRepresentatives _,
+    "q_dedup_cross" -> ((s: SparkSession, d: String) => crossCorpusDedup(s, d)),
     "q_jaccard_adjacent" -> jaccardAdjacent _,
   )
 
@@ -688,6 +752,44 @@ object Dedup {
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents
         |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
+    "q_dedup_cross" ->
+      s"""$sqlGrp,
+         |$sqlSigs,
+         |bmem AS (
+         |  SELECT g.doc_id, g.rep FROM grp g
+         |  JOIN documents d ON d.doc_id = g.doc_id WHERE d.source = 'src0'),
+         |rrep AS (
+         |  SELECT DISTINCT g.rep FROM grp g
+         |  JOIN documents d ON d.doc_id = g.doc_id WHERE d.source <> 'src0'),
+         |bsig AS (
+         |  SELECT s.doc_id, s.mhs FROM sigs s
+         |  WHERE s.doc_id IN (SELECT DISTINCT rep FROM bmem)),
+         |rsig AS (
+         |  SELECT s.doc_id, s.mhs FROM sigs s
+         |  WHERE s.doc_id IN (SELECT rep FROM rrep)),
+         |${sqlBandsOver("bsig", "bandsb")},
+         |${sqlBandsOver("rsig", "bandsr")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS brep, b.doc_id AS rref
+         |  FROM bandsb a JOIN bandsr b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id <> b.doc_id),
+         |est AS (
+         |  SELECT brep, rref,
+         |    len(list_filter(list_zip(sa.mhs, sb.mhs), p -> p[1] = p[2])) / 16.0 AS near_est
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = brep
+         |  JOIN sigs sb ON sb.doc_id = rref),
+         |best AS (
+         |  SELECT brep, rref AS near_ref, near_est FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY brep
+         |      ORDER BY near_est DESC, rref ASC) AS rn
+         |    FROM est WHERE near_est >= 0.5)
+         |  WHERE rn = 1)
+         |SELECT m.doc_id,
+         |  m.rep IN (SELECT rep FROM rrep) AS is_exact,
+         |  b.near_ref, b.near_est,
+         |  (m.rep IN (SELECT rep FROM rrep)) OR b.near_est IS NOT NULL AS is_drop
+         |FROM bmem m LEFT JOIN best b ON m.rep = b.brep""".stripMargin,
     "q_jaccard_adjacent" ->
       s"""$sqlShArr
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -131,6 +131,26 @@ object Pipeline {
     when(col("lang") === l, lit(r)).otherwise(acc)
   }
 
+  /** Exact per-source quota sampling — the complement of the
+    * rate-gated [[sampleMix]]: take EXACTLY `quota` documents per
+    * source (fewer iff the source is smaller), chosen by a
+    * deterministic hash order (h60(doc_id # "quota"), doc_id
+    * tiebreak) — re-run-stable, engine-portable, no RNG. The window
+    * top-k per source is the one shuffle; WindowGroupLimit pushes the
+    * per-partition limit below the exchange, so at 100 TB each
+    * partition forwards at most `quota` rows per source.
+    */
+  def quotaSample(spark: SparkSession, sfDir: String, quota: Int = 10): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        PortableHash.h60(concat(col("doc_id").cast("string"), lit("#quota")))
+          .as("hk"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("hk").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("source"), col("lang"), col("rk"))
+
   def sampleMix(spark: SparkSession, sfDir: String): DataFrame = {
     val rate = rateCol
     Tables.documents(spark, sfDir)
@@ -219,6 +239,7 @@ object Pipeline {
     "q_llm_split" -> trainValSplit _,
     "q_llm_contamination" -> contamination _,
     "q_llm_sample_mix" -> sampleMix _,
+    "q_llm_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,6 +349,14 @@ object Pipeline {
          |  min(doc_id) AS first_doc
          |FROM ch GROUP BY lang""".stripMargin
     },
+    "q_llm_quota_sample" ->
+      s"""SELECT doc_id, source, lang, rk FROM (
+         |  SELECT doc_id, source, lang,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${PortableHash.sqlH60("CAST(doc_id AS VARCHAR) || '#quota'")} ASC,
+         |        doc_id ASC) AS BIGINT) AS rk
+         |  FROM documents)
+         |WHERE rk <= 10""".stripMargin,
     "q_llm_sample_mix" -> {
       val rateCase = "CASE lang " +
         MixRates.toSeq.sortBy(_._1).map { case (l, r) => s"WHEN '$l' THEN $r" }

@@ -123,6 +123,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus dedup: exact, near, and keep verdicts on a planted batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val fresh = "entirely new content never seen in the reference corpus at all today ok"
+    val other = "completely different content about spark query engines and shuffles here"
+    val dir = java.nio.file.Files.createTempDirectory("crossdocs").toString
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),   // exact dup of ref 10
+      (1L, near, "en", "src0", near.length.toLong),   // near dup of base
+      (2L, fresh, "en", "src0", fresh.length.toLong), // genuinely new
+      (10L, base, "en", "src1", base.length.toLong),
+      (11L, other, "en", "src1", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.crossCorpusDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(4)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), "one verdict per batch doc")
+    assert(got(0L)._1 && got(0L)._3, s"doc 0 must be an exact cross-dup: ${got(0L)}")
+    assert(!got(1L)._1 && got(1L)._2 == Some(0L) && got(1L)._3,
+      s"doc 1 must near-match the base group's rep: ${got(1L)}")
+    assert(got(2L) == ((false, None, false)), s"doc 2 must be kept: ${got(2L)}")
+  }
+
   test("adjacent jaccard: dup pair = 1.0, case-variant and unrelated = 0.0") {
     val j = Dedup.jaccardAdjacent(spark, dupDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap

@@ -59,4 +59,22 @@ class PipelineSpec extends SparkSpec {
     val total = a.values.sum
     assert(train.toDouble / total > 0.85 && train.toDouble / total < 0.99)
   }
+
+  test("quota sample: exactly min(10, |source|) docs per source, deterministic") {
+    def run() = Pipeline.quotaSample(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val rows = run()
+    val bySrc = rows.groupBy(_._2)
+    val sizes = graft.Tables.documents(spark, sf001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      assert(bySrc.get(s).map(_.length.toLong).getOrElse(0L) == math.min(10L, n),
+        s"source $s: quota violated")
+    }
+    bySrc.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length), "ranks must be 1..n")
+    }
+    assert(rows.toSet == run().toSet, "hash-ordered sampling must be re-run-stable")
+  }
 }
