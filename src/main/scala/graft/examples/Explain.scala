@@ -10,7 +10,8 @@ object Explain {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_top_customers", "q_dedup_minhash", "q_dedup_minhash_pairs",
     "q_dedup_cluster_stats", "q_llm_contamination", "q_ann_ivf_topk",
-    "q_ann_ivf_index_probe", "q_embed_near_dup", "q_llm_full_pipeline")
+    "q_ann_ivf_index_probe", "q_embed_near_dup", "q_llm_full_pipeline",
+    "q_dedup_cross", "q_llm_tfidf", "q_ann_sq8_topk", "q_llm_quota_sample")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
