@@ -491,6 +491,57 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Containment pairs — the truncated-page signal exact Jaccard
+    * misses: a clipped copy of a long document shares ALL its shingles
+    * with the original but its symmetric Jaccard can sit well under a
+    * dedup threshold, so it survives near-dup removal. Containment is
+    * the asymmetric ratio |A∩B| / |A|: ~1.0 for the clipped side.
+    *
+    * Candidates do NOT come from the minhash bands — a subset's
+    * banded signature agrees with its superset's with probability
+    * only ~(|A|/|B|)² per band, exactly the low-jaccard regime this
+    * query exists for. Instead each document probes its MINIMUM
+    * shingle hash against a full shingle inverted index: if A ⊆ B
+    * then A's min shingle is in B by definition, so every full
+    * containment is found with probability 1 (and cont ≥ 0.9 with
+    * ~0.9). Output rows are oriented (doc_a = contained candidate,
+    * doc_b = container) with exact containment ≥ 0.9 and the exact
+    * jaccard alongside.
+    *
+    * Scale: the inverted index is one shingle-level shuffle (the
+    * wordcount shape) over REPRESENTATIVES; each doc contributes ONE
+    * probe, and min-hashes spread uniformly, so posting lists hit by
+    * probes are not df-skewed the way common-shingle lists are. Only
+    * candidate pairs ever see the shingle arrays.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = sigTable(spark, sfDir)
+    val sh = shArrTable(spark, sfDir)
+      .join(st.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val hsh = sh.select(col("doc_id"), col("sh"),
+      transform(col("sh"), s => h60(s)).as("hs"))
+    val probes = hsh.select(col("doc_id").as("doc_a"),
+      array_min(col("hs")).as("mh"))
+    val idx = hsh.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
+    val cand = probes
+      .join(idx, col("mh") === col("h") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("containment"),
+        (col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("containment") >= 0.9)
+  }
+
   /** Cross-corpus dedup — the production INCREMENTAL mode: a new
     * batch (here `source = batchSource`) is deduplicated AGAINST the
     * existing reference corpus (every other source) rather than
@@ -648,6 +699,7 @@ object Dedup {
     "q_dedup_keep" -> keepRepresentatives _,
     "q_dedup_near_keep" -> keepNearDupRepresentatives _,
     "q_dedup_cross" -> ((s: SparkSession, d: String) => crossCorpusDedup(s, d)),
+    "q_dedup_containment" -> containmentPairs _,
     "q_jaccard_adjacent" -> jaccardAdjacent _,
   )
 
@@ -752,6 +804,26 @@ object Dedup {
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents
         |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
+    "q_dedup_containment" ->
+      s"""$sqlGrp,
+         |hsh AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, s -> ${sqlH60("s")}) AS hs
+         |  FROM sharr),
+         |probes AS (SELECT doc_id AS doc_a, list_min(hs) AS mh FROM hsh),
+         |idx AS (SELECT doc_id AS doc_b, unnest(hs) AS h FROM hsh),
+         |cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM probes
+         |  JOIN idx ON mh = h AND doc_a <> doc_b)
+         |SELECT doc_a, doc_b, containment, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM cand
+         |  JOIN sharr a ON a.doc_id = doc_a
+         |  JOIN sharr b ON b.doc_id = doc_b)
+         |WHERE containment >= 0.9""".stripMargin,
     "q_dedup_cross" ->
       s"""$sqlGrp,
          |$sqlSigs,

@@ -349,6 +349,18 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** IVF cell-size histogram — the operational sizing probe for the
+    * index: probe cost is proportional to the probed cell's size, so
+    * a skewed cell distribution means skewed probe latency (and a
+    * candidate for more centroids or multi-probe). Run it BEFORE
+    * building a giant index, the way [[Dedup.bandBucketStats]] sizes
+    * the band join. One map-only assignment pass + one tiny agg.
+    */
+  def ivfCellStats(spark: SparkSession, sfDir: String): DataFrame =
+    ivfAssign(spark, sfDir)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+
   /** Per-vector symmetric int8 scalar quantization:
     * `scale = 127 / max|v_i|`, `q_i = floor(v_i * scale + 0.5)` —
     * `floor(x + 0.5)` rather than `round()` because half-up-vs-half-
@@ -428,8 +440,8 @@ object Similarity {
        |  FROM embeddings CROSS JOIN planes
        |  GROUP BY vec_id, embedding)""".stripMargin
 
-  private lazy val sqlIvfTopK =
-    s"""WITH cents AS (
+  private lazy val sqlIvfAssigned =
+    s"""cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_emb
        |  FROM embeddings WHERE vec_id < $NumCells),
        |scored AS (
@@ -441,7 +453,10 @@ object Similarity {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_c DESC, cent_id ASC) AS rn
        |    FROM scored)
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+
+  private lazy val sqlIvfTopK =
+    s"""WITH $sqlIvfAssigned
        |SELECT query_id, neighbor_id, rank, cos FROM (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.vec_id
@@ -460,6 +475,7 @@ object Similarity {
     "q_ann_ivf_kmeans_topk" -> ivfKmeansTopK _,
     "q_ann_ivf_multiprobe" -> ivfMultiProbeTopK _,
     "q_ann_sq8_topk" -> sq8TopK _,
+    "q_ann_cell_stats" -> ivfCellStats _,
     "q_embed_near_dup" -> embeddingNearDup _,
   )
 
@@ -485,6 +501,10 @@ object Similarity {
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rank <= $K""".stripMargin,
     "q_ann_ivf_topk" -> sqlIvfTopK,
+    "q_ann_cell_stats" ->
+      s"""WITH $sqlIvfAssigned
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM assigned GROUP BY cell""".stripMargin,
     "q_ann_sq8_topk" ->
       s"""WITH sc AS (
          |  SELECT vec_id, embedding,

@@ -123,6 +123,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment: a truncated copy scores ~1.0 despite low jaccard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40-token original; the clip keeps the first 14 tokens (12 of 38
+    // shingles -> jaccard ~0.3, under the 0.5 near-dup bar)
+    val full = (1 to 40).map(i => s"tok${i * 13}").mkString(" ")
+    val clip = (1 to 14).map(i => s"tok${i * 13}").mkString(" ")
+    val other = "completely unrelated text about engines and plans and shuffles again"
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq(
+      (0L, full, "en", "web", full.length.toLong),
+      (1L, clip, "en", "web", clip.length.toLong),
+      (2L, other, "en", "web", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // the min-shingle probe GUARANTEES a fully-contained doc pairs
+    // with its container: (contained=1, container=0)
+    assert(got.contains((1L, 0L)), s"truncation pair missing: ${got.keySet}")
+    val (cont, jac) = got((1L, 0L))
+    assert(cont == 1.0, s"clip side must be fully contained: $cont")
+    assert(jac < 0.5, s"jaccard alone must miss this: $jac")
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc must not pair")
+  }
+
   test("cross-corpus dedup: exact, near, and keep verdicts on a planted batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
