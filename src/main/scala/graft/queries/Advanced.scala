@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, RangeJoin, Skew}
 
 /** Advanced composed operators as oracle-checked queries: as-of join
   * and skew-salted aggregation.
@@ -26,6 +26,27 @@ object Advanced {
       .agg(max(col("value")).as("err_value"))
       .select(col("user_id"), col("err_ts"), col("err_value"))
     AsOfJoin.asof(purchases, errors, "user_id", "ts", "err_ts")
+  }
+
+  /** Every purchase inside the 5-minute window after an error of the
+    * same user — a point-in-interval range join, bin-bucketed so the
+    * physical plan is a SortMergeJoin on (user_id, time-bin) instead
+    * of the nested loop the raw inequality predicate would force
+    * (oracle: the plain DuckDB inequality join).
+    */
+  def rangeJoinErrorWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val win = 300000000L // 5 min in micros = interval length = bin width
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"),
+        unix_micros(col("ts")).as("lo_us"),
+        (unix_micros(col("ts")) + win).as("hi_us"))
+    RangeJoin.pointInInterval(purchases, errors, "user_id",
+        "p_us", "lo_us", "hi_us", win)
+      .select(col("user_id"), col("event_id"), col("ts"), col("err_ts"))
   }
 
   /** Event counts via the two-stage salted aggregation — result
@@ -96,6 +117,7 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofPurchaseError _,
+    "q_range_join" -> rangeJoinErrorWindow _,
     "q_salted_count" -> saltedTypeCount _,
     "q_window_analytics" -> windowAnalytics _,
     "q_edit_distance" -> editDistanceAdjacent _,
@@ -113,6 +135,15 @@ object Advanced {
         |                FROM events WHERE event_type = 'error'
         |                GROUP BY user_id, ts) e
         |  ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.user_id, p.event_id, p.ts, e.err_ts
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts AS err_ts FROM events
+        |      WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND p.ts >= e.err_ts
+        | AND p.ts <= e.err_ts + INTERVAL 5 MINUTE""".stripMargin,
     "q_salted_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
     "q_window_analytics" ->
