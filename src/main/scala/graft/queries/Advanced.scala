@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin, Skew}
+import graft.operators.{AsOfJoin, Bucketed, RangeJoin, Skew}
 
 /** Advanced composed operators as oracle-checked queries: as-of join
   * and skew-salted aggregation.
@@ -115,9 +115,33 @@ object Advanced {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
   }
 
+  /** Lineitem–orders revenue per priority over storage-bucketed
+    * copies of both tables: the join reads matching buckets directly
+    * and plans with NO Exchange before the aggregation (the oracle is
+    * the same join on the raw parquet — bucketing must not change a
+    * single value, only the physical plan).
+    */
+  def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Bucketed.write(spark, Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_orders_bkt", "o_orderkey", 8)
+    Bucketed.write(spark, Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")),
+      "graft_lineitem_bkt", "l_orderkey", 8)
+    Bucketed.colocatedJoin(spark, "graft_lineitem_bkt", "graft_orders_bkt",
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        graft.Exact.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        graft.Exact.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofPurchaseError _,
     "q_range_join" -> rangeJoinErrorWindow _,
+    "q_bucketed_join" -> bucketedJoinRevenue _,
     "q_salted_count" -> saltedTypeCount _,
     "q_window_analytics" -> windowAnalytics _,
     "q_edit_distance" -> editDistanceAdjacent _,
@@ -144,6 +168,13 @@ object Advanced {
         |  ON p.user_id = e.user_id
         | AND p.ts >= e.err_ts
         | AND p.ts <= e.err_ts + INTERVAL 5 MINUTE""".stripMargin,
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority,
+         |  ${graft.Exact.sqlRevenue("l_extendedprice", "l_discount")} AS revenue,
+         |  ${graft.Exact.sqlDsum("l_quantity")} AS sum_qty,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     "q_salted_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
     "q_window_analytics" ->

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class BucketedSpec extends SparkSpec {
+
+  private lazy val written: Unit = {
+    Bucketed.write(spark, Tables.orders(spark, sf001)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "spec_orders_bkt", "o_orderkey", 4)
+    Bucketed.write(spark, Tables.lineitem(spark, sf001)
+        .select(col("l_orderkey"), col("l_quantity")),
+      "spec_lineitem_bkt", "l_orderkey", 4)
+  }
+
+  private def joined = {
+    written
+    Bucketed.colocatedJoin(spark, "spec_lineitem_bkt", "spec_orders_bkt",
+      "l_orderkey", "o_orderkey")
+  }
+
+  test("co-located join plans with zero Exchange") {
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"unexpected shuffle in:\n$phys")
+    assert(phys.contains("SortMergeJoin"))
+    assert(phys.contains("Bucketed: true"))
+  }
+
+  test("bucketing changes the plan, not the values") {
+    val expected = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .join(Tables.orders(spark, sf001)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(
+        sum(col("l_quantity").cast("long")).as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = joined
+      .groupBy(col("o_orderpriority")).agg(
+        sum(col("l_quantity").cast("long")).as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("rewrite over a stale leftover location succeeds (overwrite path)") {
+    Bucketed.write(spark, Tables.orders(spark, sf001)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "spec_orders_bkt", "o_orderkey", 4)
+    assert(spark.table("spec_orders_bkt").count() ==
+      Tables.orders(spark, sf001).count())
+  }
+}
