@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sequence packing for training batches — the concat-and-chunk
+  * scheme GPT-style pretraining uses: documents in a fixed order form
+  * one virtual token stream that is cut into `budget`-token context
+  * windows ("packs"); a document belongs to the pack where it STARTS
+  * (straddling the boundary is allowed, exactly like a sample
+  * straddling two context windows).
+  *
+  * The hard part at scale is the global running token count. A global
+  * window (`Window.orderBy` with no partition) funnels 100 TB through
+  * ONE task; instead [[exclusivePrefixSum]] runs the textbook
+  * distributed two-pass prefix sum, made deterministic by
+  * partitioning on arithmetic ranges of the order key
+  * (`key div binWidth`) rather than `repartitionByRange`, whose
+  * sampled boundaries can differ between the partials pass and the
+  * final pass (two actions = two RDD ids = two sample seeds).
+  * Movement: one hash shuffle of the rows + a driver collect of ONE
+  * partial sum per bin — with binWidth sized for ~10k rows/bin that
+  * is a few MB of offsets at 100 TB.
+  */
+object Pack {
+
+  /** Global exclusive running sum of `valueCol` in `orderCol` order
+    * (first row gets 0), without a global window.
+    *
+    * @param orderCol non-negative integral column, UNIQUE per row —
+    *                 ties would make the running sum order-dependent
+    * @param binWidth order-key range per partition bin; the driver
+    *                 holds one offset per bin
+    */
+  def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val spark = df.sparkSession
+    val binned = df.withColumn("_bin", expr(s"$orderCol div $binWidth"))
+    val partials = binned.groupBy(col("_bin"))
+      .agg(sum(col(valueCol).cast("long")).as("_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // exclusive offsets: bin i starts at the sum of all earlier bins
+    val offsets = partials.map(_._1)
+      .zip(partials.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("_bin", "_off")
+    val w = Window.partitionBy(col("_bin")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned.join(broadcast(offDf), "_bin")
+      .withColumn(outCol,
+        coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L)) + col("_off"))
+      .drop("_bin", "_off")
+  }
+
+  /** Tokens per context window for the registered packing query. */
+  val DefaultBudget = 2048L
+
+  /** Per-document pack assignment over the documents table: doc_id
+    * order, whitespace tokens (the shared [[TextAnalysis.tokensCol]]
+    * tokenizer), pack = start-offset div budget.
+    */
+  def packAssignments(spark: SparkSession, sfDir: String,
+      budget: Long = DefaultBudget): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokensCol).cast("long").as("n_tokens"))
+    exclusivePrefixSum(docs, "doc_id", "n_tokens", "start_tok", 1000L)
+      .withColumn("pack_id", expr(s"start_tok div $budget"))
+  }
+
+  /** Pack-level stats: how full each context window is and which doc
+    * range feeds it — the operational readout for choosing a budget
+    * (packs much smaller than `budget` mean wasted context; the last
+    * pack is legitimately short).
+    */
+  def packStats(spark: SparkSession, sfDir: String): DataFrame =
+    packAssignments(spark, sfDir)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pack" -> packStats _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${TextAnalysis.sqlTokens}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT start_tok // $DefaultBudget AS pack_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc
+         |FROM s GROUP BY 1""".stripMargin,
+  )
+}
