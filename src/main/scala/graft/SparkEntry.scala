@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.Advanced.queries ++
     graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
     graft.llm.Similarity.queries ++ graft.llm.Multimodal.queries ++
-    graft.llm.Pipeline.queries ++ graft.llm.Pack.queries
+    graft.llm.Pipeline.queries ++ graft.llm.Pack.queries ++
+    graft.llm.TrainOrder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -54,5 +55,6 @@ object SparkEntry {
     graft.queries.Advanced.oracles ++
     graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++
     graft.llm.Similarity.oracles ++ graft.llm.Multimodal.oracles ++
-    graft.llm.Pipeline.oracles ++ graft.llm.Pack.oracles
+    graft.llm.Pipeline.oracles ++ graft.llm.Pack.oracles ++
+    graft.llm.TrainOrder.oracles
 }

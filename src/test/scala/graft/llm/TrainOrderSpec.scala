@@ -1,0 +1,45 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TrainOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf001).select(col("doc_id"))
+
+  test("same seed replays the identical order; a new seed re-deals") {
+    val a = TrainOrder.shuffled(docs, "doc_id", "s1", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = TrainOrder.shuffled(docs, "doc_id", "s1", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val c = TrainOrder.shuffled(docs, "doc_id", "s2", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("(shard, pos) is a bijection onto the corpus") {
+    val rows = TrainOrder.shuffled(docs, "doc_id", "s1", 4)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(r => (r._2, r._3)).distinct.length == rows.length)
+    assert(rows.map(_._1).toSet == docs.as[Long].collect().toSet)
+    // positions within each shard are 1..shardSize with no gaps
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("shards are load-balanced within 3x of each other") {
+    val sizes = TrainOrder.shuffled(docs, "doc_id", "s1", 4)
+      .groupBy("shard").count().as[(Long, Long)].collect().map(_._2)
+    assert(sizes.length == 4)
+    assert(sizes.max <= 3 * sizes.min)
+  }
+
+  test("the order is not the identity (it actually shuffles)") {
+    val inOrder = TrainOrder.shuffled(docs, "doc_id", "s1", 1)
+      .orderBy("pos").as[(Long, Long, Long)].collect().map(_._1)
+    assert(inOrder.toSeq != inOrder.sorted.toSeq)
+  }
+}
