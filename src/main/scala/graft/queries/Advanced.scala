@@ -124,11 +124,11 @@ object Advanced {
   def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     Bucketed.write(spark, Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_orders_bkt", "o_orderkey", 8)
+      "graft_orders_bkt", "o_orderkey", 8, sfDir)
     Bucketed.write(spark, Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount")),
-      "graft_lineitem_bkt", "l_orderkey", 8)
+      "graft_lineitem_bkt", "l_orderkey", 8, sfDir)
     Bucketed.colocatedJoin(spark, "graft_lineitem_bkt", "graft_orders_bkt",
         "l_orderkey", "o_orderkey")
       .groupBy(col("o_orderpriority"))

@@ -8,10 +8,10 @@ class BucketedSpec extends SparkSpec {
   private lazy val written: Unit = {
     Bucketed.write(spark, Tables.orders(spark, sf001)
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "spec_orders_bkt", "o_orderkey", 4)
+      "spec_orders_bkt", "o_orderkey", 4, sf001)
     Bucketed.write(spark, Tables.lineitem(spark, sf001)
         .select(col("l_orderkey"), col("l_quantity")),
-      "spec_lineitem_bkt", "l_orderkey", 4)
+      "spec_lineitem_bkt", "l_orderkey", 4, sf001)
   }
 
   private def joined = {
@@ -43,10 +43,26 @@ class BucketedSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("rewrite over a stale leftover location succeeds (overwrite path)") {
+  test("same-fingerprint write is a no-op (steady-state skip)") {
+    written
+    val full = Tables.orders(spark, sf001).count()
+    // a 1-row df with the SAME fingerprint must be ignored
+    Bucketed.write(spark, Tables.orders(spark, sf001)
+        .select(col("o_orderkey"), col("o_orderpriority")).limit(1),
+      "spec_orders_bkt", "o_orderkey", 4, sf001)
+    assert(spark.table("spec_orders_bkt").count() == full)
+  }
+
+  test("a changed fingerprint forces the rewrite (overwrite path)") {
+    written
+    Bucketed.write(spark, Tables.orders(spark, sf001)
+        .select(col("o_orderkey"), col("o_orderpriority")).limit(7),
+      "spec_orders_bkt", "o_orderkey", 4, sf001 + "#v2")
+    assert(spark.table("spec_orders_bkt").count() == 7)
+    // restore for other tests in this suite (order-independent)
     Bucketed.write(spark, Tables.orders(spark, sf001)
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "spec_orders_bkt", "o_orderkey", 4)
+      "spec_orders_bkt", "o_orderkey", 4, sf001)
     assert(spark.table("spec_orders_bkt").count() ==
       Tables.orders(spark, sf001).count())
   }
