@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.PortableHash.{h60, sqlH60}
+
+/** Repeated-span (boilerplate) detection — the exact-substring dedup
+  * signal of Lee et al.'s "Deduplicating Training Data Makes Language
+  * Models Better": a fixed-length token window that recurs across
+  * documents is boilerplate (headers, footers, license blurbs,
+  * navigation chrome) that set-level MinHash can't see because it
+  * judges whole documents, not spans.
+  *
+  * The reference's wordcount shape (`worker.go:104-110` map → hash
+  * shuffle → `worker.go:155-169` grouped reduce) generalized to
+  * 8-token windows, with one scale-critical twist: the count shuffle
+  * is keyed on the 60-bit hash of the span, NOT the span string. An
+  * 8-token span averages ~50 bytes and there are ~|tokens| of them,
+  * so shuffling strings moves the whole corpus ~7×; shuffling
+  * (hash, doc_id) moves 16 bytes a span. The winning spans' strings
+  * are recovered afterwards by a second map-only pass filtered with a
+  * broadcast IN-list of the k winning hashes — at 100 TB that's a
+  * full rescan, but a cheap one (no shuffle, pushdown-friendly), and
+  * it touches k=50 groups instead of re-shuffling a corpus of text.
+  */
+object Boilerplate {
+
+  /** Spans seen in ≥ `minDocs` distinct documents, top `k` by
+    * (document frequency, occurrence count), ties broken on the span
+    * hash for a deterministic cut. Documents shorter than `n` tokens
+    * contribute nothing.
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 8, k: Int = 50,
+      minDocs: Int = 2): DataFrame = {
+    val spans = docs.select(col("doc_id"),
+      explode(graft.functions.Ngrams.ngrams(TextAnalysis.tokensCol, n))
+        .as("span"))
+    val hashed = spans.select(col("doc_id"), col("span"),
+      h60(col("span")).as("h"))
+    val top = hashed.select(col("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("h").asc)
+      .limit(k)
+    val strings = hashed
+      .join(broadcast(top.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("span")).as("span"))
+    top.join(strings, Seq("h"))
+      .select(col("span"), col("n_docs"), col("n_occ"))
+  }
+
+  def spansQuery(spark: SparkSession, sfDir: String): DataFrame =
+    repeatedSpans(Tables.documents(spark, sfDir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_spans" -> spansQuery _,
+  )
+
+  /** Mirror: DuckDB slices `ws[i : i + 7]` (inclusive) over
+    * `range(1, len - 6)` = the same 8-token windows as
+    * [[graft.functions.Ngrams]]; the hash-group / string-recovery
+    * split is mirrored exactly so the deterministic top-k cut agrees.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_dedup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TextAnalysis.sqlTokens} AS ws FROM documents),
+         |spans AS (
+         |  SELECT doc_id, span, ${sqlH60("span")} AS h FROM (
+         |    SELECT doc_id,
+         |      unnest(CASE WHEN len(ws) >= 8
+         |        THEN list_transform(range(1, len(ws) - 6),
+         |               i -> array_to_string(ws[i : i + 7], ' '))
+         |        ELSE [] END) AS span
+         |    FROM toks)),
+         |top AS (
+         |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM spans GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |  ORDER BY n_docs DESC, n_occ DESC, h ASC LIMIT 50)
+         |SELECT s.span, t.n_docs, t.n_occ
+         |FROM top t JOIN (SELECT h, min(span) AS span FROM spans
+         |                 GROUP BY h) s USING (h)""".stripMargin,
+  )
+}

@@ -81,6 +81,26 @@ object TextAnalysis {
             + when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, 0.3).otherwise(0.0)
             + when(col("punct_ratio") <= 0.1, 0.2).otherwise(0.0)))
 
+  /** SQL mirror of [[qualityScore]] as a full SELECT over
+    * `documents` — the q_llm_quality oracle, and reused as a CTE by
+    * every oracle that consumes the quality score (curriculum).
+    */
+  lazy val sqlQualityTable: String =
+    s"""SELECT doc_id, n_tokens, n_chars, n_punct, n_stop,
+       |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+       |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+       |  CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
+       |    CAST(n_stop AS DOUBLE) / n_tokens * 0.5
+       |    + CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END
+       |    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.2 ELSE 0.0 END
+       |  END AS quality
+       |FROM (SELECT doc_id,
+       |        len($sqlTokens) AS n_tokens,
+       |        length(text) AS n_chars,
+       |        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |        ${sqlScore("en")} AS n_stop
+       |      FROM documents)""".stripMargin
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs | digit runs | single non-alnum marks).
     */
@@ -268,21 +288,7 @@ object TextAnalysis {
          |       WHEN ${sqlScore("es")} >= ${sqlScore("fr")} THEN 'es'
          |       ELSE 'fr' END AS detected
          |FROM documents""".stripMargin,
-    "q_llm_quality" ->
-      s"""SELECT doc_id, n_tokens, n_chars, n_punct, n_stop,
-         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
-         |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
-         |  CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
-         |    CAST(n_stop AS DOUBLE) / n_tokens * 0.5
-         |    + CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END
-         |    + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 0.2 ELSE 0.0 END
-         |  END AS quality
-         |FROM (SELECT doc_id,
-         |        len($sqlTokens) AS n_tokens,
-         |        length(text) AS n_chars,
-         |        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-         |        ${sqlScore("en")} AS n_stop
-         |      FROM documents)""".stripMargin,
+    "q_llm_quality" -> sqlQualityTable,
     "q_llm_token_count" ->
       s"""SELECT doc_id,
          |  len($sqlTokens) AS ws_tokens,

@@ -49,8 +49,47 @@ object TrainOrder {
     shuffled(Tables.documents(spark, sfDir).select(col("doc_id")),
       "doc_id", "epoch42", 8)
 
+  /** Curriculum bucketing: split the corpus into quality quartiles
+    * (histogram-equalized — each bucket gets ~25% of the docs no
+    * matter how skewed the score distribution), then order
+    * pseudorandomly WITHIN each bucket, so a trainer can feed
+    * easy/clean buckets first and ramp.
+    *
+    * Scale shape: the only global computation is one exact
+    * interpolated-percentile aggregate (3 doubles to the driver);
+    * bucketing is then a broadcast of those 3 thresholds into a
+    * map-only CASE, and the per-bucket (hash, doc_id) row_number
+    * windows run in parallel across buckets. No global sort, no
+    * single-task ntile window — the classic curriculum trap at
+    * corpus scale.
+    *
+    * Null quality (empty docs) coalesces to 0.0 → bucket 1; bucket 4
+    * is the highest-quality quartile. Ties AT a threshold land in the
+    * lower bucket on both engines (identical doubles, `<=` on both
+    * sides).
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), coalesce(col("quality"), lit(0.0)).as("q"))
+    val thresholds = q.agg(
+      expr("percentile(q, array(0.25, 0.5, 0.75))").as("ts"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("_ok").asc, col("doc_id").asc)
+    q.crossJoin(broadcast(thresholds))
+      .withColumn("bucket",
+        when(col("q") <= col("ts").getItem(0), 1L)
+          .when(col("q") <= col("ts").getItem(1), 2L)
+          .when(col("q") <= col("ts").getItem(2), 3L)
+          .otherwise(4L))
+      .withColumn("_ok",
+        PortableHash.h60(col("doc_id").cast("string"), lit("curriculum")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("q"), col("bucket"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_shuffle" -> shuffleDocs _,
+    "q_llm_curriculum" -> curriculum _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,5 +102,21 @@ object TrainOrder {
          |  row_number() OVER (PARTITION BY ok % 8
          |                     ORDER BY ok ASC, doc_id ASC) AS pos
          |FROM h""".stripMargin,
+    "q_llm_curriculum" ->
+      s"""WITH qual AS (
+         |  SELECT doc_id, COALESCE(quality, 0.0) AS q
+         |  FROM (${TextAnalysis.sqlQualityTable})),
+         |ts AS (
+         |  SELECT quantile_cont(q, [0.25, 0.5, 0.75]) AS t FROM qual),
+         |b AS (
+         |  SELECT doc_id, q,
+         |    CASE WHEN q <= t[1] THEN 1 WHEN q <= t[2] THEN 2
+         |         WHEN q <= t[3] THEN 3 ELSE 4 END AS bucket,
+         |    ${PortableHash.sqlH60("CAST(doc_id AS VARCHAR) || '#' || 'curriculum'")} AS ok
+         |  FROM qual, ts)
+         |SELECT doc_id, q, CAST(bucket AS BIGINT) AS bucket,
+         |  row_number() OVER (PARTITION BY bucket
+         |                     ORDER BY ok ASC, doc_id ASC) AS pos
+         |FROM b""".stripMargin,
   )
 }

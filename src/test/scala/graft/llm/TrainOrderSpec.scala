@@ -42,4 +42,28 @@ class TrainOrderSpec extends SparkSpec {
       .orderBy("pos").as[(Long, Long, Long)].collect().map(_._1)
     assert(inOrder.toSeq != inOrder.sorted.toSeq)
   }
+
+  test("curriculum buckets are quality-monotone quartiles") {
+    val rows = TrainOrder.curriculum(spark, sf001)
+      .as[(Long, Double, Long, Long)].collect()
+    val n = docs.count()
+    assert(rows.length == n)
+    val byBucket = rows.groupBy(_._3)
+    assert(byBucket.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    // histogram-equalized: every bucket within 2x of n/4 (ties at a
+    // threshold can shift mass down a bucket)
+    byBucket.values.foreach(b =>
+      assert(b.length <= n / 2 && b.length >= n / 8, s"bucket ${b.length}"))
+    // monotone: max quality of bucket i <= min quality of bucket i+1
+    val sortedBuckets = byBucket.toSeq.sortBy(_._1)
+    sortedBuckets.sliding(2).foreach {
+      case Seq((_, lo), (_, hi)) =>
+        assert(lo.map(_._2).max <= hi.map(_._2).min)
+      case _ =>
+    }
+    // (bucket, pos) is a bijection: 1..size within each bucket
+    byBucket.values.foreach { b =>
+      assert(b.map(_._4).sorted.toSeq == (1L to b.length).toSeq)
+    }
+  }
 }
