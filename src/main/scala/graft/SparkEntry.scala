@@ -27,7 +27,8 @@ object SparkEntry {
     graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
     graft.llm.Similarity.queries ++ graft.llm.Multimodal.queries ++
     graft.llm.Pipeline.queries ++ graft.llm.Pack.queries ++
-    graft.llm.TrainOrder.queries ++ graft.llm.Boilerplate.queries
+    graft.llm.TrainOrder.queries ++ graft.llm.Boilerplate.queries ++
+    graft.llm.Hybrid.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -56,5 +57,6 @@ object SparkEntry {
     graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++
     graft.llm.Similarity.oracles ++ graft.llm.Multimodal.oracles ++
     graft.llm.Pipeline.oracles ++ graft.llm.Pack.oracles ++
-    graft.llm.TrainOrder.oracles ++ graft.llm.Boilerplate.oracles
+    graft.llm.TrainOrder.oracles ++ graft.llm.Boilerplate.oracles ++
+    graft.llm.Hybrid.oracles
 }

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CosineSim.cosine_sim
+
+/** Hybrid retrieval: dense (embedding) + sparse (keyword) search
+  * fused into one ranked result — the RAG-stack staple the reference
+  * paradigm expresses as two map→shuffle→reduce passes over the same
+  * corpus (`worker.go:104-110`'s fan-out twice, once per channel).
+  *
+  * Candidates are the UNION of two channels, each blind to the other:
+  *   - dense: same hyperplane-LSH bucket as the query
+  *     ([[Similarity.signatureCol]] — data-oblivious, catches
+  *     semantic neighbors with disjoint vocabulary);
+  *   - sparse: shares a RARE term with the query (document frequency
+  *     ≤ [[MaxDf]] — the IDF-channel skeleton: common terms generate
+  *     candidates quadratically and rank information poorly, so only
+  *     the rare tail joins).
+  * Final score re-ranks the pooled candidates:
+  * `0.7·cosine + 0.3·token-Jaccard`, both exact cross-engine (the
+  * ordered-reduce cosine of [[graft.functions.CosineSim]]; Jaccard is
+  * int/int division).
+  *
+  * Scale: the corpus-side term explode is the wordcount shuffle; the
+  * rare-term df filter caps each posting list at [[MaxDf]], so sparse
+  * candidates are Σ df² ≤ MaxDf·|rare terms| — never quadratic in the
+  * corpus. The dense channel is the same bucket equi-join as
+  * [[Similarity.lshTopK]]. Queries broadcast; the corpus never
+  * self-joins outside bucket/term buckets.
+  */
+object Hybrid {
+
+  val MaxDf = 5
+  val WCos = 0.7
+  val WJac = 0.3
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val nInter = size(array_intersect(a, b))
+    val nUnion = size(a) + size(b) - nInter
+    when(nUnion > 0, nInter.cast("double") / nUnion.cast("double"))
+  }
+
+  def hybridTopK(spark: SparkSession, sfDir: String): DataFrame =
+    hybridTopKOf(Tables.embeddings(spark, sfDir),
+      Tables.documents(spark, sfDir))
+
+  /** Core over explicit (vec_id, embedding) + (doc_id, text) inputs. */
+  def hybridTopKOf(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val corpus = emb
+      .withColumn("bucket", Similarity.signatureCol(col("embedding")))
+      .join(docs
+          .select(col("doc_id"), array_distinct(TextAnalysis.tokensCol).as("toks")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("bucket"), col("toks"))
+    val q = corpus.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"), col("toks").as("q_toks"))
+
+    val dense = corpus.select(col("vec_id"), col("bucket"))
+      .join(broadcast(q.select(col("query_id"), col("q_bucket"))),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val terms = corpus.select(col("vec_id"), explode(col("toks")).as("t"))
+    val rare = terms.groupBy(col("t"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= MaxDf)
+      .select(col("t"))
+    val rareTerms = terms.join(rare, Seq("t"), "left_semi")
+    val qTerms = rareTerms.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("t").as("q_t"))
+    val sparse = rareTerms
+      .join(broadcast(qTerms),
+        col("t") === col("q_t") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val cand = dense.union(sparse).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand
+      .join(broadcast(q), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("toks")), Seq("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("jac", jaccard(col("q_toks"), col("toks")))
+      .withColumn("score",
+        coalesce(col("cos"), lit(0.0)) * WCos
+          + coalesce(col("jac"), lit(0.0)) * WJac)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Similarity.K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score"), col("cos"), col("jac"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_topk" -> hybridTopK _,
+  )
+
+  private def sqlJac(a: String, b: String): String =
+    s"""(CASE WHEN len($a) + len($b) - len(list_intersect($a, $b)) > 0
+       |  THEN CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |       / CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE)
+       |  END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_hybrid_topk" ->
+      s"""WITH ${Similarity.sqlBuckets},
+         |dtoks AS (
+         |  SELECT doc_id, list_distinct(${TextAnalysis.sqlTokens}) AS toks
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT b.vec_id, b.embedding, b.bucket, t.toks
+         |  FROM buckets b JOIN dtoks t ON b.vec_id = t.doc_id),
+         |qs AS (
+         |  SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}),
+         |terms AS (
+         |  SELECT vec_id, unnest(toks) AS t FROM corpus),
+         |rare AS (
+         |  SELECT t FROM terms GROUP BY t HAVING count(*) <= $MaxDf),
+         |rt AS (
+         |  SELECT vec_id, terms.t FROM terms JOIN rare ON terms.t = rare.t),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM qs q JOIN corpus c
+         |    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  UNION
+         |  SELECT qt.vec_id AS query_id, ct.vec_id AS neighbor_id
+         |  FROM rt qt JOIN rt ct
+         |    ON ct.t = qt.t AND ct.vec_id <> qt.vec_id
+         |  WHERE qt.vec_id < ${Similarity.NumQueries}),
+         |scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${Similarity.sqlCos("q.embedding", "c.embedding")} AS cos,
+         |    ${sqlJac("q.toks", "c.toks")} AS jac
+         |  FROM cand
+         |  JOIN corpus q ON q.vec_id = cand.query_id
+         |  JOIN corpus c ON c.vec_id = cand.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, jac,
+         |    COALESCE(cos, 0.0) * $WCos + COALESCE(jac, 0.0) * $WJac AS score
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, score, cos, jac FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id ASC) AS rank
+         |  FROM ranked)
+         |WHERE rank <= ${Similarity.K}""".stripMargin,
+  )
+}

@@ -149,13 +149,15 @@ object Similarity {
     // the argmax expression fails ANALYSIS — emit a null cell instead
     // (there are no rows to assign anyway)
     if (cents.isEmpty)
-      return e.select(col("vec_id"), col("embedding"),
-        lit(null).cast("int").as("cell"))
+      return e.withColumn("cell", lit(null).cast("int"))
     val centCols = cents.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*))
     val cosArr = array(centCols.map(c => cosine_sim(col("embedding"), c)): _*)
-    e.select(col("vec_id"), col("embedding"),
+    // withColumn, not select: metadata columns (label, …) ride along
+    // with the assignment, so a filtered probe or a partitioned index
+    // write keeps them without a second join against the corpus
+    e.withColumn("cell",
       (PortableHash.bind(cosArr)(a => array_position(a, array_max(a))) - 1)
-        .cast("int").as("cell"))
+        .cast("int"))
   }
 
   def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
@@ -287,7 +289,7 @@ object Similarity {
     // index, and a zero-row index (no files, only the dir) still
     // reads as a typed empty relation
     val idx = spark.read
-      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT")
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, cell INT")
       .parquet(path)
     val q = idx.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -314,6 +316,38 @@ object Similarity {
       java.lang.Integer.toHexString(sfDir.hashCode)
     writeIvfIndex(spark, sfDir, path)
     probeIvfIndex(spark, path)
+  }
+
+  /** Filtered vector search: top-k neighbors subject to a metadata
+    * predicate — here same-`label` as the query, standing in for any
+    * category/tenant/language constraint. The predicate rides the
+    * CANDIDATE join (`cell = q.cell AND label = q.label`), not a
+    * post-rank filter: post-filtering a plain top-k silently returns
+    * fewer than k survivors and loses the allowed-set neighbors the
+    * unfiltered rank crowded out, while pre-filtering ranks over
+    * exactly the allowed set. Same single map-only assignment pass as
+    * [[ivfTopK]]; at 100 TB the label becomes a second partition
+    * column of the on-disk index ([[writeIvfIndex]] already carries
+    * it) so the probe prunes on (cell, label) files directly.
+    */
+  def filteredTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = ivfAssign(spark, sfDir)
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"), col("label").as("q_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("cell"), col("label"))
+      .join(broadcast(q),
+        col("cell") === col("q_cell") && col("label") === col("q_label")
+          && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        col("label").cast("long").as("label"), col("rank"), col("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
@@ -413,7 +447,7 @@ object Similarity {
   /** Ordered-reduce cosine between two FLOAT[] SQL expressions —
     * bitwise-identical to [[graft.functions.CosineSim]].
     */
-  private def sqlCos(a: String, b: String): String =
+  private[llm] def sqlCos(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
        | / (sqrt(list_reduce(list_transform($a,
@@ -424,7 +458,7 @@ object Similarity {
   /** Hyperplane CTE + per-vector bucket CTE, mirroring
     * [[signatureCol]] exactly.
     */
-  private val sqlBuckets =
+  private[llm] val sqlBuckets =
     s"""planes AS (
        |  SELECT j, list(g ORDER BY i) AS gs FROM (
        |    SELECT j, i,
@@ -445,11 +479,11 @@ object Similarity {
        |  SELECT vec_id AS cent_id, embedding AS cent_emb
        |  FROM embeddings WHERE vec_id < $NumCells),
        |scored AS (
-       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |  SELECT e.vec_id, e.embedding, e.label, c.cent_id,
        |    ${sqlCos("e.embedding", "c.cent_emb")} AS cos_c
        |  FROM embeddings e CROSS JOIN cents c),
        |assigned AS (
-       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |  SELECT vec_id, embedding, label, cent_id AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_c DESC, cent_id ASC) AS rn
        |    FROM scored)
@@ -475,6 +509,7 @@ object Similarity {
     "q_ann_ivf_kmeans_topk" -> ivfKmeansTopK _,
     "q_ann_ivf_multiprobe" -> ivfMultiProbeTopK _,
     "q_ann_sq8_topk" -> sq8TopK _,
+    "q_ann_filtered_topk" -> filteredTopK _,
     "q_ann_cell_stats" -> ivfCellStats _,
     "q_embed_near_dup" -> embeddingNearDup _,
   )
@@ -535,6 +570,18 @@ object Similarity {
     // the probe's results — and therefore its oracle — are exactly
     // the in-memory IVF top-k
     "q_ann_ivf_index_probe" -> sqlIvfTopK,
+    "q_ann_filtered_topk" ->
+      s"""WITH $sqlIvfAssigned
+         |SELECT query_id, neighbor_id, label, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    CAST(e.label AS BIGINT) AS label,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+         |  FROM assigned q JOIN assigned e
+         |    ON e.cell = q.cell AND e.label = q.label AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rank <= $K""".stripMargin,
     "q_ann_ivf_multiprobe" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cent_emb

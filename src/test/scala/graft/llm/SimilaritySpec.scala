@@ -67,6 +67,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("filtered top-k: predicate holds, and pre-filter beats post-filter") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val labelOf = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.filteredTopK(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // every neighbor carries its query's label
+    rows.foreach { r =>
+      assert(r.getLong(2) == labelOf(r.getLong(0)).toLong)
+      assert(r.getLong(2) == labelOf(r.getLong(1)).toLong)
+    }
+    // ranks are contiguous from 1 per query
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+    // pre-filtering ranks over the allowed set: every query with >= 1
+    // same-label same-cell neighbor must surface at least as many
+    // rows as post-filtering the unfiltered IVF top-k would keep
+    val post = Similarity.ivfTopK(spark, sf001).collect()
+      .filter(r => labelOf(r.getLong(0)) == labelOf(r.getLong(1)))
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val pre = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    post.foreach { case (q, nPost) =>
+      assert(pre.getOrElse(q, 0) >= nPost,
+        s"query $q: pre-filter returned fewer rows than post-filter")
+    }
+  }
+
   test("k-means centroids are deterministic; registered refined query has sane shape") {
     val c1 = Similarity.kmeansCentroids(spark, sf001)
     val c2 = Similarity.kmeansCentroids(spark, sf001)
