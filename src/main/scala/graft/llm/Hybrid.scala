@@ -47,14 +47,21 @@ object Hybrid {
     hybridTopKOf(Tables.embeddings(spark, sfDir),
       Tables.documents(spark, sfDir))
 
-  /** Core over explicit (vec_id, embedding) + (doc_id, text) inputs. */
+  /** Core over explicit (vec_id, embedding) + (doc_id, text) inputs.
+    *
+    * The bucketed+tokenized corpus is STAGED ([[graft.Materialize]]):
+    * it feeds four consumers (query set, dense join, term explode,
+    * final score joins), and without staging each one would rescan
+    * the parquet and recompute the 4×64-dim hyperplane signature —
+    * 16 scans at plan level. Staged, the corpus is computed once.
+    */
   def hybridTopKOf(emb: DataFrame, docs: DataFrame): DataFrame = {
-    val corpus = emb
+    val corpus = graft.Materialize.stage(emb
       .withColumn("bucket", Similarity.signatureCol(col("embedding")))
       .join(docs
           .select(col("doc_id"), array_distinct(TextAnalysis.tokensCol).as("toks")),
         col("vec_id") === col("doc_id"))
-      .select(col("vec_id"), col("embedding"), col("bucket"), col("toks"))
+      .select(col("vec_id"), col("embedding"), col("bucket"), col("toks")))
     val q = corpus.filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"), col("toks").as("q_toks"))

@@ -99,13 +99,14 @@ class PlanAuditSpec extends SparkSpec {
     // vectors against one corpus scan (the documented exact baseline,
     // O(n * queries)), and q_above_avg_balance broadcasts a single-row
     // global aggregate (O(n * 1)), as do q_llm_tfidf (the broadcast
-    // one-row corpus count N) and q_llm_commonness (the one-row token
-    // total T). Everything else must be free of
+    // one-row corpus count N), q_llm_commonness (the one-row token
+    // total T), and q_llm_curriculum (the one-row quartile-threshold
+    // array). Everything else must be free of
     // these operators — a failure means a refactor silently degraded
     // a join into O(n^2).
     val boundedBuildSide =
       Set("q_ann_topk", "q_ann_sq8_topk", "q_above_avg_balance",
-        "q_llm_tfidf", "q_llm_commonness")
+        "q_llm_tfidf", "q_llm_commonness", "q_llm_curriculum")
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
