@@ -11,7 +11,10 @@ object Explain {
     "q_top_customers", "q_dedup_minhash", "q_dedup_minhash_pairs",
     "q_dedup_cluster_stats", "q_llm_contamination", "q_ann_ivf_topk",
     "q_ann_ivf_index_probe", "q_embed_near_dup", "q_llm_full_pipeline",
-    "q_dedup_cross", "q_llm_tfidf", "q_ann_sq8_topk", "q_llm_quota_sample")
+    "q_dedup_cross", "q_llm_tfidf", "q_ann_sq8_topk", "q_llm_quota_sample",
+    "q_hybrid_topk", "q_ann_filtered_topk", "q_dedup_spans",
+    "q_llm_curriculum", "q_llm_shuffle", "q_embed_centroids",
+    "q_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -318,6 +318,41 @@ object Similarity {
     probeIvfIndex(spark, path)
   }
 
+  /** Per-label embedding centroids via FIXED-POINT pooling: each
+    * component quantizes to `floor(v·2³⁰ + 0.5)` on the double
+    * widening of the float (floor-half-up — the [[sq8Col]] trick,
+    * exact in both engines), accumulates as BIGINT (associative, so
+    * partition order can't change the result), and divides back as
+    * one double division at the end. Exact DECIMAL would be the
+    * natural choice, but the float→decimal CAST itself rounds
+    * differently in Spark (binary value) and DuckDB (shortest
+    * string), so decimal sums diverge in the last digits; fixed
+    * point sidesteps the cast at a documented 2⁻³⁰ per-component
+    * quantization — far below the float's own resolution here.
+    *
+    * Scale: associative BIGINT partials ARE the 100 TB shape —
+    * map-side combine, 24-byte shuffle rows, no per-group
+    * materialization (an ordered-fold over collect_list would be
+    * bit-exact too but holds whole groups in memory). Headroom:
+    * |q| < 2³⁵ per component, so ~2²⁸ rows per (label, dim) group
+    * fit in a signed 64-bit sum even at |v| ≈ 16; beyond that,
+    * pre-aggregate per partition range or widen to decimal partials.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = 1L << 30
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * scale + lit(0.5))
+          .cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label").cast("long").as("label"),
+        col("dim").cast("long").as("dim"),
+        (col("s").cast("double") / (col("n").cast("double") * scale.toDouble))
+          .as("centroid"),
+        col("n"))
+  }
+
   /** Filtered vector search: top-k neighbors subject to a metadata
     * predicate — here same-`label` as the query, standing in for any
     * category/tenant/language constraint. The predicate rides the
@@ -510,6 +545,7 @@ object Similarity {
     "q_ann_ivf_multiprobe" -> ivfMultiProbeTopK _,
     "q_ann_sq8_topk" -> sq8TopK _,
     "q_ann_filtered_topk" -> filteredTopK _,
+    "q_embed_centroids" -> labelCentroids _,
     "q_ann_cell_stats" -> ivfCellStats _,
     "q_embed_near_dup" -> embeddingNearDup _,
   )
@@ -610,6 +646,17 @@ object Similarity {
          |  FROM qcells q JOIN assigned e
          |    ON e.cell = q.cell AND e.vec_id <> q.vec_id)
          |WHERE rank <= $K""".stripMargin,
+    "q_embed_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) AS centroid, n
+        |FROM (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1073741824 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) - 1 AS dim
+        |        FROM embeddings)
+        |  GROUP BY label, dim)""".stripMargin,
     "q_embed_near_dup" ->
       s"""WITH $sqlBuckets
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

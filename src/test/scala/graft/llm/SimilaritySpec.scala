@@ -67,6 +67,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("label centroids: fixed-point pooling tracks the float mean within 2^-30") {
+    val e = graft.Tables.embeddings(spark, sf001).collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).toArray))
+    val expected = e.groupBy(_._1).flatMap { case (label, vs) =>
+      val n = vs.length
+      (0 until Similarity.Dim).map { d =>
+        (label.toLong, d.toLong) ->
+          (vs.map(_._2(d).toDouble).sum / n, n.toLong)
+      }
+    }
+    val got = Similarity.labelCentroids(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (c, n)) =>
+      val (ec, en) = expected(k)
+      assert(n == en)
+      // quantization error <= 2^-31 per component, so the mean is
+      // within 2^-31 + float-sum rounding slack of the double mean
+      assert(math.abs(c - ec) < 1e-7, s"$k: got $c expected $ec")
+    }
+    // determinism under repartitioning (associativity)
+    val again = Similarity.labelCentroids(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (k, (c, _)) => assert(again(k) == c) }
+  }
+
   test("filtered top-k: predicate holds, and pre-filter beats post-filter") {
     val e = graft.Tables.embeddings(spark, sf001)
     val labelOf = e.select(col("vec_id"), col("label")).collect()

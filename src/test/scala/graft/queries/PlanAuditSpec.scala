@@ -92,6 +92,33 @@ class PlanAuditSpec extends SparkSpec {
       s"vocabulary top-k must not globally sort:\n$vocab")
   }
 
+  test("boilerplate spans: deterministic cut is a top-k, not a global sort") {
+    val p = planOf("q_dedup_spans")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"span cut should be top-k, not a full sort:\n$p")
+  }
+
+  test("label centroids: one shuffle, partial aggregation map-side") {
+    val p = planOf("q_embed_centroids")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"fixed-point pooling should shuffle exactly once:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no global sort expected:\n$p")
+  }
+
+  test("epoch shuffle: hash-partitioned windows, never a global sort") {
+    val p = planOf("q_llm_shuffle")
+    assert(!p.contains("rangepartitioning"),
+      s"the addressable shuffle must not globally sort:\n$p")
+  }
+
+  test("hybrid retrieval: corpus is staged once, channels reuse it") {
+    val p = planOf("q_hybrid_topk")
+    assert(p.contains("Scan ExistingRDD"),
+      s"hybrid corpus should be staged (Materialize):\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"post-staging plan must not rescan parquet:\n$p")
+  }
+
   test("suite-wide smell sweep: no nested-loop joins, no cartesian products") {
     // A nested-loop join is scale-hostile when BOTH sides scale with
     // the data. Two queries carry a provably BOUNDED build side and
