@@ -338,9 +338,18 @@ object Similarity {
     * fit in a signed 64-bit sum even at |v| ≈ 16; beyond that,
     * pre-aggregate per partition range or widen to decimal partials.
     */
-  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    centroidsOf(Tables.embeddings(spark, sfDir))
+
+  /** Core over any (label, embedding) frame — batch or streaming:
+    * the BIGINT partials are associative, so the same plan is a valid
+    * incremental streaming aggregate (24-byte state per (label, dim))
+    * whose drained result is bit-identical to the batch pooling
+    * (asserted in StreamBatchParitySpec).
+    */
+  def centroidsOf(emb: DataFrame): DataFrame = {
     val scale = 1L << 30
-    Tables.embeddings(spark, sfDir)
+    emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(floor(col("v").cast("double") * scale + lit(0.5))

@@ -38,4 +38,17 @@ object EmbeddingStreams {
       .partitionBy("cell")
       .outputMode("append")
       .start()
+
+  /** Running per-label centroid maintenance over a streaming
+    * (label, embedding) frame — the monitoring companion to the index
+    * stream: as embeddings arrive, each label's mean vector updates
+    * incrementally. The fixed-point BIGINT partials
+    * ([[Similarity.centroidsOf]]) are associative, so streaming state
+    * is 24 bytes per (label, dim) no matter how many vectors flow
+    * through, micro-batch boundaries can't change the result, and the
+    * drained aggregate is bit-identical to running the batch query
+    * over the same rows (StreamBatchParitySpec).
+    */
+  def centroidStream(embs: DataFrame): DataFrame =
+    Similarity.centroidsOf(embs)
 }

@@ -150,6 +150,35 @@ class StreamBatchParitySpec extends SparkSpec {
       s"probe-only: ${(probed -- batch).take(3)}; batch-only: ${(batch -- probed).take(3)}")
   }
 
+  test("centroid stream: drained running means are bit-identical to batch pooling") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/testdata/sf0.001"
+    val rows = graft.Tables.embeddings(spark, base)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+    val mid = rows.length / 2
+    val input = MemoryStream[(Int, Array[Float])]
+    val q = graft.streaming.EmbeddingStreams
+      .centroidStream(input.toDS().toDF("label", "embedding"))
+      .writeStream.format("memory").queryName("centroids")
+      .outputMode("complete").start()
+    input.addData(rows.take(mid))
+    q.processAllAvailable()
+    // mid-stream state is a valid centroid of the prefix (n sums to mid*dim)
+    val midN = spark.table("centroids").agg(sum("n")).collect()(0).getLong(0)
+    assert(midN == mid.toLong * graft.llm.Similarity.Dim)
+    input.addData(rows.drop(mid))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("centroids").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val batch = graft.llm.Similarity.labelCentroids(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed == batch,   // EXACT doubles: fixed-point partials
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("exactly-once sink: a re-run from the same checkpoint adds nothing") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("eos").toString
