@@ -172,22 +172,30 @@ object Similarity {
     * shape (the corpus is never shuffled by more than a groupBy on
     * (cell, dim), and per-iteration driver state is ~4 KB).
     *
-    * Determinism: per-dimension means accumulate as DECIMAL(28,10)
-    * (associative — partition order can't change the result), then
-    * round to float. Re-running on the same data always yields the
-    * same centroids, which SimilaritySpec relies on.
+    * Determinism: per-dimension means accumulate FIXED-POINT
+    * (`floor(v·2³⁰ + 0.5)` BIGINT partials, the [[centroidsOf]]
+    * scheme — associative, so partition order can't change the
+    * result), then one double division rounds to float. Every step
+    * is engine-portable arithmetic, which is what lets the full
+    * 3-iteration Lloyd loop carry a DuckDB oracle (unrolled CTEs) —
+    * DECIMAL means would diverge cross-engine on the float→decimal
+    * cast itself.
     */
   def kmeansCentroids(spark: SparkSession, sfDir: String, iters: Int = 3): Array[Array[Float]] =
     kmeansCentroidsOf(Tables.embeddings(spark, sfDir), iters)
 
   private[llm] def kmeansCentroidsOf(e: DataFrame, iters: Int): Array[Array[Float]] = {
+    val scale = 1L << 30
     var cents = firstNCentroids(e)
     for (_ <- 1 to iters) {
       val means = assignWith(e, cents)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg((sum(col("v").cast("decimal(28,10)")) / count(lit(1)))
-          .cast("float").as("m"))
+        .agg(sum(floor(col("v").cast("double") * scale + lit(0.5))
+          .cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          (col("s").cast("double") / (col("n").cast("double") * scale.toDouble))
+            .cast("float").as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>
@@ -545,6 +553,63 @@ object Similarity {
        |  WHERE q.vec_id < $NumQueries)
        |WHERE rank <= $K""".stripMargin
 
+  /** The k-means-refined IVF top-k, fully mirrored: the three Lloyd
+    * iterations unroll into CTE pairs (assign aᵢ → means centsᵢ₊₁),
+    * each arithmetically identical to the Spark side — fixed-point
+    * BIGINT mean partials, one double division, CAST to REAL, and the
+    * (cos DESC, cent_id ASC) argmax. A cell that loses every member
+    * keeps its previous centroid via the `range(NumCells)` LEFT JOIN
+    * + COALESCE, mirroring `means.getOrElse(c, cents(c))`.
+    */
+  private lazy val sqlKmeansTopK: String = {
+    val q30 = "1073741824" // 2^30, the fixed-point scale
+    def assigned(i: Int) =
+      s"""a$i AS (
+         |  SELECT vec_id, embedding, cent_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.cent_emb")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents$i c)
+         |  WHERE rn = 1)""".stripMargin
+    def cents(i: Int) =
+      s"""cents$i AS (
+         |  SELECT r.c AS cent_id, COALESCE(m.emb, p.cent_emb) AS cent_emb
+         |  FROM range($NumCells) r(c)
+         |  LEFT JOIN (
+         |    SELECT cell, list(CAST(mval AS REAL) ORDER BY dim) AS emb FROM (
+         |      SELECT cell, dim,
+         |        CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * $q30.0) AS mval
+         |      FROM (
+         |        SELECT cell, dim,
+         |          CAST(sum(CAST(floor(CAST(v AS DOUBLE) * $q30 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         |          CAST(count(*) AS BIGINT) AS n
+         |        FROM (SELECT cell, unnest(embedding) AS v,
+         |                     generate_subscripts(embedding, 1) - 1 AS dim
+         |              FROM a${i - 1})
+         |        GROUP BY cell, dim))
+         |    GROUP BY cell) m ON m.cell = r.c
+         |  LEFT JOIN cents${i - 1} p ON p.cent_id = r.c)""".stripMargin
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb
+       |  FROM embeddings WHERE vec_id < $NumCells),
+       |${assigned(0)},
+       |${cents(1)},
+       |${assigned(1)},
+       |${cents(2)},
+       |${assigned(2)},
+       |${cents(3)},
+       |${assigned(3)}
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+       |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+       |  FROM a3 q JOIN a3 e
+       |    ON e.cell = q.cell AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rank <= $K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> bruteForceTopK _,
     "q_ann_lsh_topk" -> lshTopK _,
@@ -655,6 +720,7 @@ object Similarity {
          |  FROM qcells q JOIN assigned e
          |    ON e.cell = q.cell AND e.vec_id <> q.vec_id)
          |WHERE rank <= $K""".stripMargin,
+    "q_ann_ivf_kmeans_topk" -> sqlKmeansTopK,
     "q_embed_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
         |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) AS centroid, n
