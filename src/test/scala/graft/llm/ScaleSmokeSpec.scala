@@ -51,6 +51,30 @@ class ScaleSmokeSpec extends SparkSpec {
       s"$disagreements replica sets were not clustered together")
   }
 
+  test("hybrid sparse channel: a corpus-wide common token generates ZERO candidates") {
+    import spark.implicits._
+    // the sparse-channel scale property: candidate pairs are Σ df²
+    // over RARE terms only. A token in every document (df = corpus)
+    // would alone emit |corpus|² pairs if it joined; the df <= MaxDf
+    // filter must drop it, leaving only bucket-mates reachable. The
+    // shared token sits in every doc's text, so if it leaked into the
+    // join this test would also visibly hang (4M pairs at 2k vecs).
+    val e = graft.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("embedding"))
+    val docs = e.select(col("vec_id").as("doc_id"),
+      concat(lit("common7token "), col("vec_id").cast("string"),
+        lit("uniq")).as("text"))
+    val buckets = e
+      .select(col("vec_id"), Similarity.signatureCol(col("embedding")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Hybrid.hybridTopKOf(e, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val crossBucket = rows.filterNot { case (q, n) => buckets(q) == buckets(n) }
+    assert(crossBucket.isEmpty,
+      s"common token leaked into the sparse join: $crossBucket")
+  }
+
   test("a 10^4-member identical group yields O(group) work, not O(group^2) pairs") {
     // the classic LSH skew failure: byte-identical docs share all 16
     // minhash values, so without exact-dup pre-collapse every band

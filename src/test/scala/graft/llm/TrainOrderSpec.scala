@@ -43,6 +43,18 @@ class TrainOrderSpec extends SparkSpec {
     assert(inOrder.toSeq != inOrder.sorted.toSeq)
   }
 
+  test("bijection and shard range hold for any shard count") {
+    for (n <- Seq(1, 2, 5, 13, 32)) {
+      val rows = TrainOrder.shuffled(docs, "doc_id", "sX", n)
+        .as[(Long, Long, Long)].collect()
+      assert(rows.map(_._1).toSet == docs.as[Long].collect().toSet, s"n=$n")
+      assert(rows.forall(r => r._2 >= 0 && r._2 < n), s"n=$n shard range")
+      rows.groupBy(_._2).values.foreach { b =>
+        assert(b.map(_._3).sorted.toSeq == (1L to b.length).toSeq, s"n=$n pos")
+      }
+    }
+  }
+
   test("curriculum buckets are quality-monotone quartiles") {
     val rows = TrainOrder.curriculum(spark, sf001)
       .as[(Long, Double, Long, Long)].collect()
