@@ -516,11 +516,15 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val st = sigTable(spark, sfDir)
-    val sh = shArrTable(spark, sfDir)
+    // staged: probes, the inverted index, and BOTH rescoring joins
+    // re-read this table; unstaged, each reference re-shingles and
+    // re-hashes the corpus (4 scans, 2× the md5 work)
+    val hsh = Materialize.stage(shArrTable(spark, sfDir)
       .join(st.filter(col("doc_id") === col("rep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-    val hsh = sh.select(col("doc_id"), col("sh"),
-      transform(col("sh"), s => h60(s)).as("hs"))
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), s => h60(s)).as("hs")), eager = false)
+    val sh = hsh.select(col("doc_id"), col("sh"))
     val probes = hsh.select(col("doc_id").as("doc_a"),
       array_min(col("hs")).as("mh"))
     val idx = hsh.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
