@@ -55,8 +55,58 @@ object Boilerplate {
   def spansQuery(spark: SparkSession, sfDir: String): DataFrame =
     repeatedSpans(Tables.documents(spark, sfDir))
 
+  /** Boilerplate REMOVAL — the strip pass the detector feeds: every
+    * token covered by an occurrence of a flagged span (any 8-token
+    * window whose hash is in the flagged set) is dropped, and the
+    * survivors rejoin with single spaces. Positions are 1-based: gram
+    * i covers tokens i..i+7, so token j is removed iff some flagged
+    * gram position p satisfies j-7 ≤ p ≤ j.
+    *
+    * The flagged set rides in as a one-row broadcast array (≤ k
+    * hashes — a bounded build side, like the TF-IDF corpus count),
+    * so the strip itself is a map-only second pass over the corpus:
+    * detect pays the count shuffle once, strip shuffles nothing.
+    */
+  def stripSpans(docs: DataFrame, flagged: DataFrame, n: Int = 8): DataFrame = {
+    val bSet = flagged.agg(collect_set(h60(col("span"))).as("bh"))
+    docs
+      .crossJoin(broadcast(bSet))
+      .select(col("doc_id"), col("bh"), TextAnalysis.tokensCol.as("ws"))
+      .select(col("doc_id"), col("bh"), col("ws"),
+        PortableHash.bind(
+          transform(graft.functions.Ngrams.ngrams(col("ws"), n), g => h60(g))) {
+          // size guard: Spark sequence(1, 0) DESCENDS instead of
+          // yielding empty, and element_at(gh, 0) is an ANSI error
+          gh => when(size(gh) > 0,
+            filter(sequence(lit(1), size(gh)),
+              i => array_contains(col("bh"), element_at(gh, i))))
+            .otherwise(array().cast("array<int>"))
+        }.as("fp"))
+      .select(col("doc_id"),
+        array_join(
+          PortableHash.bind(col("fp")) { fp =>
+            when(size(col("ws")) > 0,
+              transform(
+                filter(sequence(lit(1), size(col("ws"))),
+                  j => !exists(fp, p => p >= j - (n - 1) && p <= j)),
+                j => element_at(col("ws"), j)))
+              .otherwise(array().cast("array<string>"))
+          }, " ").as("clean_text"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(col("fp")).cast("long").as("n_flagged_spans"))
+      .withColumn("n_kept",
+        when(length(col("clean_text")) === 0, 0L)
+          .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+  }
+
+  def stripQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    stripSpans(docs, repeatedSpans(docs))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans" -> spansQuery _,
+    "q_dedup_strip_spans" -> stripQuery _,
   )
 
   /** Mirror: DuckDB slices `ws[i : i + 7]` (inclusive) over
@@ -64,26 +114,56 @@ object Boilerplate {
     * [[graft.functions.Ngrams]]; the hash-group / string-recovery
     * split is mirrored exactly so the deterministic top-k cut agrees.
     */
+  /** Shared CTE chain: tokens → exploded spans+hashes → top-k. */
+  private val sqlTopCtes =
+    s"""toks AS (
+       |  SELECT doc_id, ${TextAnalysis.sqlTokens} AS ws FROM documents),
+       |spans AS (
+       |  SELECT doc_id, span, ${sqlH60("span")} AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(ws) >= 8
+       |        THEN list_transform(range(1, len(ws) - 6),
+       |               i -> array_to_string(ws[i : i + 7], ' '))
+       |        ELSE [] END) AS span
+       |    FROM toks)),
+       |top AS (
+       |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM spans GROUP BY h
+       |  HAVING count(DISTINCT doc_id) >= 2
+       |  ORDER BY n_docs DESC, n_occ DESC, h ASC LIMIT 50)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_spans" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${TextAnalysis.sqlTokens} AS ws FROM documents),
-         |spans AS (
-         |  SELECT doc_id, span, ${sqlH60("span")} AS h FROM (
-         |    SELECT doc_id,
-         |      unnest(CASE WHEN len(ws) >= 8
-         |        THEN list_transform(range(1, len(ws) - 6),
-         |               i -> array_to_string(ws[i : i + 7], ' '))
-         |        ELSE [] END) AS span
-         |    FROM toks)),
-         |top AS (
-         |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |    CAST(count(*) AS BIGINT) AS n_occ
-         |  FROM spans GROUP BY h
-         |  HAVING count(DISTINCT doc_id) >= 2
-         |  ORDER BY n_docs DESC, n_occ DESC, h ASC LIMIT 50)
+      s"""WITH $sqlTopCtes
          |SELECT s.span, t.n_docs, t.n_occ
          |FROM top t JOIN (SELECT h, min(span) AS span FROM spans
          |                 GROUP BY h) s USING (h)""".stripMargin,
+    "q_dedup_strip_spans" ->
+      s"""WITH $sqlTopCtes,
+         |bset AS (SELECT list(h) AS bh FROM top),
+         |marked AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN len(ws) >= 8
+         |      THEN list_filter(range(1, len(ws) - 6),
+         |             i -> list_contains(bh,
+         |                    ${sqlH60("array_to_string(ws[i : i + 7], ' ')")}))
+         |      ELSE [] END AS fp
+         |  FROM toks CROSS JOIN bset),
+         |kept AS (
+         |  SELECT doc_id, ws, fp,
+         |    list_transform(
+         |      list_filter(range(1, len(ws) + 1),
+         |        j -> len(list_filter(fp, p -> p >= j - 7 AND p <= j)) = 0),
+         |      j -> ws[j]) AS kw
+         |  FROM marked)
+         |SELECT doc_id,
+         |  -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+         |  COALESCE(array_to_string(kw, ' '), '') AS clean_text,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(fp) AS BIGINT) AS n_flagged_spans,
+         |  CAST(CASE WHEN length(COALESCE(array_to_string(kw, ' '), '')) = 0
+         |       THEN 0 ELSE len(kw) END AS BIGINT) AS n_kept
+         |FROM kept""".stripMargin,
   )
 }

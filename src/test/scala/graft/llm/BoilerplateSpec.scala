@@ -46,6 +46,41 @@ class BoilerplateSpec extends SparkSpec {
     assert(full.head._2 == 2L && full.head._3 == 3L)
   }
 
+  test("strip removes exactly the flagged footer tokens and keeps the rest") {
+    val rows = Boilerplate.stripSpans(corpus, Boilerplate.repeatedSpans(corpus))
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // docs 1-3 lose their footer (10 tokens, all covered by the three
+    // flagged 8-gram windows); their distinct bodies survive
+    assert(rows(1L)._2 == "alpha beta gamma delta.")
+    assert(rows(2L)._2 == "completely different body text here okay.")
+    assert(rows(3L)._2 == "third unrelated document content words go on.")
+    // doc 4 shares nothing: untouched, zero flagged spans
+    assert(rows(4L)._2 ==
+      "no shared material in this one at all beyond chance words")
+    assert(rows(4L)._4 == 0L)
+    // doc 5 is shorter than a span: untouched
+    assert(rows(5L)._2 == "short doc")
+    // bookkeeping: n_kept counts the surviving tokens
+    rows.values.foreach { r =>
+      val kept = if (r._2.isEmpty) 0 else r._2.split(" ").length
+      assert(r._5 == kept.toLong, s"doc ${r._1}")
+      assert(r._5 <= r._3)
+    }
+  }
+
+  test("strip of a fully-boilerplate doc yields empty text, n_kept 0") {
+    val dup = Seq(
+      (1L, footer),
+      (2L, footer)).toDF("doc_id", "text")
+    val rows = Boilerplate.stripSpans(dup, Boilerplate.repeatedSpans(dup))
+      .as[(Long, String, Long, Long, Long)].collect()
+    rows.foreach { r =>
+      assert(r._2 == "")
+      assert(r._5 == 0L)
+    }
+  }
+
   test("the k cut is deterministic under repartitioning") {
     val a = Boilerplate.repeatedSpans(corpus, n = 8, k = 3)
       .as[(String, Long, Long)].collect().toSet

@@ -133,7 +133,8 @@ class PlanAuditSpec extends SparkSpec {
     // a join into O(n^2).
     val boundedBuildSide =
       Set("q_ann_topk", "q_ann_sq8_topk", "q_above_avg_balance",
-        "q_llm_tfidf", "q_llm_commonness", "q_llm_curriculum")
+        "q_llm_tfidf", "q_llm_commonness", "q_llm_curriculum",
+        "q_dedup_strip_spans") // one-row flagged-hash array broadcast
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
