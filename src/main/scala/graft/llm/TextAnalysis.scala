@@ -81,6 +81,31 @@ object TextAnalysis {
             + when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, 0.3).otherwise(0.0)
             + when(col("punct_ratio") <= 0.1, 0.2).otherwise(0.0)))
 
+  /** The quality score as ONE expression over `text` — the same
+    * arithmetic as [[qualityScore]]'s column pipeline (term order
+    * matters for double equality; keep the two in lockstep), for
+    * consumers that need quality inline without a join (data card).
+    */
+  def qualityCol: Column = {
+    val nt = size(tokensCol)
+    val nc = length(col("text"))
+    val np = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val ns = scoreCol("en")
+    when(nt > 0 && nc > 0,
+      (ns.cast("double") / nt) * lit(0.5)
+        + when(nt >= 10 && nt <= 1000, 0.3).otherwise(0.0)
+        + when((np.cast("double") / nc) <= 0.1, 0.2).otherwise(0.0))
+  }
+
+  /** SQL mirror of [[qualityCol]] as a scalar CASE over `text`. */
+  def sqlQualityCol: String =
+    s"""(CASE WHEN len($sqlTokens) > 0 AND length(text) > 0 THEN
+       |  CAST(${sqlScore("en")} AS DOUBLE) / len($sqlTokens) * 0.5
+       |  + CASE WHEN len($sqlTokens) BETWEEN 10 AND 1000 THEN 0.3 ELSE 0.0 END
+       |  + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |         / length(text) <= 0.1 THEN 0.2 ELSE 0.0 END
+       |  END)""".stripMargin
+
   /** SQL mirror of [[qualityScore]] as a full SELECT over
     * `documents` — the q_llm_quality oracle, and reused as a CTE by
     * every oracle that consumes the quality score (curriculum).
@@ -265,6 +290,33 @@ object TextAnalysis {
           .as("commonness"))
   }
 
+  /** The dataset "data card": per-source corpus datasheet — sizes,
+    * verbatim-duplicate ratio, token mass, language spread, and mean
+    * quality — the one-page summary a training-data owner publishes
+    * with a corpus. One scan, one shuffle (partial aggs map-side);
+    * the quality mean uses the fixed-point BIGINT trick
+    * ([[graft.llm.Similarity.centroidsOf]]) because a double sum's
+    * value depends on partition order.
+    */
+  def dataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = 1L << 30
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), md5(col("text")).as("th"),
+        size(tokensCol).cast("long").as("nt"),
+        qualityCol.as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("th")).as("n_distinct_texts"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("nt")).as("total_tokens"),
+        count(col("q")).as("n_scored"),
+        when(count(col("q")) > 0,
+          sum(floor(col("q") * scale + lit(0.5)).cast("long")).cast("double")
+            / (count(col("q")).cast("double") * scale.toDouble))
+          .as("mean_quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_lang_id" -> langId _,
     "q_llm_quality" -> qualityScore _,
@@ -276,6 +328,7 @@ object TextAnalysis {
     "q_llm_compression" -> compressionSignal _,
     "q_llm_tfidf" -> ((s: SparkSession, d: String) => tfidfTopK(s, d)),
     "q_llm_commonness" -> commonness _,
+    "q_llm_data_card" -> dataCard _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +414,20 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, mass,
          |  CAST(mass AS DOUBLE) / (n_tokens * t_total) AS commonness
          |FROM perdoc CROSS JOIN total""".stripMargin,
+    "q_llm_data_card" ->
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(count(q) AS BIGINT) AS n_scored,
+         |  CASE WHEN count(q) > 0 THEN
+         |    CAST(sum(CAST(floor(q * 1073741824 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / (CAST(count(q) AS DOUBLE) * 1073741824.0) END AS mean_quality
+         |FROM (SELECT source, lang, md5(text) AS th,
+         |        CAST(len($sqlTokens) AS BIGINT) AS nt,
+         |        $sqlQualityCol AS q
+         |      FROM documents)
+         |GROUP BY source""".stripMargin,
   )
 }

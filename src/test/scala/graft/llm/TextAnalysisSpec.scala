@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("data card: per-source rows partition the corpus; sane stats") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val rows = TextAnalysis.dataCard(spark, sf001).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val tokTotal = docs
+      .select(org.apache.spark.sql.functions.size(TextAnalysis.tokensCol)
+        .cast("long").as("n")).agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(4)).sum == tokTotal)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // distinct texts <= docs
+      assert(r.getLong(5) <= r.getLong(1)) // scored <= docs
+      if (!r.isNullAt(6)) {
+        val q = r.getDouble(6)
+        assert(q >= 0.0 && q <= 1.0, s"mean quality $q out of range")
+      }
+    }
+  }
+
   test("repetition: invariants over the corpus; short docs are never repetitive") {
     val rows = TextAnalysis.repetition(spark, sf001).collect()
     assert(rows.nonEmpty)
