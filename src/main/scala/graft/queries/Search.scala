@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Full-text search primitives over the documents corpus: a
+  * positional inverted index and phrase search as a posting-list join.
+  *
+  * The reference's inverted-index app (README.MD:82 names the 6.824
+  * app set; our `mr_inverted_index`) maps word → document list. The
+  * POSITIONAL index additionally records token offsets — the thing
+  * that turns an index into a search engine: a phrase query becomes an
+  * equi-join of two posting lists on (doc, adjacent offsets) instead
+  * of a regex scan of the corpus (`mr_grep`). At 100 TB the index is
+  * materialized once, bucketed by word, and a phrase query reads two
+  * posting lists — never the corpus.
+  */
+object Search {
+
+  /** (doc_id, word, pos) postings, pos 1-based over the UNFILTERED
+    * whitespace split, so both engines assign identical offsets:
+    * leading/interior empty tokens occupy a position in both engines
+    * and are filtered AFTER position assignment (Java's split drops
+    * only trailing empties, which carry no word either way).
+    */
+  private def postings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos0", "word")))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("word"),
+        (col("pos0") + 1).cast("long").as("pos"))
+
+  /** SQL mirror of [[postings]] as a FROM-able subquery (DuckDB zips
+    * parallel unnests of equal-length lists).
+    */
+  private val sqlPostings: String =
+    """(SELECT doc_id, word, pos FROM (
+      |    SELECT doc_id, unnest(toks) AS word,
+      |           unnest(range(1, len(toks) + 1)) AS pos
+      |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |          FROM documents))
+      |  WHERE length(word) > 0)""".stripMargin
+
+  /** The positional inverted index: per (word, doc) the occurrence
+    * count and the sorted 1-based offset list. One shuffle on the
+    * (word, doc_id) grouping key — the wordcount shape with positions
+    * carried as an aggregate, not a second pass over text.
+    */
+  def positionalIndex(spark: SparkSession, sfDir: String): DataFrame =
+    postings(spark, sfDir)
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        array_join(array_sort(collect_list(col("pos"))), ",").as("positions"))
+
+  /** Phrase search for "hash join": the two words' postings join on
+    * (doc_id, pos_b = pos_a + 1). Work is O(|postings(hash)| +
+    * |postings(join)|); the single corpus pass below exists only
+    * because the index is built inline — against the materialized
+    * index this touches two posting lists. The `isin` pre-filter keeps
+    * one scan feeding both join sides.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (first, second) = ("hash", "join")
+    val p = graft.Materialize.stage(
+      postings(spark, sfDir).filter(col("word").isin(first, second)),
+      eager = false)
+    val a = p.filter(col("word") === first)
+      .select(col("doc_id"), col("pos").as("pos_a"))
+    val b = p.filter(col("word") === second)
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    a.join(b, col("doc_id") === col("doc_b")
+        && col("pos_b") === col("pos_a") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos_a")).as("first_pos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_positional_index" -> positionalIndex _,
+    "q_phrase_search" -> phraseSearch _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_positional_index" ->
+      s"""SELECT word, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+         |  array_to_string(list_sort(list(pos)), ',') AS positions
+         |FROM $sqlPostings
+         |GROUP BY word, doc_id""".stripMargin,
+    "q_phrase_search" ->
+      s"""SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  min(a.pos) AS first_pos
+         |FROM $sqlPostings a JOIN $sqlPostings b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.word = 'hash' AND b.word = 'join'
+         |GROUP BY a.doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Statistical aggregates with ORDER-INDEPENDENT cross-engine
+  * determinism: Pearson correlation and z-score outlier detection.
+  *
+  * Neither uses the engines' built-in `corr`/`stddev` — those stream
+  * doubles through Welford-style updates whose result depends on
+  * partition order, so Spark and DuckDB disagree in the last ulps.
+  * Instead both queries aggregate EXACT raw moments (decimal for
+  * money-like doubles, BIGINT for integer token counts — both
+  * associative, both order-free) and derive the statistic with one
+  * fixed double formula evaluated identically by both engines: IEEE
+  * +,*,/,sqrt are correctly rounded, so identical operand trees give
+  * identical bits. Same trick as [[graft.Exact]], extended to second
+  * moments.
+  */
+object Stats {
+
+  private def d2(c: Column): Column = graft.Exact.dec2(c)
+
+  /** Per-returnflag Pearson correlation (and means) of quantity vs
+    * extended price over lineitem. Exact decimal first/second moments
+    * — one map-side-combinable aggregation, no second pass — then the
+    * raw-moment formula in doubles.
+    */
+  def corrQtyPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    val m = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d2(q)).as("sx_d"), sum(d2(p)).as("sy_d"),
+        sum(d2(q) * d2(q)).as("sxx_d"), sum(d2(p) * d2(p)).as("syy_d"),
+        sum(d2(q) * d2(p)).as("sxy_d"))
+    val nd = col("n").cast("double")
+    val sx = col("sx_d").cast("double")
+    val sy = col("sy_d").cast("double")
+    val sxx = col("sxx_d").cast("double")
+    val syy = col("syy_d").cast("double")
+    val sxy = col("sxy_d").cast("double")
+    m.select(col("l_returnflag"), col("n"),
+      (sx / nd).as("avg_qty"),
+      (sy / nd).as("avg_price"),
+      ((nd * sxy - sx * sy)
+        / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
+        .as("corr_qty_price"))
+  }
+
+  /** Per-source token-count z-score outliers over documents — the
+    * data-curation signal for aberrantly short/long members of a
+    * source. Moments are exact BIGINT sums; the per-source stats table
+    * is tiny (one row per source) and broadcast back, so the corpus is
+    * scanned twice but never shuffled on a wide key.
+    */
+  def tokenOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(graft.llm.TextAnalysis.tokensCol).cast("long").as("nt"))
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("nt")).as("s1"),
+        sum(col("nt") * col("nt")).as("s2"))
+      .select(col("source"), mean.as("mean"),
+        (col("s2").cast("double") / nd - mean * mean).as("var"))
+    docs.join(broadcast(stats), Seq("source"))
+      .filter(col("var") > 0)
+      .select(col("doc_id"), col("source"), col("nt").as("n_tokens"),
+        ((col("nt").cast("double") - col("mean")) / sqrt(col("var"))).as("z"))
+      .filter(abs(col("z")) >= 2.0)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_corr" -> corrQtyPrice _,
+    "q_stats_outliers" -> tokenOutliers _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_corr" ->
+      """SELECT l_returnflag, n,
+        |  sx / nd AS avg_qty,
+        |  sy / nd AS avg_price,
+        |  (nd * sxy - sx * sy)
+        |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+        |    AS corr_qty_price
+        |FROM (SELECT l_returnflag,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(*) AS DOUBLE) AS nd,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |      FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+    "q_stats_outliers" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(${graft.llm.TextAnalysis.sqlTokens}) AS BIGINT) AS nt
+         |  FROM documents),
+         |st AS (
+         |  SELECT source,
+         |    CAST(s1 AS DOUBLE) / nd AS mean,
+         |    CAST(s2 AS DOUBLE) / nd
+         |      - CAST(s1 AS DOUBLE) / nd * (CAST(s1 AS DOUBLE) / nd) AS var
+         |  FROM (SELECT source, CAST(count(*) AS DOUBLE) AS nd,
+         |          CAST(sum(nt) AS BIGINT) AS s1,
+         |          CAST(sum(nt * nt) AS BIGINT) AS s2
+         |        FROM d GROUP BY source))
+         |SELECT doc_id, source, nt AS n_tokens,
+         |  (CAST(nt AS DOUBLE) - mean) / sqrt(var) AS z
+         |FROM d JOIN st USING (source)
+         |WHERE var > 0 AND abs((CAST(nt AS DOUBLE) - mean) / sqrt(var)) >= 2.0""".stripMargin,
+  )
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+
+  test("positional index: offsets reconstruct the token stream of a planted doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("posidx").toString
+    Seq(
+      (0L, "to be or not to be", "en", "web", 18L),
+      (1L, "  be  to", "en", "web", 8L) // leading/extra whitespace shifts nothing
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Search.positionalIndex(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows(("to", 0L)) == (2L, "1,5"))
+    assert(rows(("be", 0L)) == (2L, "2,6"))
+    assert(rows(("or", 0L)) == (1L, "3"))
+    assert(rows(("not", 0L)) == (1L, "4"))
+    // doc 1 splits to ["", "be", "to"]: the leading empty holds pos 1,
+    // consecutive whitespace is ONE separator (no interior empties)
+    assert(rows(("be", 1L)) == (1L, "2"))
+    assert(rows(("to", 1L)) == (1L, "3"))
+  }
+
+  test("phrase search finds exactly the docs with adjacent 'hash join' tokens") {
+    val dir = "/root/testdata/sf0.001"
+    val hits = Search.phraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(hits.nonEmpty, "corpus is known to contain 'hash join'")
+    // independent ground truth: scan the token stream driver-side
+    val expected = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        val matches = toks.indices.dropRight(1)
+          .filter(i => toks(i) == "hash" && toks(i + 1) == "join")
+        if (matches.isEmpty) None
+        else Some((r.getLong(0), matches.size.toLong))
+      }.toMap
+    assert(hits.map(h => (h._1, h._2)).toMap == expected)
+    hits.foreach { case (_, n, firstPos) =>
+      assert(n >= 1 && firstPos >= 1)
+    }
+  }
+}
