@@ -14,7 +14,8 @@ object Explain {
     "q_dedup_cross", "q_llm_tfidf", "q_ann_sq8_topk", "q_llm_quota_sample",
     "q_hybrid_topk", "q_ann_filtered_topk", "q_dedup_spans",
     "q_llm_curriculum", "q_llm_shuffle", "q_embed_centroids",
-    "q_bucketed_join")
+    "q_bucketed_join", "q_phrase_search", "q_stats_corr",
+    "q_llm_data_card")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

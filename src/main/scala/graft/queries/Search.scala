@@ -76,9 +76,35 @@ object Search {
       .agg(count(lit(1)).as("n_matches"), min(col("pos_a")).as("first_pos"))
   }
 
+  /** Phrase search against a MATERIALIZED index — the production
+    * shape the inline variant only simulates: postings are written
+    * once as a parquet table bucketed by word ([[graft.operators
+    * .Bucketed.write]], skipped when current), and the probe's
+    * `word = 'hash'` equality prunes the scan to ONE bucket
+    * (`SelectedBucketsCount: 1 out of 8`, asserted in SearchSpec).
+    * At 100 TB the index write is a one-time cost amortized over
+    * every query; each phrase query reads ~1/nBuckets of the index,
+    * never the corpus. Results are bit-identical to [[phraseSearch]]
+    * (same oracle).
+    */
+  def phraseIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.operators.Bucketed.write(spark, postings(spark, sfDir),
+      "graft_posidx_bkt", "word", 8, sfDir)
+    val idx = spark.table("graft_posidx_bkt")
+    val a = idx.filter(col("word") === "hash")
+      .select(col("doc_id"), col("pos").as("pos_a"))
+    val b = idx.filter(col("word") === "join")
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    a.join(b, col("doc_id") === col("doc_b")
+        && col("pos_b") === col("pos_a") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos_a")).as("first_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_positional_index" -> positionalIndex _,
     "q_phrase_search" -> phraseSearch _,
+    "q_phrase_index_probe" -> phraseIndexProbe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,6 +114,15 @@ object Search {
          |FROM $sqlPostings
          |GROUP BY word, doc_id""".stripMargin,
     "q_phrase_search" ->
+      s"""SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  min(a.pos) AS first_pos
+         |FROM $sqlPostings a JOIN $sqlPostings b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.word = 'hash' AND b.word = 'join'
+         |GROUP BY a.doc_id""".stripMargin,
+    // identical semantics to q_phrase_search; only the physical access
+    // path differs (materialized bucketed index, pruned scan)
+    "q_phrase_index_probe" ->
       s"""SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
          |  min(a.pos) AS first_pos
          |FROM $sqlPostings a JOIN $sqlPostings b

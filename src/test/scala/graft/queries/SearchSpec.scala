@@ -46,4 +46,18 @@ class SearchSpec extends SparkSpec {
       assert(n >= 1 && firstPos >= 1)
     }
   }
+
+  test("index probe: bucket-pruned scan, results identical to the inline join") {
+    val dir = "/root/testdata/sf0.001"
+    val probe = Search.phraseIndexProbe(spark, dir)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"probe must prune to one bucket per word:\n$plan")
+    val inline = Search.phraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probed = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == inline)
+  }
 }
