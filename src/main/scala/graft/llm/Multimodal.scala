@@ -260,28 +260,71 @@ object Multimodal {
     }
   }
 
-  /** STUB RESIZE — stands in for an image resize (no codec libs in
-    * this container). Deterministic fake: downsample the payload to
-    * exactly `targetBytes` by striding, recording the new pseudo
-    * dimensions. Real plumbing: binary-in/binary-out column transform
-    * over `mapPartitions`, constant output size per row — the batch
-    * shape a real resampler needs.
+  /** REAL image resize for image mimes: `javax.imageio` decode →
+    * bilinear `Graphics2D` rescale into a `maxDim`-bounded box
+    * (aspect preserved, never upscaled) → PNG re-encode, with the
+    * output `Media` carrying the true new dimensions. Undecodable
+    * image payloads drop (corrupt-drops contract). Non-image mimes
+    * keep the deterministic stride downsample so the transform is
+    * total over a mixed corpus. Binary-in/binary-out per row over
+    * `mapPartitions` — the batch shape a resampler needs at corpus
+    * scale (no driver collect, one codec context per partition).
+    */
+  def resize(media: Dataset[Media], maxDim: Int = 64): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.mime.startsWith("image/")) resizeImage(m, maxDim)
+        else Iterator.single(resizeStride(m, maxDim))
+      }
+    }
+  }
+
+  private[llm] def resizeImage(m: Media, maxDim: Int): Iterator[Media] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) Iterator.empty
+    else {
+      val (w0, h0) = (img.getWidth, img.getHeight)
+      val scale = math.min(1.0, maxDim.toDouble / math.max(w0, h0))
+      val (w, h) = (math.max(1, math.round(w0 * scale).toInt),
+        math.max(1, math.round(h0 * scale).toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Iterator.single(m.copy(payload = bos.toByteArray,
+        mime = "image/png", width = w, height = h))
+    }
+  }
+
+  /** The non-image fallback: downsample the payload to `targetBytes`
+    * by striding, clamping the pseudo dimensions.
+    */
+  private def resizeStride(m: Media, targetBytes: Int): Media = {
+    val len = m.payload.length
+    val out =
+      if (len == 0) Array.empty[Byte]
+      else Array.tabulate(math.min(targetBytes, len)) { i =>
+        m.payload(((i.toLong * len) / math.min(targetBytes, len)).toInt)
+      }
+    m.copy(payload = out,
+      width = math.min(m.width, targetBytes),
+      height = math.min(m.height, targetBytes))
+  }
+
+  /** The stride fallback as a standalone transform (determinism tests
+    * and non-media corpora).
     */
   def resizeStub(media: Dataset[Media], targetBytes: Int = 64): Dataset[Media] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val len = m.payload.length
-        val out =
-          if (len == 0) Array.empty[Byte]
-          else Array.tabulate(math.min(targetBytes, len)) { i =>
-            m.payload(((i.toLong * len) / math.min(targetBytes, len)).toInt)
-          }
-        m.copy(payload = out,
-          width = math.min(m.width, targetBytes),
-          height = math.min(m.height, targetBytes))
-      }
-    }
+    media.mapPartitions(_.map(resizeStride(_, targetBytes)))
   }
 
   /** Oracle-checkable feature extraction over the binary payload —

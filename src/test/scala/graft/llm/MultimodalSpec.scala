@@ -53,6 +53,45 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1) == Multimodal.FrameFeature(7L, 1, 1L, 0.0))
   }
 
+  test("real image resize: aspect-preserving bilinear downscale, mean preserved") {
+    import spark.implicits._
+    // 32x16 horizontal gradient: mean luma is scale-invariant
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val v = (x * 255) / 31
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.Media(9L, bos.toByteArray, "image/png", 32, 16)).toDS()
+    val out = Multimodal.resize(media, maxDim = 8).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.width == 8 && r.height == 4, s"${r.width}x${r.height}")
+    assert(r.mime == "image/png")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 8 && back.getHeight == 4)
+    def meanLuma(i: java.awt.image.BufferedImage): Double = {
+      val vs = for (y <- 0 until i.getHeight; x <- 0 until i.getWidth) yield {
+        val rgb = i.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+      }
+      vs.sum / vs.length / 255.0
+    }
+    assert(math.abs(meanLuma(back) - meanLuma(img)) < 0.05,
+      s"resize shifted mean luma: ${meanLuma(back)} vs ${meanLuma(img)}")
+    // a small image is never upscaled; corrupt image payloads drop
+    val small = Seq(Multimodal.Media(10L, bos.toByteArray, "image/png", 32, 16)).toDS()
+    val kept = Multimodal.resize(small, maxDim = 100).collect()(0)
+    assert(kept.width == 32 && kept.height == 16)
+    val corrupt = Seq(Multimodal.Media(11L, Array[Byte](1, 2, 3), "image/png", 1, 1),
+      Multimodal.Media(12L, "plain bytes".getBytes, "text/plain", 11, 1)).toDS()
+    val survivors = Multimodal.resize(corrupt, maxDim = 8).collect()
+    assert(survivors.map(_.doc_id).toSeq == Seq(12L), "corrupt drops, text strides")
+  }
+
   test("real JPEG decode round-trips through javax.imageio") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(4, 4,
