@@ -29,7 +29,8 @@ object SparkEntry {
     graft.llm.Pipeline.queries ++ graft.llm.Pack.queries ++
     graft.llm.TrainOrder.queries ++ graft.llm.Boilerplate.queries ++
     graft.llm.Hybrid.queries ++
-    graft.queries.Search.queries ++ graft.queries.Stats.queries
+    graft.queries.Search.queries ++ graft.queries.Stats.queries ++
+    graft.queries.Incremental.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -60,5 +61,6 @@ object SparkEntry {
     graft.llm.Pipeline.oracles ++ graft.llm.Pack.oracles ++
     graft.llm.TrainOrder.oracles ++ graft.llm.Boilerplate.oracles ++
     graft.llm.Hybrid.oracles ++
-    graft.queries.Search.oracles ++ graft.queries.Stats.oracles
+    graft.queries.Search.oracles ++ graft.queries.Stats.oracles ++
+    graft.queries.Incremental.oracles
 }

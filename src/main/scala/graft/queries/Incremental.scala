@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{BloomJoin, Compaction}
+import graft.sources.Formats
+
+/** Incremental-pipeline and scan-efficiency operators as
+  * oracle-checked queries: bloom semi-join pruning, CDC log
+  * compaction and upsert merge, non-parquet format roundtrips, and
+  * z-order layout statistics.
+  */
+object Incremental {
+
+  /** Order revenue for one customer segment, with the fact side
+    * bloom-pruned on `o_custkey` BEFORE the exact semi join — the
+    * runtime-filter shape, explicit. The oracle is the plain
+    * `IN (SELECT ...)` semi join: the bloom pass must not change one
+    * value (no false negatives; false positives die in the join).
+    */
+  def bloomSemiRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val dimKeys = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val pruned = BloomJoin.bloomPrune(
+      Tables.orders(spark, sfDir), "o_custkey", dimKeys, estItems = 100000L)
+    pruned.join(dimKeys, col("o_custkey") === col("c_custkey"), "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.Exact.dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Latest event per user — change-log compaction over the event
+    * stream, total-ordered by (ts, event_id) so ties are impossible.
+    */
+  def latestEventPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    Compaction.latestPerKey(
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")),
+      Seq("user_id"), Seq(col("ts"), col("event_id")))
+
+  /** Upsert-merge equivalence: compact the history before a cutoff
+    * into a base snapshot, replay everything after the cutoff as an
+    * update batch, merge — the result must equal compacting the whole
+    * log in one pass (which is the oracle). This is the daily
+    * incremental-snapshot pattern: the base is O(keys), only the new
+    * day shuffles at full width.
+    */
+  def upsertMergedState(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val ordering = Seq(col("ts"), col("event_id"))
+    val base = Compaction.latestPerKey(ev.filter(col("ts") < cut),
+      Seq("user_id"), ordering)
+    Compaction.upsertMerge(base, ev.filter(col("ts") >= cut),
+      Seq("user_id"), ordering)
+  }
+
+  /** ORC write→read→aggregate roundtrip (see [[Formats]]). */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    Formats.orcRoundtripAgg(spark, sfDir)
+
+  /** CSV write→read→aggregate roundtrip (see [[Formats]]). */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    Formats.csvRoundtripAgg(spark, sfDir)
+
+  /** Z-order (Morton) layout statistics: interleave the low 16 bits
+    * of `l_partkey`/`l_suppkey`, bucket rows by the top 8 z-bits, and
+    * report per-bucket extents of BOTH dimensions. The point of the
+    * curve is that each bucket is a small axis-aligned box, so
+    * min/max file statistics prune scans filtered on EITHER column —
+    * sorting by one column only buys pruning on that column. The
+    * extents (and the bit arithmetic) are engine-neutral integers,
+    * so the whole layout decision is oracle-checkable.
+    */
+  def zorderLayoutStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // mod-256 densifies both dimensions so the interleave exercises
+    // all 16 z-bits at every scale factor (raw l_suppkey is ~2 decimal
+    // digits at small SF — its high bits would pin every row into one
+    // bucket)
+    val x = col("l_partkey") % 256
+    val y = col("l_suppkey") % 256
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+    Tables.lineitem(spark, sfDir)
+      .select(x.as("zx"), y.as("zy"), z.as("zval"))
+      .groupBy(shiftright(col("zval"), 8).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zx")).as("min_part"), max(col("zx")).as("max_part"),
+        min(col("zy")).as("min_supp"), max(col("zy")).as("max_supp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> bloomSemiRevenue _,
+    "q_cdc_latest" -> latestEventPerUser _,
+    "q_cdc_upsert" -> upsertMergedState _,
+    "q_orc_roundtrip" -> orcRoundtrip _,
+    "q_csv_roundtrip" -> csvRoundtrip _,
+    "q_zorder_stats" -> zorderLayoutStats _,
+  )
+
+  /** DuckDB mirror of the Spark-side Morton interleave. */
+  private def sqlZ: String =
+    (0 until 8).map { i =>
+      s"((((l_partkey % 256) >> $i) & 1) << ${2 * i}) | " +
+        s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_cdc_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_cdc_upsert" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  max(l_partkey) AS max_part, count(*) AS n
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  max(lang || ',"' || source || '"') AS max_tricky,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_zorder_stats" ->
+      s"""SELECT (zval >> 8) AS zbucket, count(*) AS n,
+         |  min(zx) AS min_part, max(zx) AS max_part,
+         |  min(zy) AS min_supp, max(zy) AS max_supp
+         |FROM (SELECT (l_partkey % 256) AS zx, (l_suppkey % 256) AS zy,
+         |        ($sqlZ) AS zval
+         |      FROM lineitem)
+         |GROUP BY 1""".stripMargin
+  )
+}
