@@ -30,7 +30,7 @@ object SparkEntry {
     graft.llm.TrainOrder.queries ++ graft.llm.Boilerplate.queries ++
     graft.llm.Hybrid.queries ++
     graft.queries.Search.queries ++ graft.queries.Stats.queries ++
-    graft.queries.Incremental.queries
+    graft.queries.Incremental.queries ++ graft.queries.Reshape.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -62,5 +62,5 @@ object SparkEntry {
     graft.llm.TrainOrder.oracles ++ graft.llm.Boilerplate.oracles ++
     graft.llm.Hybrid.oracles ++
     graft.queries.Search.oracles ++ graft.queries.Stats.oracles ++
-    graft.queries.Incremental.oracles
+    graft.queries.Incremental.oracles ++ graft.queries.Reshape.oracles
 }

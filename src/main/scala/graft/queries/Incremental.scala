@@ -60,6 +60,55 @@ object Incremental {
       Seq("user_id"), ordering)
   }
 
+  /** Incremental aggregate maintenance: a "materialized" partial
+    * state (per-day decimal sums + counts over the history before a
+    * cutoff) merged with the fresh tail's partials must equal the
+    * full recompute — because the partials are the SAME mergeable
+    * state Spark's own partial+final HashAggregate ships between map
+    * and reduce, lifted to the snapshot level. At 100 TB this is the
+    * difference between re-scanning all history daily and scanning
+    * one day: the state is O(groups), only the tail scans at full
+    * width. Decimal partials keep the merge exact (double partials
+    * would re-order float addition and drift from the oracle).
+    */
+  def incrementalDailyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate"), col("o_totalprice"))
+    val cut = lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderdate"))
+        .agg(sum(graft.Exact.dec2(col("o_totalprice"))).as("psum"),
+          count(lit(1)).as("pn"))
+    partials(o.filter(col("o_orderdate") < cut))
+      .unionByName(partials(o.filter(col("o_orderdate") >= cut)))
+      .groupBy(col("o_orderdate"))
+      .agg(sum(col("psum")).cast("double").as("revenue"),
+        sum(col("pn")).as("n"))
+  }
+
+  /** Snapshot diff: classify every key of the compacted state as
+    * added / changed / unchanged between a historical cutoff and now
+    * — the audit complement of [[upsertMergedState]]. One full-outer
+    * join of two O(keys) compacted sides; the raw log never joins.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val ordering = Seq(col("ts"), col("event_id"))
+    val old = Compaction.latestPerKey(ev.filter(col("ts") < cut),
+        Seq("user_id"), ordering)
+      .select(col("user_id"), col("event_id").as("old_event_id"))
+    val neu = Compaction.latestPerKey(ev, Seq("user_id"), ordering)
+      .select(col("user_id"), col("event_id").as("new_event_id"))
+    old.join(neu, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("old_event_id"), col("new_event_id"),
+        when(col("old_event_id").isNull, "added")
+          .when(col("new_event_id").isNull, "removed")
+          .when(col("old_event_id") === col("new_event_id"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** ORC write→read→aggregate roundtrip (see [[Formats]]). */
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
     Formats.orcRoundtripAgg(spark, sfDir)
@@ -100,6 +149,8 @@ object Incremental {
     "q_bloom_join" -> bloomSemiRevenue _,
     "q_cdc_latest" -> latestEventPerUser _,
     "q_cdc_upsert" -> upsertMergedState _,
+    "q_incr_agg" -> incrementalDailyRevenue _,
+    "q_cdc_diff" -> snapshotDiff _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_zorder_stats" -> zorderLayoutStats _,
@@ -133,6 +184,33 @@ object Incremental {
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderdate""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH old AS (
+        |  SELECT user_id, event_id AS old_event_id FROM (
+        |    SELECT user_id, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1),
+        |neu AS (
+        |  SELECT user_id, event_id AS new_event_id FROM (
+        |    SELECT user_id, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  o.old_event_id, n.new_event_id,
+        |  CASE WHEN o.old_event_id IS NULL THEN 'added'
+        |       WHEN n.new_event_id IS NULL THEN 'removed'
+        |       WHEN o.old_event_id = n.new_event_id THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN neu n ON o.user_id = n.user_id""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
