@@ -117,6 +117,57 @@ object Incremental {
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
     Formats.csvRoundtripAgg(spark, sfDir)
 
+  /** Calendar-spine densification (gap filling): one row per
+    * (hour, event_type) across the corpus's full hour range, zeros
+    * where nothing happened — time-series consumers (dashboards,
+    * anomaly baselines, join spines) need the absent hours to EXIST.
+    * The spine is generated, not scanned: `sequence()` over the
+    * global min/max hour (a one-row aggregate) exploded to ~hours
+    * rows, cross-joined with the handful of event types — both sides
+    * bounded, so the nested-loop join is O(hours × types), never
+    * O(data). The real data contributes only the hourly aggregate.
+    */
+  def gapFilledHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum(col("value")).as("total_value"))
+    spine.crossJoin(types)
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
+
+  /** Hive-partitioned sink + pruned read: write events partitioned by
+    * `event_type`, then read back ONE partition. The filter must
+    * become a PartitionFilter (directory pruning — only the purchase
+    * directory is listed/read, asserted in IncrementalSpec), which at
+    * 100 TB is the difference between scanning one event type and
+    * scanning all of them.
+    */
+  def partitionedSinkRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_$fp"
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum(col("value")).as("total_value"))
+  }
+
   /** Z-order (Morton) layout statistics: interleave the low 16 bits
     * of `l_partkey`/`l_suppkey`, bucket rows by the top 8 z-bits, and
     * report per-bucket extents of BOTH dimensions. The point of the
@@ -151,6 +202,8 @@ object Incremental {
     "q_cdc_upsert" -> upsertMergedState _,
     "q_incr_agg" -> incrementalDailyRevenue _,
     "q_cdc_diff" -> snapshotDiff _,
+    "q_events_gapfill" -> gapFilledHourly _,
+    "q_partitioned_sink" -> partitionedSinkRead _,
     "q_orc_roundtrip" -> orcRoundtrip _,
     "q_csv_roundtrip" -> csvRoundtrip _,
     "q_zorder_stats" -> zorderLayoutStats _,
@@ -184,6 +237,29 @@ object Incremental {
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_events_gapfill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |         date_trunc('hour', max(ts)) AS hi FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h.hour, t.event_type,
+        |  coalesce(c.n, 0) AS n,
+        |  coalesce(c.total_value, 0.0) AS total_value
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type""".stripMargin,
+    "q_partitioned_sink" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin,
     "q_incr_agg" ->
       """SELECT o_orderdate,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -109,6 +109,32 @@ object EventStreams {
         col("p_ts"), col("e_ts"), col("purchase_value"), col("error_value"))
   }
 
+  /** Streaming change-log compaction — the streaming twin of
+    * [[graft.operators.Compaction.latestPerKey]]: per-key
+    * latest-wins state via `flatMapGroupsWithState`, emitting a key's
+    * row whenever its latest (ts, event_id) improves. Update-mode
+    * emission means a consumer holds current state by upserting
+    * emitted rows; state is one row per key (O(active keys), the same
+    * bound the batch compaction's shuffle groups have).
+    */
+  def compactStream(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    def key(e: Event): (Long, Long) = (e.ts.getTime, e.event_id)
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[Event]): Iterator[Event] = {
+      val candidates = state.getOption.toSeq ++ batch
+      if (candidates.isEmpty) Iterator.empty
+      else {
+        val best = candidates.maxBy(key)
+        val improved = state.getOption.forall(s => key(best) != key(s))
+        state.update(best)
+        if (improved) Iterator.single(best) else Iterator.empty
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming exactly-once dedup: drop duplicate event_ids within
     * the watermark horizon — the streaming twin of exact dedup (state
     * is bounded by the watermark; late duplicates beyond 1 hour age

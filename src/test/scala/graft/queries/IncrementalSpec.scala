@@ -94,6 +94,39 @@ class IncrementalSpec extends SparkSpec {
       directCsv.exceptAll(csv).count() === 0)
   }
 
+  test("bloom prefilter sits in the plan as a might_contain predicate") {
+    val p = graft.SparkEntry.queries("q_bloom_join")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"bloom predicate missing:\n$p")
+  }
+
+  test("partitioned-sink read prunes to the one matching partition") {
+    val df = Incremental.partitionedSinkRead(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_type#\\d+ = purchase".r
+      .findFirstIn(p).isDefined,
+      s"partition filter not applied at the scan:\n$p")
+    val direct = graft.Tables.events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assert(df.count() === direct.count())
+  }
+
+  test("gap-filled hourly covers every (hour, type) cell with zeros") {
+    val out = Incremental.gapFilledHourly(spark, sf001)
+    val nHours = out.select(col("hour")).distinct().count()
+    val nTypes = out.select(col("event_type")).distinct().count()
+    assert(out.count() === nHours * nTypes, "grid is not dense")
+    // zeros exist (sf0.001's sparse stream cannot fill every cell)
+    assert(out.filter(col("n") === 0).count() > 0)
+    // filled cells match the plain hourly aggregate
+    val direct = graft.Tables.events(spark, sf001)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type")).agg(count(lit(1)).as("n"))
+    assert(out.filter(col("n") > 0).select(col("hour"), col("event_type"),
+      col("n")).exceptAll(direct).count() === 0)
+  }
+
   test("z-order buckets are axis-aligned boxes on both dimensions") {
     val stats = Incremental.zorderLayoutStats(spark, sf001).collect()
     // densified 8-bit dims, bucket = top 8 z-bits => many buckets, and

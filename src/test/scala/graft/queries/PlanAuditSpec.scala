@@ -134,7 +134,9 @@ class PlanAuditSpec extends SparkSpec {
     val boundedBuildSide =
       Set("q_ann_topk", "q_ann_sq8_topk", "q_above_avg_balance",
         "q_llm_tfidf", "q_llm_commonness", "q_llm_curriculum",
-        "q_dedup_strip_spans") // one-row flagged-hash array broadcast
+        "q_dedup_strip_spans", // one-row flagged-hash array broadcast
+        "q_events_gapfill") // generated hour spine × ~5 event types:
+        // O(hours × types) by construction, independent of data size
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)

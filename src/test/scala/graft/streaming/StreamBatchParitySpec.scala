@@ -321,6 +321,35 @@ class StreamBatchParitySpec extends SparkSpec {
         s"expected-only: ${(expected -- streamed).take(3)}")
   }
 
+  test("compaction: streamed latest-wins state equals batch latestPerKey") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = collectEvents()
+    val input = MemoryStream[Event]
+    val q = compactStream(input.toDS())
+      .writeStream.format("memory").queryName("parity_compact")
+      .outputMode("update").start()
+    // three micro-batches in arrival order unrelated to event time, so
+    // the state must genuinely compare (ts, event_id), not arrival
+    val waves = events.sortBy(_.event_id).grouped((events.size + 2) / 3).toSeq
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    // a consumer upserting emitted rows holds, per key, the last
+    // emission = the max (ts, event_id) ever emitted for that key
+    val streamed = spark.table("parity_compact").collect()
+      .map(r => (r.getLong(2), (r.getTimestamp(1).getTime, r.getLong(0))))
+      .groupBy(_._1).map { case (u, rows) => (u, rows.map(_._2).max) }.toSet
+    q.stop()
+    val batch = graft.operators.Compaction.latestPerKey(
+        graft.Tables.events(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .collect()
+      .map(r => (r.getLong(2), (r.getTimestamp(1).getTime, r.getLong(0))))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("dedup: duplicated stream collapses to the batch-distinct event set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
