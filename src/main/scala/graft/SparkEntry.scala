@@ -23,8 +23,9 @@ object SparkEntry {
     "mr_grep" -> ((s: SparkSession, d: String) => CanonicalJobs.grep(s, d)),
     "mr_sort" -> (CanonicalJobs.sortDocs _),
   ) ++ graft.queries.StarSchema.queries ++ graft.queries.EventWindows.queries ++
-    graft.queries.Advanced.queries ++
+    graft.queries.Advanced.queries ++ graft.queries.Graph.queries ++
     graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
+    graft.llm.NgramLM.queries ++
     graft.llm.Similarity.queries ++ graft.llm.Multimodal.queries ++
     graft.llm.Pipeline.queries ++ graft.llm.Pack.queries ++
     graft.llm.TrainOrder.queries ++ graft.llm.Boilerplate.queries ++
@@ -55,8 +56,9 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY lang ASC, n_chars DESC, doc_id ASC""".stripMargin,
   ) ++ graft.queries.StarSchema.oracles ++ graft.queries.EventWindows.oracles ++
-    graft.queries.Advanced.oracles ++
+    graft.queries.Advanced.oracles ++ graft.queries.Graph.oracles ++
     graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++
+    graft.llm.NgramLM.oracles ++
     graft.llm.Similarity.oracles ++ graft.llm.Multimodal.oracles ++
     graft.llm.Pipeline.oracles ++ graft.llm.Pack.oracles ++
     graft.llm.TrainOrder.oracles ++ graft.llm.Boilerplate.oracles ++

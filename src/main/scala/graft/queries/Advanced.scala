@@ -138,8 +138,33 @@ object Advanced {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Blocked fuzzy (record-linkage) join over part names: distinct
+    * name signatures first, then a first-token blocking equi-join,
+    * then Levenshtein ≤ 4 scoring inside each block. The
+    * distinct-first step is the scale lever — edit distance runs on
+    * name SIGNATURES (vocabulary-sized), never on the row set, and
+    * the blocking key turns the quadratic candidate space into
+    * Σ block² — the standard blocking-key shape of entity
+    * resolution at corpus scale. Per-name part counts ride along so
+    * the output still prices each match's row-level impact.
+    */
+  def fuzzyNameJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", substring_index(col("p_name"), " ", 1))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .where(col("dist").between(1, 4))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("dist"),
+        col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofPurchaseError _,
+    "q_fuzzy_join" -> fuzzyNameJoin _,
     "q_range_join" -> rangeJoinErrorWindow _,
     "q_bucketed_join" -> bucketedJoinRevenue _,
     "q_salted_count" -> saltedTypeCount _,
@@ -150,6 +175,17 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """WITH sigs AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+        |         split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM sigs a JOIN sigs b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4""".stripMargin,
     "q_asof_join" ->
       """SELECT p.user_id, p.event_id, p.ts, p.value,
         |  e.err_ts AS asof_err_ts, e.err_value AS asof_err_value

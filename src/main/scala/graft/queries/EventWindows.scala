@@ -119,8 +119,41 @@ object EventWindows {
         col("n_users"), col("n_d1"), col("n_d7"))
   }
 
+  /** Exponentially weighted moving average of the hourly event count
+    * per event_type, over a trailing 8-observation window with DYADIC
+    * weights 2^(7-j) (newest = 128 … oldest = 1). Powers of two keep
+    * the weighted numerator an exact BIGINT — `Σ lag_j · 2^(7-j)` —
+    * so the EWMA is one terminal division of exact integers instead
+    * of a float recurrence (which is partition-order-dependent and
+    * not expressible as a frame anyway). The denominator counts only
+    * the weights of PRESENT lags, so the head of each series is a
+    * proper partial average, not damped toward zero.
+    *
+    * Scale: one hash aggregation to hourly counts, then a per-type
+    * window sort — series length is hours, not events, so the sorted
+    * partitions are tiny no matter the corpus size.
+    */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+    val terms = (0 to 7).map { j =>
+      val l = if (j == 0) col("cnt") else lag(col("cnt"), j).over(byType)
+      (coalesce(l, lit(0L)) * lit(1L << (7 - j)),
+        when(l.isNotNull, lit(1L << (7 - j))).otherwise(lit(0L)))
+    }
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("hour"), col("event_type"), col("cnt"),
+        terms.map(_._1).reduce(_ + _).as("wsum"),
+        terms.map(_._2).reduce(_ + _).as("wtot"))
+      .select(col("hour"), col("event_type"), col("cnt"), col("wsum"), col("wtot"),
+        (col("wsum").cast("double") / col("wtot")).as("ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> hourly _,
+    "q_events_ewma" -> ewma _,
     "q_events_sliding" -> sliding _,
     "q_events_sessions" -> sessions _,
     "q_events_hour_of_day" -> hourOfDay _,
@@ -129,7 +162,32 @@ object EventWindows {
     "q_events_retention" -> retention _,
   )
 
+  /** SQL mirror of [[ewma]]'s dyadic lag terms (j = 0 is the current
+    * row — `lag(cnt, 0)` is avoided for portability).
+    */
+  private val sqlEwmaWsum: String = (0 to 7).map { j =>
+    val l = if (j == 0) "cnt" else s"lag(cnt, $j) OVER w"
+    s"COALESCE($l, 0) * ${1L << (7 - j)}"
+  }.mkString(" + ")
+
+  private val sqlEwmaWtot: String = (0 to 7).map { j =>
+    val l = if (j == 0) "cnt" else s"lag(cnt, $j) OVER w"
+    s"CASE WHEN $l IS NULL THEN 0 ELSE ${1L << (7 - j)} END"
+  }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q_events_ewma" ->
+      s"""SELECT hour, event_type, cnt, wsum, wtot,
+         |  CAST(wsum AS DOUBLE) / wtot AS ewma
+         |FROM (
+         |  SELECT hour, event_type, cnt,
+         |    CAST($sqlEwmaWsum AS BIGINT) AS wsum,
+         |    CAST($sqlEwmaWtot AS BIGINT) AS wtot
+         |  FROM (
+         |    SELECT date_trunc('hour', ts) AS hour, event_type,
+         |           CAST(count(*) AS BIGINT) AS cnt
+         |    FROM events GROUP BY 1, 2)
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour))""".stripMargin,
     "q_events_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n, ${sqlDsum("value")} AS total_value,

@@ -157,11 +157,13 @@ object Incremental {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_$fp"
-    Tables.events(spark, sfDir)
+    val staged = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      .write.mode("overwrite").partitionBy("event_type").parquet(path)
-    spark.read.parquet(path)
+    staged.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    // explicit schema: a zero-row corpus writes no data files, and
+    // schema inference over an empty partitioned dir fails
+    spark.read.schema(staged.schema).parquet(path)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
