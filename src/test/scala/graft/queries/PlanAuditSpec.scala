@@ -119,6 +119,32 @@ class PlanAuditSpec extends SparkSpec {
       s"post-staging plan must not rescan parquet:\n$p")
   }
 
+  test("token pairs: only the one-row count is nested-loop; pair join is hash-based") {
+    val p = planOf("q_llm_token_pairs")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"only the n_docs scalar may be a nested-loop broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"per-doc pair join must be an equi hash/merge join:\n$p")
+  }
+
+  test("ewma: one aggregation exchange, series window partitioned by type") {
+    val p = planOf("q_events_ewma")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    // hourly agg shuffle (+ at most an AQE coalesce read) — the window
+    // rides the same hash partitioning on event_type
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"ewma grew extra shuffles:\n$p")
+  }
+
+  test("pagerank edge derivation: one user_id exchange feeds the lead window") {
+    val df = Graph.clickEdges(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"expected lead() window:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"transition derivation should shuffle once on user_id:\n$p")
+  }
+
   test("suite-wide smell sweep: no nested-loop joins, no cartesian products") {
     // A nested-loop join is scale-hostile when BOTH sides scale with
     // the data. Two queries carry a provably BOUNDED build side and
@@ -135,6 +161,7 @@ class PlanAuditSpec extends SparkSpec {
       Set("q_ann_topk", "q_ann_sq8_topk", "q_above_avg_balance",
         "q_llm_tfidf", "q_llm_commonness", "q_llm_curriculum",
         "q_dedup_strip_spans", // one-row flagged-hash array broadcast
+        "q_llm_token_pairs", // one-row corpus-count broadcast (lift)
         "q_events_gapfill") // generated hour spine × ~5 event types:
         // O(hours × types) by construction, independent of data size
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
