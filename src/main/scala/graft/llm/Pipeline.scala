@@ -232,7 +232,26 @@ object Pipeline {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Deterministic length-weighted priority sample: keep the `k`
+    * docs with the smallest priority `floor(h60(doc_id#wsample) /
+    * n_chars)` — a longer doc divides its uniform hash by a larger
+    * weight, so it wins a slot proportionally more often, with zero
+    * RNG (re-run-stable, engine-portable, all-integer). The selection
+    * is a global top-k on an exact BIGINT key, which Spark executes
+    * as TakeOrderedAndProject — per-partition heaps of size k, never
+    * a global sort — so at 100 TB each partition forwards k rows.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 128): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        PortableHash.h60(col("doc_id").cast("string"), lit("wsample")).as("h"))
+      .select(col("doc_id"), col("n_chars"), expr("h div n_chars").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "q_llm_pipeline" -> trainingPrep _,
     "q_llm_full_pipeline" -> fullPrep _,
     "q_llm_chunks" -> chunk _,
@@ -243,6 +262,14 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_llm_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |  ${PortableHash.sqlH60("CAST(doc_id AS VARCHAR) || '#' || 'wsample'")}
+         |    // n_chars AS priority
+         |FROM documents
+         |WHERE n_chars > 0
+         |ORDER BY priority, doc_id
+         |LIMIT 128""".stripMargin,
     "q_llm_pipeline" ->
       s"""WITH scrubbed AS (
         |  SELECT doc_id, lang, ${TextAnalysis.sqlScrub("text")} AS clean

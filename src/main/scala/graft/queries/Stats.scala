@@ -75,12 +75,57 @@ object Stats {
       .filter(abs(col("z")) >= 2.0)
   }
 
+  /** Skyline (Pareto frontier) of documents over (quality, length):
+    * a doc is on the frontier iff no other doc strictly beats it on
+    * BOTH axes. Computed rank-wise, not pairwise: per distinct
+    * quality score take the max length, run a strict prefix-max over
+    * scores descending, and a doc survives iff its length ≥ the max
+    * length of any strictly-higher-quality doc. The only ordered
+    * window runs on the DISTINCT-SCORE table — cardinality is the
+    * quality formula's granularity, not the corpus — so the corpus
+    * itself never sorts globally; it's one groupBy plus one equi-join
+    * against the tiny per-score table. (The O(n²) NOT-EXISTS form is
+    * the oracle's job, not the engine's.)
+    */
+  def skylineDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.llm.TextAnalysis.qualityCol.as("q"),
+        col("n_chars"))
+      .where(col("q").isNotNull)
+    val perq = d.groupBy(col("q")).agg(max(col("n_chars")).as("mx"))
+    val strictPrefix = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pm = perq.select(col("q"),
+      max(col("mx")).over(strictPrefix).as("m_strict"))
+    d.join(broadcast(pm), Seq("q"))
+      .where(col("m_strict").isNull || col("n_chars") >= col("m_strict"))
+      .select(col("doc_id"), col("q").as("quality"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_corr" -> corrQtyPrice _,
     "q_stats_outliers" -> tokenOutliers _,
+    "q_skyline" -> skylineDocs _,
   )
 
   val oracles: Map[String, String] = Map(
+    // rank-wise mirror of skylineDocs, NOT a NOT-EXISTS pairwise scan
+    // — same strict-prefix-max construction so tie semantics (equal
+    // quality never dominates) agree by shape, not by accident
+    "q_skyline" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${graft.llm.TextAnalysis.sqlQualityCol} AS q, n_chars
+         |  FROM documents),
+         |dd AS (SELECT * FROM d WHERE q IS NOT NULL),
+         |perq AS (SELECT q, max(n_chars) AS mx FROM dd GROUP BY q),
+         |pm AS (
+         |  SELECT q, max(mx) OVER (ORDER BY q DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict
+         |  FROM perq)
+         |SELECT doc_id, dd.q AS quality, n_chars
+         |FROM dd JOIN pm USING (q)
+         |WHERE m_strict IS NULL OR n_chars >= m_strict""".stripMargin,
     "q_stats_corr" ->
       """SELECT l_returnflag, n,
         |  sx / nd AS avg_qty,
