@@ -55,13 +55,17 @@ object Hybrid {
     * the parquet and recompute the 4×64-dim hyperplane signature —
     * 16 scans at plan level. Staged, the corpus is computed once.
     */
-  def hybridTopKOf(emb: DataFrame, docs: DataFrame): DataFrame = {
-    val corpus = graft.Materialize.stage(emb
+  /** The bucketed+tokenized corpus, staged once for all consumers. */
+  private def stagedCorpus(emb: DataFrame, docs: DataFrame): DataFrame =
+    graft.Materialize.stage(emb
       .withColumn("bucket", Similarity.signatureCol(col("embedding")))
       .join(docs
           .select(col("doc_id"), array_distinct(TextAnalysis.tokensCol).as("toks")),
         col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("embedding"), col("bucket"), col("toks")))
+
+  def hybridTopKOf(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val corpus = stagedCorpus(emb, docs)
     val q = corpus.filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"), col("toks").as("q_toks"))
@@ -101,8 +105,79 @@ object Hybrid {
         col("score"), col("cos"), col("jac"))
   }
 
+  val RrfC = 60
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * over the same two candidate channels as [[hybridTopKOf]]: each
+    * channel ranks its OWN candidates by its own signal (dense:
+    * cosine; sparse: token Jaccard), and a candidate's fused score is
+    * Σ_channels 1/([[RrfC]] + rank), an absent channel contributing
+    * 0. Rank-based fusion needs no cross-channel score calibration —
+    * why it is the default fusion in production hybrid search — and
+    * is exactly reproducible cross-engine: ranks are integers and the
+    * fused score a sum of two exact IEEE divisions.
+    *
+    * Scale: identical joins to [[hybridTopKOf]] (bucket equi-join +
+    * df-capped rare-term join); the additions are two per-query
+    * window ranks over candidate sets those joins already bound.
+    * Channel ranks are emitted 0-coalesced (0 = "not a candidate in
+    * this channel") so the output stays integer-typed.
+    */
+  def rrfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    rrfTopKOf(Tables.embeddings(spark, sfDir), Tables.documents(spark, sfDir))
+
+  def rrfTopKOf(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val corpus = stagedCorpus(emb, docs)
+    val q = corpus.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"), col("toks").as("q_toks"))
+
+    val wD = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val dense = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+      .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_bucket"))),
+        col("bucket") === col("q_bucket") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(wD).as("r_dense"))
+
+    val terms = corpus.select(col("vec_id"), explode(col("toks")).as("t"))
+    val rare = terms.groupBy(col("t"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= MaxDf)
+      .select(col("t"))
+    val rareTerms = terms.join(rare, Seq("t"), "left_semi")
+    val qTerms = rareTerms.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("t").as("q_t"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("jac").desc, col("neighbor_id").asc)
+    val sparse = rareTerms
+      .join(broadcast(qTerms),
+        col("t") === col("q_t") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+      .join(broadcast(q.select(col("query_id"), col("q_toks"))), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("toks")),
+        Seq("neighbor_id"))
+      .withColumn("jac", coalesce(jaccard(col("q_toks"), col("toks")), lit(0.0)))
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(wS).as("r_sparse"))
+
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    dense.join(sparse, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfC) + col("r_dense")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfC) + col("r_sparse")), lit(0.0)))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= Similarity.K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("rrf"),
+        coalesce(col("r_dense"), lit(0)).cast("long").as("r_dense"),
+        coalesce(col("r_sparse"), lit(0)).cast("long").as("r_sparse"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_topk" -> hybridTopK _,
+    "q_hybrid_rrf" -> rrfTopK _,
   )
 
   private def sqlJac(a: String, b: String): String =
@@ -152,6 +227,60 @@ object Hybrid {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id ASC) AS rank
          |  FROM ranked)
+         |WHERE rank <= ${Similarity.K}""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH ${Similarity.sqlBuckets},
+         |dtoks AS (
+         |  SELECT doc_id, list_distinct(${TextAnalysis.sqlTokens}) AS toks
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT b.vec_id, b.embedding, b.bucket, t.toks
+         |  FROM buckets b JOIN dtoks t ON b.vec_id = t.doc_id),
+         |qs AS (
+         |  SELECT * FROM corpus WHERE vec_id < ${Similarity.NumQueries}),
+         |terms AS (
+         |  SELECT vec_id, unnest(toks) AS t FROM corpus),
+         |rare AS (
+         |  SELECT t FROM terms GROUP BY t HAVING count(*) <= $MaxDf),
+         |rt AS (
+         |  SELECT vec_id, terms.t FROM terms JOIN rare ON terms.t = rare.t),
+         |dense AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS r_dense
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ${Similarity.sqlCos("q.embedding", "c.embedding")} AS cos
+         |    FROM qs q JOIN corpus c
+         |      ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)),
+         |scand AS (
+         |  SELECT DISTINCT qt.vec_id AS query_id, ct.vec_id AS neighbor_id
+         |  FROM rt qt JOIN rt ct
+         |    ON ct.t = qt.t AND ct.vec_id <> qt.vec_id
+         |  WHERE qt.vec_id < ${Similarity.NumQueries}),
+         |sparse AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY jac DESC, neighbor_id ASC) AS r_sparse
+         |  FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      COALESCE(${sqlJac("q.toks", "c.toks")}, 0.0) AS jac
+         |    FROM scand s
+         |    JOIN corpus q ON q.vec_id = s.query_id
+         |    JOIN corpus c ON c.vec_id = s.neighbor_id)),
+         |fused AS (
+         |  SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+         |    COALESCE(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / ($RrfC + d.r_dense), 0.0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfC + s.r_sparse), 0.0) AS rrf,
+         |    CAST(COALESCE(d.r_dense, 0) AS BIGINT) AS r_dense,
+         |    CAST(COALESCE(s.r_sparse, 0) AS BIGINT) AS r_sparse
+         |  FROM dense d FULL OUTER JOIN sparse s
+         |    ON s.query_id = d.query_id AND s.neighbor_id = d.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, rrf, r_dense, r_sparse FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, neighbor_id ASC) AS rank
+         |  FROM fused)
          |WHERE rank <= ${Similarity.K}""".stripMargin,
   )
 }

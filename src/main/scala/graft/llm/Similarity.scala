@@ -435,6 +435,63 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Cosine threshold shared by the embedding near-dup and semantic
+    * dedup operators (recall-sized for this corpus in SimilaritySpec).
+    */
+  val SemTau = 0.35
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): within each semantic cluster, a vector is
+    * REMOVED when an earlier-id member of the same cluster is
+    * cosine-similar above [[SemTau]]. The `label` column stands in
+    * for the k-means cluster id a production run would assign
+    * ([[ivfAssign]] produces exactly that shape); a precomputed
+    * cluster keeps the DuckDB oracle exact while the plan shape is
+    * identical. Keep policy is keep-first (min vec_id) — the same
+    * deterministic representative rule as [[Dedup]]'s exact-dup
+    * collapse. Output: one row per removed vector with its strongest
+    * earlier leader (max cos, tie → min leader id).
+    *
+    * Scale: pairwise scoring is an equi-join on the cluster id, so
+    * candidate cost is Σ cluster² — the published SemDeDup bound
+    * (cluster count is chosen ∝ corpus size so clusters stay
+    * bounded; a skewed cluster would get the salting treatment of
+    * [[graft.operators.Skew]]). No all-pairs join exists anywhere.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select(col("label").as("lbl"), col("vec_id").as("leader_id"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("label").as("lbl"), col("vec_id"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("leader_id").asc)
+    a.join(b, Seq("lbl"))
+      .filter(col("leader_id") < col("vec_id"))
+      .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= SemTau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("lbl").cast("long").as("label"),
+        col("leader_id"), col("cos"))
+  }
+
+  /** Per-cluster SemDeDup effect — corpus size, removed, kept — the
+    * sizing report a pipeline runs before committing to a threshold
+    * (the semantic twin of [[Dedup.clusterStats]]). One tiny agg over
+    * the corpus left-marked by the (small) removal set.
+    */
+  def semanticDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val removed = semanticDedup(spark, sfDir)
+      .select(col("vec_id"), lit(1).as("rm"))
+    e.join(removed, Seq("vec_id"), "left")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_total"),
+        count(col("rm")).as("n_removed"),
+        (count(lit(1)) - count(col("rm"))).as("n_kept"))
+  }
+
   /** IVF cell-size histogram — the operational sizing probe for the
     * index: probe cost is proportional to the probed cell's size, so
     * a skewed cell distribution means skewed probe latency (and a
@@ -622,6 +679,8 @@ object Similarity {
     "q_embed_centroids" -> labelCentroids _,
     "q_ann_cell_stats" -> ivfCellStats _,
     "q_embed_near_dup" -> embeddingNearDup _,
+    "q_embed_semantic_dedup" -> semanticDedup _,
+    "q_embed_semantic_stats" -> semanticDedupStats _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -739,5 +798,29 @@ object Similarity {
          |FROM buckets a JOIN buckets b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+    "q_embed_semantic_dedup" ->
+      s"""SELECT vec_id, label, leader_id, cos FROM (
+         |  SELECT b.vec_id AS vec_id, CAST(b.label AS BIGINT) AS label,
+         |    a.vec_id AS leader_id,
+         |    ${sqlCos("a.embedding", "b.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${sqlCos("a.embedding", "b.embedding")} DESC,
+         |        a.vec_id ASC) AS rn
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= $SemTau)
+         |WHERE rn = 1""".stripMargin,
+    "q_embed_semantic_stats" ->
+      s"""WITH rem AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= $SemTau)
+         |SELECT CAST(e.label AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+         |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
+         |FROM embeddings e LEFT JOIN rem r ON r.vec_id = e.vec_id
+         |GROUP BY e.label""".stripMargin,
   )
 }

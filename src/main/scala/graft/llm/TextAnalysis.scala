@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.PortableHash._
@@ -317,9 +318,37 @@ object TextAnalysis {
           .as("mean_quality"))
   }
 
+  /** Per-language quality calibration: the raw [[qualityCol]]
+    * distribution differs by language (the stopword channel is
+    * English-weighted), so one corpus-wide threshold systematically
+    * over-filters non-English text — the CCNet lesson. The
+    * calibrated score is the document's `percent_rank` WITHIN its
+    * language, making "keep the top X% of each language" a single
+    * uniform cutoff. Deterministic cross-engine: the window order is
+    * totalized with the doc_id tiebreak (percent_rank of a total
+    * order is (rank-1)/(n-1), exact in IEEE), and null scores
+    * (empty docs) are pinned NULLS FIRST explicitly because Spark
+    * and DuckDB default differently.
+    *
+    * Scale: one window over lang partitions — a single shuffle by
+    * lang. A skewed language (English is half of any web corpus)
+    * makes this the textbook sort-skew case; at 100 TB swap the
+    * exact percent_rank for the broadcast-quantile-threshold CASE of
+    * [[graft.llm.TrainOrder]]'s curriculum (same output contract,
+    * no single-partition sort).
+    */
+  def qualityCalibrated(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").asc_nulls_first, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), qualityCol.as("quality"))
+      .withColumn("q_rank", percent_rank().over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_lang_id" -> langId _,
     "q_llm_quality" -> qualityScore _,
+    "q_llm_quality_calibrated" -> qualityCalibrated _,
     "q_llm_token_count" -> tokenCount _,
     "q_llm_fingerprint" -> fingerprint _,
     "q_llm_scrub" -> scrub _,
@@ -342,6 +371,12 @@ object TextAnalysis {
          |       ELSE 'fr' END AS detected
          |FROM documents""".stripMargin,
     "q_llm_quality" -> sqlQualityTable,
+    "q_llm_quality_calibrated" ->
+      s"""SELECT doc_id, lang, quality,
+         |  percent_rank() OVER (PARTITION BY lang
+         |    ORDER BY quality ASC NULLS FIRST, doc_id ASC) AS q_rank
+         |FROM (SELECT doc_id, lang, $sqlQualityCol AS quality
+         |      FROM documents)""".stripMargin,
     "q_llm_token_count" ->
       s"""SELECT doc_id,
          |  len($sqlTokens) AS ws_tokens,

@@ -18,6 +18,22 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("rrf fusion: ranks contiguous, fused score reconstructs from channel ranks") {
+    val rows = Hybrid.rrfTopK(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= Similarity.K)
+    }
+    rows.foreach { r =>
+      val (rd, rsp, score) = (r.getLong(4), r.getLong(5), r.getDouble(3))
+      assert(rd > 0 || rsp > 0, "candidate must come from at least one channel")
+      val expect = (if (rd > 0) 1.0 / (Hybrid.RrfC + rd) else 0.0) +
+        (if (rsp > 0) 1.0 / (Hybrid.RrfC + rsp) else 0.0)
+      assert(math.abs(score - expect) < 1e-15, s"rrf=$score expect=$expect")
+    }
+  }
+
   test("sparse channel reaches a neighbor the dense channel cannot") {
     import spark.implicits._
     // vec 0 and vec 25 share ONE rare token but have OPPOSITE

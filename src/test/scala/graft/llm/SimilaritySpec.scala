@@ -244,4 +244,44 @@ class SimilaritySpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"probe scan should prune partitions on cell:\n$plan")
   }
+
+  test("semantic dedup: removal set == 'exists earlier cluster-mate above tau'") {
+    val corpus = graft.Tables.embeddings(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectRemoved = corpus.filter { case (id, lbl, emb) =>
+      corpus.exists { case (id2, lbl2, emb2) =>
+        lbl2 == lbl && id2 < id && cos(emb2, emb) >= Similarity.SemTau }
+    }.map(_._1).toSet
+    val removed = Similarity.semanticDedup(spark, sf001).collect()
+    assert(removed.map(_.getLong(0)).toSet == expectRemoved)
+    assert(removed.nonEmpty, "corpus should contain semantic dups at tau")
+    // each leader really is the strongest earlier same-cluster mate
+    val byId = corpus.map(t => t._1 -> t).toMap
+    removed.foreach { r =>
+      val (id, lbl, leader) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (_, llbl, _) = byId(leader)
+      assert(leader < id && llbl.toLong == lbl)
+      val best = corpus.filter(t => t._2.toLong == lbl && t._1 < id)
+        .map(t => (t._1, cos(t._3, byId(id)._3)))
+        .sortBy { case (lid, c) => (-c, lid) }.head
+      assert(best._1 == leader, s"vec $id: expected leader ${best._1}, got $leader")
+    }
+    // stats roll up to the same removal set
+    val stats = Similarity.semanticDedupStats(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totals = corpus.groupBy(_._2.toLong).map { case (l, g) => l -> g.length.toLong }
+    stats.foreach { case (lbl, nTotal, nRemoved, nKept) =>
+      assert(nTotal == totals(lbl))
+      assert(nRemoved == expectRemoved.count(id => byId(id)._2.toLong == lbl))
+      assert(nKept == nTotal - nRemoved)
+    }
+  }
 }

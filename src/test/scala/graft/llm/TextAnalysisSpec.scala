@@ -138,4 +138,16 @@ class TextAnalysisSpec extends SparkSpec {
       assert(c1 > c2 || (c1 == c2 && t1 < t2), s"order violated at ($t1,$c1) ($t2,$c2)")
     }
   }
+
+  test("calibrated quality: per-language percent_rank is a total order over [0,1]") {
+    val rows = TextAnalysis.qualityCalibrated(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).values.foreach { rs =>
+      val ranks = rs.map(_.getDouble(3))
+      assert(ranks.forall(r => r >= 0.0 && r <= 1.0))
+      if (rs.length > 1) assert(ranks.min == 0.0 && ranks.max == 1.0)
+      // the doc_id tiebreak totalizes the order: no two docs share a rank
+      assert(ranks.distinct.length == rs.length)
+    }
+  }
 }

@@ -10,6 +10,11 @@ import graft.SparkSpec
 class PlanAuditSpec extends SparkSpec {
 
   private def planOf(name: String): String = {
+    // Other specs cache() query frames they assert on; the CacheManager
+    // would then substitute an InMemoryRelation here, whose string
+    // carries BOTH the AQE initial and final plans — double-counting
+    // Exchange/Join nodes and making the audits order-dependent.
+    spark.sharedState.cacheManager.clearCache()
     val df = graft.SparkEntry.queries(name)(spark, sf001)
     df.queryExecution.executedPlan.toString
   }
@@ -56,6 +61,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("IVF cell assignment is map-only (centroid literals, zero Exchange)") {
+    spark.sharedState.cacheManager.clearCache()
     val p = graft.llm.Similarity.ivfAssign(spark, sf001)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"ivfAssign should be a map-only pass:\n$p")
@@ -138,6 +144,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("pagerank edge derivation: one user_id exchange feeds the lead window") {
+    spark.sharedState.cacheManager.clearCache()
     val df = Graph.clickEdges(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("Window"), s"expected lead() window:\n$p")
