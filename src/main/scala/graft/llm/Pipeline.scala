@@ -83,6 +83,27 @@ object Pipeline {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
 
+  /** Leakage-safe GROUPED split: the unit of assignment is the
+    * `source` (crawl domain / data provider), not the document —
+    * hashing the group key sends every document of a source to the
+    * same side, so near-duplicates and shared boilerplate within a
+    * source can never straddle train/val and leak evaluation signal
+    * (the GroupKFold discipline applied to corpus prep;
+    * [[trainValSplit]] is the per-document form). Map-only: the
+    * split is a hash of a column already on every row — no group
+    * table to join, no shuffle before the audit aggregation. Output
+    * is the per-source audit; one row per (source, split) proves by
+    * construction that no source appears on both sides.
+    */
+  def groupedSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(PortableHash.h60(col("source")) % 100 < 90, "train").otherwise("val"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("first_doc"))
+
   /** Benchmark decontamination: flag corpus docs sharing any 5-gram
     * with the eval set (doc_id < 10 stands in for the benchmark).
     * Shingle-join shape: |eval shingles| is small, so it broadcasts;
@@ -256,6 +277,7 @@ object Pipeline {
     "q_llm_full_pipeline" -> fullPrep _,
     "q_llm_chunks" -> chunk _,
     "q_llm_split" -> trainValSplit _,
+    "q_llm_grouped_split" -> groupedSplit _,
     "q_llm_contamination" -> contamination _,
     "q_llm_sample_mix" -> sampleMix _,
     "q_llm_quota_sample" -> ((s: SparkSession, d: String) => quotaSample(s, d)),
@@ -311,6 +333,14 @@ object Pipeline {
          |  CASE WHEN ${PortableHash.sqlH60("text")} % 100 < 95
          |       THEN 'train' ELSE 'val' END AS split,
          |  count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_llm_grouped_split" ->
+      s"""SELECT source,
+         |  CASE WHEN ${PortableHash.sqlH60("source")} % 100 < 90
+         |       THEN 'train' ELSE 'val' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  min(doc_id) AS first_doc
          |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_llm_contamination" ->
       s"""WITH toks AS (

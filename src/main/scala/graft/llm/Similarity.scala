@@ -440,6 +440,29 @@ object Similarity {
     */
   val SemTau = 0.35
 
+  /** Cluster-balanced ("diversity") subsampling: keep at most
+    * `perCluster` vectors per semantic cluster, picked in
+    * deterministic hash order of the vec id — reproducible, and
+    * uniform-ish within the cluster instead of biased toward low
+    * ids. The balanced subset is the standard counter to
+    * cluster-size skew when drawing eval probes or seed sets from a
+    * skewed corpus. Plan shape: one window rank per cluster — the
+    * rank<=k filter compiles to WindowGroupLimit, so each partition
+    * keeps a k-heap instead of fully sorting (asserted for the ANN
+    * top-k in PlanAuditSpec; same operator here).
+    */
+  def diverseSample(spark: SparkSession, sfDir: String,
+      perCluster: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("hk").asc, col("vec_id").asc)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .withColumn("hk", h60(col("vec_id").cast("string")))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perCluster)
+      .select(col("vec_id"), col("label"), col("pick"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): within each semantic cluster, a vector is
     * REMOVED when an earlier-id member of the same cluster is
@@ -681,6 +704,7 @@ object Similarity {
     "q_embed_near_dup" -> embeddingNearDup _,
     "q_embed_semantic_dedup" -> semanticDedup _,
     "q_embed_semantic_stats" -> semanticDedupStats _,
+    "q_embed_diverse_sample" -> ((s: SparkSession, d: String) => diverseSample(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -822,5 +846,13 @@ object Similarity {
          |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
          |FROM embeddings e LEFT JOIN rem r ON r.vec_id = e.vec_id
          |GROUP BY e.label""".stripMargin,
+    "q_embed_diverse_sample" ->
+      s"""SELECT vec_id, label, pick FROM (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(row_number() OVER (PARTITION BY label
+         |      ORDER BY ${PortableHash.sqlH60("CAST(vec_id AS VARCHAR)")} ASC,
+         |        vec_id ASC) AS INT) AS pick
+         |  FROM embeddings)
+         |WHERE pick <= 20""".stripMargin,
   )
 }

@@ -77,4 +77,15 @@ class PipelineSpec extends SparkSpec {
     }
     assert(rows.toSet == run().toSet, "hash-ordered sampling must be re-run-stable")
   }
+
+  test("grouped split: no source straddles train/val; doc counts partition the corpus") {
+    val rows = Pipeline.groupedSplit(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // leakage-safety by construction: one (source, split) row per source
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"a source appears in both splits: ${rows.mkString(", ")}")
+    val total = graft.Tables.documents(spark, sf001).count()
+    assert(rows.map(_._3).sum == total, "split must partition the corpus")
+    assert(rows.forall(r => r._2 == "train" || r._2 == "val"))
+  }
 }

@@ -245,6 +245,21 @@ class SimilaritySpec extends SparkSpec {
       s"probe scan should prune partitions on cell:\n$plan")
   }
 
+  test("diverse sample: per-cluster cap, contiguous picks, deterministic") {
+    val rows = Similarity.diverseSample(spark, sf001, perCluster = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byLabel = rows.groupBy(_._2)
+    val clusterSizes = graft.Tables.embeddings(spark, sf001)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    byLabel.foreach { case (lbl, g) =>
+      assert(g.length == math.min(7L, clusterSizes(lbl)), s"cap violated for $lbl")
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), "picks must be 1..n")
+    }
+    assert(rows.toSet == Similarity.diverseSample(spark, sf001, perCluster = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+  }
+
   test("semantic dedup: removal set == 'exists earlier cluster-mate above tau'") {
     val corpus = graft.Tables.embeddings(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
