@@ -481,20 +481,56 @@ object Similarity {
     * bounded; a skewed cluster would get the salting treatment of
     * [[graft.operators.Skew]]). No all-pairs join exists anywhere.
     */
-  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val a = e.select(col("label").as("lbl"), col("vec_id").as("leader_id"),
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedupOf(Tables.embeddings(spark, sfDir))
+
+  /** Core over any (vec_id, label, embedding) frame.
+    *
+    * Exact-content PRE-COLLAPSE (the [[Dedup.sigTable]] doctrine,
+    * applied to vectors): byte-identical embeddings — exact-duplicate
+    * documents embed identically — share every pairwise cosine, so a
+    * m-member identical group inside one cluster would emit
+    * m(m-1)/2 ≈ 5·10⁷ pairs at m = 10⁴ from the cluster self-join.
+    * Identical (label, embedding) contents therefore collapse to
+    * their min-id representative FIRST; the cosine join runs over
+    * representatives only, and members expand back afterwards, each
+    * removed under its own representative (identical content ⟹ the
+    * rep is the strongest earliest leader; the self-cosine is
+    * computed, not assumed 1.0, so the emitted value is bit-identical
+    * to what the uncollapsed join would produce). ScaleSmokeSpec
+    * plants a 10⁴-member identical cluster and asserts O(distinct)
+    * rep pairs. Equivalence caveat (documented, not guarded): a
+    * DISTINCT-content earlier vector achieving the exact same IEEE
+    * cosine as the identical-content leader would win the min-id
+    * tie-break in the uncollapsed form — only exact scaled copies
+    * can manufacture that tie.
+    */
+  def semanticDedupOf(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label").as("lbl"), col("embedding"))
+    val reps = graft.Materialize.stage(
+      e.groupBy(col("lbl"), col("embedding"))
+        .agg(min(col("vec_id")).as("rep_id")))
+    val a = reps.select(col("lbl"), col("rep_id").as("leader_id"),
       col("embedding").as("emb_a"))
-    val b = e.select(col("label").as("lbl"), col("vec_id"),
+    val b = reps.select(col("lbl"), col("rep_id").as("vec_id"),
       col("embedding").as("emb_b"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("leader_id").asc)
-    a.join(b, Seq("lbl"))
+    val repRemoved = a.join(b, Seq("lbl"))
       .filter(col("leader_id") < col("vec_id"))
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= SemTau)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("vec_id"), col("lbl"), col("leader_id"), col("cos"))
+    val memberRemoved = e.join(reps, Seq("lbl", "embedding"))
+      .filter(col("vec_id") =!= col("rep_id"))
+      .select(col("vec_id"), col("lbl"), col("rep_id").as("leader_id"),
+        cosine_sim(col("embedding"), col("embedding")).as("cos"))
+      // zero-norm duplicates have NULL self-cosine: the uncollapsed
+      // join would not remove them, so neither does the expansion
+      .filter(col("cos") >= SemTau)
+    repRemoved.unionByName(memberRemoved)
       .select(col("vec_id"), col("lbl").cast("long").as("label"),
         col("leader_id"), col("cos"))
   }

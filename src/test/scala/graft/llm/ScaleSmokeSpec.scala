@@ -127,4 +127,33 @@ class ScaleSmokeSpec extends SparkSpec {
       s"simhash pre-collapse failed: $nSimPairs pairs from one identical " +
         "group + 50 distinct docs")
   }
+
+  test("semantic dedup: a 10^4-member identical-embedding cluster stays O(distinct)") {
+    // SemDeDup's skew failure mode mirrors LSH's: byte-identical
+    // embeddings (exact-duplicate docs embed identically) would emit
+    // m(m-1)/2 ≈ 5*10^7 scored pairs from ONE cluster self-join at
+    // m = 10^4. The exact-content pre-collapse pairs representatives
+    // only (51 reps here -> <= 1275 scored pairs); members expand
+    // back linearly. Uncollapsed, this test would evaluate 5*10^7
+    // 64-dim cosines — its completing in seconds is the point.
+    val m = 10000L
+    val dim = Similarity.Dim
+    val ident = Array.tabulate(dim)(i => (i % 7 + 1).toFloat)
+    val group = spark.range(m).select(col("id").as("vec_id"),
+      typedLit(ident).as("embedding"), lit(0).as("label"))
+    val tail = spark.range(m, m + 50).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        j => (j + col("id")).cast("float")).as("embedding"),
+      lit(0).as("label"))
+    val t0 = System.nanoTime()
+    val removed = Similarity.semanticDedupOf(group.unionByName(tail)).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"removed ${removed.length} of ${m + 50} in $secs%.1f s")
+    val members = removed.filter(_.getLong(0) < m)
+    assert(members.length == (m - 1).toInt,
+      "every non-representative identical member must be removed")
+    assert(members.forall(_.getLong(2) == 0L),
+      "identical members must collapse onto representative 0")
+    assert(removed.length <= (m - 1 + 50).toInt)
+  }
 }
