@@ -88,10 +88,13 @@ object Stats {
     * the oracle's job, not the engine's.)
     */
   def skylineDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    // staged: the scored frame feeds both the per-score max and the
+    // final join, and the quality expression is the regex-heavy part
+    // of the whole query — unstaged, it evaluates twice per document
+    val d = graft.Materialize.stage(Tables.documents(spark, sfDir)
       .select(col("doc_id"), graft.llm.TextAnalysis.qualityCol.as("q"),
         col("n_chars"))
-      .where(col("q").isNotNull)
+      .where(col("q").isNotNull))
     val perq = d.groupBy(col("q")).agg(max(col("n_chars")).as("mx"))
     val strictPrefix = org.apache.spark.sql.expressions.Window
       .orderBy(col("q").desc)
