@@ -25,7 +25,10 @@ object Search {
     * only trailing empties, which carry no word either way).
     */
   private def postings(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    postingsOf(Tables.documents(spark, sfDir))
+
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(split(col("text"), "\\s+")).as(Seq("pos0", "word")))
       .filter(length(col("word")) > 0)
@@ -101,10 +104,72 @@ object Search {
       .agg(count(lit(1)).as("n_matches"), min(col("pos_a")).as("first_pos"))
   }
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val QueryTerms = Seq("hash", "join", "stream")
+
+  /** BM25 ranking for a fixed term query — the standard sparse
+    * retrieval scorer, in its LOG-FREE rational form: the
+    * Robertson–Spärck-Jones idf `(N - df + 0.5) / (df + 0.5)` is used
+    * without the logarithm so every factor is a single IEEE division
+    * and the score reproduces bit-for-bit in the DuckDB oracle. A
+    * documented deviation, not an accident: the log only damps the
+    * idf ratios (per-term ranking is unchanged; cross-term mixes can
+    * reorder), and a cluster deployment that wants textbook BM25
+    * swaps one expression. Per-term scores cross the final sum as
+    * fixed-point BIGINTs (`floor(s·2³⁰+0.5)` — the
+    * [[graft.llm.Similarity.centroidsOf]] trick) so the cross-term
+    * addition is associative and partition-order-free.
+    *
+    * Scale: work is O(Σ |postings(query term)|) — the corpus enters
+    * only through the term-filtered posting explode and two one-row
+    * broadcast stats (N, avgdl). Common-term queries are bounded by
+    * posting-list length; a production deployment adds WAND-style
+    * impact ordering to skip low-upper-bound blocks, which changes
+    * no semantics here.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopKOf(Tables.documents(spark, sfDir))
+
+  def bm25TopKOf(docs: DataFrame): DataFrame = {
+    val q30 = 1L << 30
+    val dl = docs.select(col("doc_id"),
+      size(graft.llm.TextAnalysis.tokensCol).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = postingsOf(docs)
+      .filter(col("word").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tot_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(2.2)
+          / (col("tf").cast("double")
+            + lit(Bm25K1) * (lit(0.25)
+              + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("s_fp",
+        floor(col("idf") * col("tfn") * q30 + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_fp")).as("fp"))
+      .select(col("doc_id"), col("n_terms"),
+        (col("fp").cast("double") / q30.toDouble).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_positional_index" -> positionalIndex _,
     "q_phrase_search" -> phraseSearch _,
     "q_phrase_index_probe" -> phraseIndexProbe _,
+    "q_search_bm25" -> bm25TopK _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,5 +194,41 @@ object Search {
          |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |WHERE a.word = 'hash' AND b.word = 'join'
          |GROUP BY a.doc_id""".stripMargin,
+    "q_search_bm25" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(${graft.llm.TextAnalysis.sqlTokens}) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS tot_dl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM $sqlPostings
+         |  WHERE word IN ('hash', 'join', 'stream')
+         |  GROUP BY doc_id, word),
+         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    CAST(floor(
+         |      ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+         |         / (CAST(d.df AS DOUBLE) + 0.5))
+         |      * (CAST(t.tf AS DOUBLE) * 2.2
+         |         / (CAST(t.tf AS DOUBLE)
+         |            + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+         |                / (CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+         |      * 1073741824 + 0.5) AS BIGINT) AS s_fp
+         |  FROM tf t
+         |  JOIN dfq d USING (word)
+         |  JOIN dl l USING (doc_id)
+         |  CROSS JOIN stats s)
+         |SELECT doc_id, n_terms, CAST(fp AS DOUBLE) / 1073741824.0 AS score
+         |FROM (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |         CAST(sum(s_fp) AS BIGINT) AS fp
+         |  FROM scored GROUP BY doc_id)
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
   )
 }

@@ -60,4 +60,36 @@ class SearchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probed == inline)
   }
+
+  test("bm25: tf saturation and length normalization order a planted corpus") {
+    import spark.implicits._
+    // A: 'hash' 3x in 6 tokens (high tf, short);
+    // B: 'hash' 1x in 12 tokens (low tf, long) -> A outranks B;
+    // C: matches two query terms with the same dl as B -> C outranks B;
+    // D: no query term -> absent from the ranking.
+    val docs = Seq(
+      (1L, "hash hash hash pad pad pad"),
+      (2L, "hash pad pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "hash join pad pad pad pad pad pad pad pad pad pad"),
+      (4L, "pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val rows = Search.bm25TopKOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L), "only term-matching docs rank")
+    val score = rows.map(r => r._1 -> r._3).toMap
+    assert(score(1L) > score(2L), "tf saturation: 3x hash in a short doc wins")
+    assert(score(3L) > score(2L), "two matched terms beat one at equal length")
+    val sorted = rows.sortBy(r => (-r._3, r._1)).map(_._1).toSeq
+    assert(rows.map(_._1).toSeq == sorted, "output is rank-ordered")
+    assert(rows.find(_._1 == 3L).get._2 == 2L, "doc 3 matches two terms")
+  }
+
+  test("bm25 over the corpus: bounded output, scores positive and ordered") {
+    val rows = Search.bm25TopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= Search.QueryTerms.length))
+    assert(rows.forall(_._3 > 0.0))
+    val resorted = rows.sortBy(r => (-r._3, r._1)).toSeq
+    assert(rows.toSeq == resorted)
+  }
 }
