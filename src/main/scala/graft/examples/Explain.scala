@@ -15,7 +15,9 @@ object Explain {
     "q_hybrid_topk", "q_ann_filtered_topk", "q_dedup_spans",
     "q_llm_curriculum", "q_llm_shuffle", "q_embed_centroids",
     "q_bucketed_join", "q_phrase_search", "q_stats_corr",
-    "q_llm_data_card")
+    "q_llm_data_card", "q_embed_semantic_dedup", "q_hybrid_rrf",
+    "q_search_bm25", "q_llm_grouped_split", "q_embed_diverse_sample",
+    "q_llm_quality_calibrated", "q_skyline")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
