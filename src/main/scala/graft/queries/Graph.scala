@@ -82,6 +82,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
+    "q_graph_triangles" -> triangleCount _,
   )
 
   /** Oracle: the same three iterations unrolled as CTEs; `//` is
@@ -98,7 +99,85 @@ object Graph {
        |    JOIN outw o ON o.src = e.src
        |    GROUP BY e.dst) f ON f.id = n.id)""".stripMargin
 
+  /** Triangle count on the undirected click graph — the classic
+    * MapReduce graph benchmark (Suri & Vassilvitskii's MR-friendly
+    * formulation, WWW 2011), expressed as two equi-joins.
+    *
+    * DEGREE ORIENTATION is the scale move: every undirected edge is
+    * directed from its lower-(degree, id) endpoint to the higher
+    * (one BIGINT π-key `degree·2³² + id` encodes the total order).
+    * Each triangle then has exactly one node whose two out-edges
+    * form the counted wedge, and out-degrees under this orientation
+    * are bounded by O(√|E|) on ANY graph — so wedge generation is
+    * Σ out-deg² ≤ |E|^1.5 instead of the Σ deg² a hub node causes
+    * under naive low-id orientation (a celebrity node with 10⁸
+    * followers would otherwise generate 10¹⁶ wedges from one key).
+    * The oracle counts the same triangles by plain a<b<c
+    * enumeration — orientation changes the join cost, never the
+    * count.
+    */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCountOf(clickEdges(spark, sfDir))
+
+  /** Core over any directed (src, dst, …) edge frame. */
+  def triangleCountOf(e: DataFrame): DataFrame = {
+    val und = Materialize.stage(
+      e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id"))
+      .agg((count(lit(1)) * lit(4294967296L) + col("id")).as("pi"))
+    val oriented = Materialize.stage(und
+      .join(deg.select(col("id").as("a"), col("pi").as("pa")), "a")
+      .join(deg.select(col("id").as("b"), col("pi").as("pb")), "b")
+      .select(
+        when(col("pa") < col("pb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("pa") < col("pb"), col("b")).otherwise(col("a")).as("v"),
+        greatest(col("pa"), col("pb")).as("pv")))
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("pv").as("p1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("pv").as("p2")),
+        Seq("u"))
+      .filter(col("p1") < col("p2"))
+      .select(col("v1"), col("v2"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"),
+      "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS INT) AS k
+         |  FROM events),
+         |nxt AS (
+         |  SELECT k AS src,
+         |         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev),
+         |edges AS (
+         |  SELECT src, dst FROM nxt
+         |  WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM und e1
+         |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |nn AS (
+         |  SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_nodes
+         |  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+         |SELECT n_nodes, n_edges, n_triangles
+         |FROM nn CROSS JOIN ne CROSS JOIN tri""".stripMargin,
     "q_graph_pagerank" ->
       s"""WITH ev AS (
          |  SELECT user_id, ts, event_id,

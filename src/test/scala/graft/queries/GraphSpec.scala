@@ -55,4 +55,34 @@ class GraphSpec extends SparkSpec {
     assert(pr.where(col("pr") < tele).count() == 0,
       "teleport term is a hard floor for every node")
   }
+
+  test("triangles: planted K4 + pendant path counts exactly 4; orientation-proof") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} = 4 triangles; path 4-5-6 adds edges but no
+    // triangle; a self-loop and duplicate/reversed edges must all be
+    // normalized away by the undirected-distinct step.
+    val edges = Seq(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), // K4
+      (2, 1), (4, 3),                                 // reversed dups
+      (5, 4), (5, 6),                                 // pendant path
+      (6, 6)                                          // self-loop
+    ).toDF("src", "dst")
+    val r = Graph.triangleCountOf(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 8L, 4L)),
+      s"expected (6 nodes, 8 edges, 4 triangles), got $r")
+  }
+
+  test("triangles over the corpus: count matches the unoriented enumeration") {
+    val und = Graph.clickEdges(spark, sf001)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val expected = (for {
+      (a, b) <- und; (a2, c) <- und
+      if a2 == a && c > b && und.contains((b, c))
+    } yield (a, b, c)).size
+    val got = Graph.triangleCount(spark, sf001).collect().head.getLong(2)
+    assert(got == expected.toLong, s"engine $got vs reference $expected")
+  }
 }
