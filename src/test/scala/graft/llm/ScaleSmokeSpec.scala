@@ -128,6 +128,27 @@ class ScaleSmokeSpec extends SparkSpec {
         "group + 50 distinct docs")
   }
 
+  test("triangles: a 10^4-spoke hub generates zero wedges under degree orientation") {
+    // the hub failure mode degree orientation exists for: orienting
+    // edges low-id -> high-id, a star hub at id 0 with 10^4 spokes
+    // would generate C(10^4, 2) = 5*10^7 wedge pairs from ONE join
+    // key. Under (degree, id) orientation every spoke (degree 1)
+    // points AT the hub, the hub has out-degree 0, and the star
+    // contributes zero wedges. The planted triangle off to the side
+    // must still be found.
+    import spark.implicits._
+    val hub = spark.range(1, 10001).select(
+      lit(0).cast("int").as("src"), (col("id") + 10).cast("int").as("dst"))
+    val tri = Seq((1, 2), (2, 3), (3, 1)).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val r = graft.queries.Graph.triangleCountOf(hub.unionByName(tri))
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"star+triangle counted in $secs%.1f s")
+    assert(r.getLong(2) == 1L, s"expected exactly the planted triangle, got $r")
+    assert(r.getLong(0) == 10004L && r.getLong(1) == 10003L)
+  }
+
   test("semantic dedup: a 10^4-member identical-embedding cluster stays O(distinct)") {
     // SemDeDup's skew failure mode mirrors LSH's: byte-identical
     // embeddings (exact-duplicate docs embed identically) would emit

@@ -72,6 +72,27 @@ class GraphSpec extends SparkSpec {
       s"expected (6 nodes, 8 edges, 4 triangles), got $r")
   }
 
+  test("triangles: random graphs match the reference enumeration (fixed seed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 12 + trial * 5
+      val edges = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).toSet
+      val expected = (for {
+        (a, b) <- und; c <- (b + 1) until n
+        if und.contains((a, c)) && und.contains((b, c))
+      } yield (a, b, c)).size
+      val got = Graph.triangleCountOf(edges.toDF("src", "dst"))
+        .collect().head.getLong(2)
+      assert(got == expected.toLong, s"trial $trial (n=$n): $got vs $expected")
+    }
+  }
+
   test("triangles over the corpus: count matches the unoriented enumeration") {
     val und = Graph.clickEdges(spark, sf001)
       .filter(col("src") =!= col("dst"))
