@@ -47,14 +47,6 @@ object Hybrid {
     hybridTopKOf(Tables.embeddings(spark, sfDir),
       Tables.documents(spark, sfDir))
 
-  /** Core over explicit (vec_id, embedding) + (doc_id, text) inputs.
-    *
-    * The bucketed+tokenized corpus is STAGED ([[graft.Materialize]]):
-    * it feeds four consumers (query set, dense join, term explode,
-    * final score joins), and without staging each one would rescan
-    * the parquet and recompute the 4×64-dim hyperplane signature —
-    * 16 scans at plan level. Staged, the corpus is computed once.
-    */
   /** The bucketed+tokenized corpus, staged once for all consumers. */
   private def stagedCorpus(emb: DataFrame, docs: DataFrame): DataFrame =
     graft.Materialize.stage(emb
@@ -64,26 +56,49 @@ object Hybrid {
         col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("embedding"), col("bucket"), col("toks")))
 
-  def hybridTopKOf(emb: DataFrame, docs: DataFrame): DataFrame = {
-    val corpus = stagedCorpus(emb, docs)
-    val q = corpus.filter(col("vec_id") < Similarity.NumQueries)
+  /** The broadcastable query frame over the staged corpus. */
+  private def queryFrame(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"), col("toks").as("q_toks"))
+
+  /** Rare-term postings (document frequency ≤ [[MaxDf]]) — the
+    * sparse channel's candidate source, shared by both hybrid
+    * queries so the df policy cannot desynchronize them.
+    */
+  private def rareTermPostings(corpus: DataFrame): DataFrame = {
+    val terms = corpus.select(col("vec_id"), explode(col("toks")).as("t"))
+    val rare = terms.groupBy(col("t"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= MaxDf)
+      .select(col("t"))
+    terms.join(rare, Seq("t"), "left_semi")
+  }
+
+  /** Query-side slice of [[rareTermPostings]]. */
+  private def queryTerms(rareTerms: DataFrame): DataFrame =
+    rareTerms.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("t").as("q_t"))
+
+  /** Core over explicit (vec_id, embedding) + (doc_id, text) inputs.
+    *
+    * The bucketed+tokenized corpus is STAGED ([[graft.Materialize]]):
+    * it feeds four consumers (query set, dense join, term explode,
+    * final score joins), and without staging each one would rescan
+    * the parquet and recompute the 4×64-dim hyperplane signature —
+    * 16 scans at plan level. Staged, the corpus is computed once.
+    */
+  def hybridTopKOf(emb: DataFrame, docs: DataFrame): DataFrame = {
+    val corpus = stagedCorpus(emb, docs)
+    val q = queryFrame(corpus)
 
     val dense = corpus.select(col("vec_id"), col("bucket"))
       .join(broadcast(q.select(col("query_id"), col("q_bucket"))),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
-    val terms = corpus.select(col("vec_id"), explode(col("toks")).as("t"))
-    val rare = terms.groupBy(col("t"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= MaxDf)
-      .select(col("t"))
-    val rareTerms = terms.join(rare, Seq("t"), "left_semi")
-    val qTerms = rareTerms.filter(col("vec_id") < Similarity.NumQueries)
-      .select(col("vec_id").as("query_id"), col("t").as("q_t"))
+    val rareTerms = rareTermPostings(corpus)
     val sparse = rareTerms
-      .join(broadcast(qTerms),
+      .join(broadcast(queryTerms(rareTerms)),
         col("t") === col("q_t") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
 
@@ -128,9 +143,7 @@ object Hybrid {
 
   def rrfTopKOf(emb: DataFrame, docs: DataFrame): DataFrame = {
     val corpus = stagedCorpus(emb, docs)
-    val q = corpus.filter(col("vec_id") < Similarity.NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"), col("toks").as("q_toks"))
+    val q = queryFrame(corpus)
 
     val wD = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -142,17 +155,11 @@ object Hybrid {
       .select(col("query_id"), col("neighbor_id"),
         row_number().over(wD).as("r_dense"))
 
-    val terms = corpus.select(col("vec_id"), explode(col("toks")).as("t"))
-    val rare = terms.groupBy(col("t"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= MaxDf)
-      .select(col("t"))
-    val rareTerms = terms.join(rare, Seq("t"), "left_semi")
-    val qTerms = rareTerms.filter(col("vec_id") < Similarity.NumQueries)
-      .select(col("vec_id").as("query_id"), col("t").as("q_t"))
+    val rareTerms = rareTermPostings(corpus)
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("jac").desc, col("neighbor_id").asc)
     val sparse = rareTerms
-      .join(broadcast(qTerms),
+      .join(broadcast(queryTerms(rareTerms)),
         col("t") === col("q_t") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
       .join(broadcast(q.select(col("query_id"), col("q_toks"))), Seq("query_id"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Materialize, Tables}
@@ -104,9 +104,11 @@ object Graph {
     * formulation, WWW 2011), expressed as two equi-joins.
     *
     * DEGREE ORIENTATION is the scale move: every undirected edge is
-    * directed from its lower-(degree, id) endpoint to the higher
-    * (one BIGINT π-key `degree·2³² + id` encodes the total order).
-    * Each triangle then has exactly one node whose two out-edges
+    * directed from its lower-(degree, id) endpoint to the higher —
+    * the total order is the lexicographic `struct(degree, id)`
+    * comparison itself (no arithmetic key encoding, so 64-bit node
+    * ids cannot collide the order). Each triangle then has exactly
+    * one node whose two out-edges
     * form the counted wedge, and out-degrees under this orientation
     * are bounded by O(√|E|) on ANY graph — so wedge generation is
     * Σ out-deg² ≤ |E|^1.5 instead of the Σ deg² a hub node causes
@@ -129,14 +131,18 @@ object Graph {
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy(col("id"))
-      .agg((count(lit(1)) * lit(4294967296L) + col("id")).as("pi"))
+      .agg(count(lit(1)).as("d"))
+    def pi(d: Column, id: Column): Column =
+      struct(d.as("d"), id.as("i"))
     val oriented = Materialize.stage(und
-      .join(deg.select(col("id").as("a"), col("pi").as("pa")), "a")
-      .join(deg.select(col("id").as("b"), col("pi").as("pb")), "b")
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
       .select(
-        when(col("pa") < col("pb"), col("a")).otherwise(col("b")).as("u"),
-        when(col("pa") < col("pb"), col("b")).otherwise(col("a")).as("v"),
-        greatest(col("pa"), col("pb")).as("pv")))
+        when(pi(col("da"), col("a")) < pi(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(pi(col("da"), col("a")) < pi(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        greatest(pi(col("da"), col("a")), pi(col("db"), col("b"))).as("pv")))
     val wedges = oriented.select(col("u"), col("v").as("v1"), col("pv").as("p1"))
       .join(oriented.select(col("u"), col("v").as("v2"), col("pv").as("p2")),
         Seq("u"))

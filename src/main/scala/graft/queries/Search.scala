@@ -151,9 +151,9 @@ object Search {
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
           / (col("df").cast("double") + lit(0.5)))
       .withColumn("tfn",
-        col("tf").cast("double") * lit(2.2)
+        col("tf").cast("double") * lit(Bm25K1 + 1.0)
           / (col("tf").cast("double")
-            + lit(Bm25K1) * (lit(0.25)
+            + lit(Bm25K1) * (lit(1.0 - Bm25B)
               + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
       .withColumn("s_fp",
         floor(col("idf") * col("tfn") * q30 + lit(0.5)).cast("long"))
