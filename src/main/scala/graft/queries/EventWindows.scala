@@ -151,9 +151,48 @@ object EventWindows {
         (col("wsum").cast("double") / col("wtot")).as("ewma"))
   }
 
+  /** Trailing-window z-score anomaly detection over the hourly
+    * series: each (event_type, hour) bucket is compared to its
+    * previous 24 buckets. All moments are exact BIGINT sums over the
+    * frame (counts are integers), so mean/variance reduce to a fixed
+    * sequence of IEEE divisions — deterministic cross-engine, the
+    * same discipline as [[ewma]]'s dyadic integer weights. Rows need
+    * ≥ 12 trailing buckets (half a day of history) and non-degenerate
+    * variance; |z| ≥ 3 flags the bucket.
+    *
+    * Scale: the same single event_type-keyed exchange as [[ewma]] —
+    * the window rides the hourly aggregation's partitioning, and each
+    * frame is ≤ 24 rows of integer pairs.
+    */
+  def anomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val variance = ((col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / nd)
+      / (nd - lit(1.0)))
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("hour"), col("event_type"), col("cnt"),
+        count(col("cnt")).over(w).as("n"),
+        sum(col("cnt")).over(w).as("s1"),
+        sum(col("cnt") * col("cnt")).over(w).as("s2"))
+      .filter(col("n") >= 12)
+      .select(col("hour"), col("event_type"), col("cnt"),
+        mean.as("mean"), variance.as("variance"))
+      .filter(col("variance") > 0)
+      .withColumn("z",
+        (col("cnt").cast("double") - col("mean")) / sqrt(col("variance")))
+      .withColumn("is_anomaly", abs(col("z")) >= 3.0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> hourly _,
     "q_events_ewma" -> ewma _,
+    "q_events_anomaly" -> anomalies _,
     "q_events_sliding" -> sliding _,
     "q_events_sessions" -> sessions _,
     "q_events_hour_of_day" -> hourOfDay _,
@@ -176,6 +215,29 @@ object EventWindows {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_events_anomaly" ->
+      s"""SELECT hour, event_type, cnt, mean, variance,
+         |  (CAST(cnt AS DOUBLE) - mean) / sqrt(variance) AS z,
+         |  abs((CAST(cnt AS DOUBLE) - mean) / sqrt(variance)) >= 3.0 AS is_anomaly
+         |FROM (
+         |  SELECT hour, event_type, cnt,
+         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    (CAST(s2 AS DOUBLE)
+         |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0) AS variance
+         |  FROM (
+         |    SELECT hour, event_type, cnt,
+         |      CAST(count(cnt) OVER w AS BIGINT) AS n,
+         |      CAST(sum(cnt) OVER w AS BIGINT) AS s1,
+         |      CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2
+         |    FROM (
+         |      SELECT date_trunc('hour', ts) AS hour, event_type,
+         |             CAST(count(*) AS BIGINT) AS cnt
+         |      FROM events GROUP BY 1, 2)
+         |    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+         |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |  WHERE n >= 12)
+         |WHERE variance > 0""".stripMargin,
     "q_events_ewma" ->
       s"""SELECT hour, event_type, cnt, wsum, wtot,
          |  CAST(wsum AS DOUBLE) / wtot AS ewma

@@ -30,6 +30,29 @@ class EwmaFuzzySpec extends SparkSpec {
     assert(df.where(col("wsum") < col("cnt") * 128).count() == 0)
   }
 
+  test("anomaly z-scores: flags iff |z| >= 3, moments consistent, never head rows") {
+    val df = EventWindows.anomalies(spark, sf001).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, mean, variance, z, flag) = (r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+      assert(variance > 0)
+      assert(math.abs(z - (cnt - mean) / math.sqrt(variance)) < 1e-9)
+      assert(flag == (math.abs(z) >= 3.0))
+    }
+    // the >= 12 trailing-bucket guard: the first 12 rows of every
+    // series can never appear
+    val withRn = EventWindows.ewma(spark, sf001).withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))))
+      .select(col("event_type").as("et"), col("hour").as("h"), col("rn"))
+    val joined = df.join(withRn,
+      col("event_type") === col("et") && col("hour") === col("h"))
+    assert(joined.where(col("rn") <= 12).count() == 0)
+    df.unpersist()
+  }
+
   test("fuzzy join: blocked, ordered, distance-banded, and distinct-first") {
     val df = Advanced.fuzzyNameJoin(spark, sf001).cache()
     assert(df.count() > 0)
