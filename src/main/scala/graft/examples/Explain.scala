@@ -17,7 +17,8 @@ object Explain {
     "q_bucketed_join", "q_phrase_search", "q_stats_corr",
     "q_llm_data_card", "q_embed_semantic_dedup", "q_hybrid_rrf",
     "q_search_bm25", "q_llm_grouped_split", "q_embed_diverse_sample",
-    "q_llm_quality_calibrated", "q_skyline")
+    "q_llm_quality_calibrated", "q_skyline", "q_graph_triangles",
+    "q_events_anomaly", "q_events_entry_exit")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

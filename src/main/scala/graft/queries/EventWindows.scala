@@ -55,6 +55,56 @@ object EventWindows {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("session_value"), col("last_ts"))
 
+  /** Session entry/exit transition matrix — the product-analytics
+    * counterpart of [[sessions]], built on GAP-BASED sessionization
+    * (lag + running sum of session-break flags — the classic
+    * two-window construction, vs [[sessions]]' `session_window`):
+    * events more than 30 minutes apart start a new session; each
+    * session reports its first and last page (`props.$k`), and the
+    * output aggregates sessions per (entry_page, exit_page) with the
+    * bounce count (single-event sessions; entry = exit by
+    * construction). Timestamps compare as exact epoch MICROSECONDS
+    * (`unix_micros` / DuckDB `epoch_us`) — second-truncation would
+    * misclassify sub-second gaps differently per engine.
+    *
+    * Scale: both windows and the per-session aggregation ride ONE
+    * hash partitioning on user_id (the session key); the final
+    * (entry, exit) matrix is page² rows — tiny.
+    */
+  def entryExit(spark: SparkSession, sfDir: String): DataFrame =
+    entryExitOf(Tables.events(spark, sfDir))
+
+  /** Core over any (user_id, ts, event_id, props) frame. */
+  def entryExitOf(events: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val asc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val desc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("page"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("brk")).over(byUser.rowsBetween(Long.MinValue, 0)))
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(max(when(col("rn_a") === 1, col("page"))).as("entry_page"),
+        max(when(col("rn_d") === 1, col("page"))).as("exit_page"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("entry_page"), col("exit_page"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+  }
+
   /** Hour-of-day profile — scalar time extraction + agg. */
   def hourOfDay(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -193,6 +243,7 @@ object EventWindows {
     "q_events_hourly" -> hourly _,
     "q_events_ewma" -> ewma _,
     "q_events_anomaly" -> anomalies _,
+    "q_events_entry_exit" -> entryExit _,
     "q_events_sliding" -> sliding _,
     "q_events_sessions" -> sessions _,
     "q_events_hour_of_day" -> hourOfDay _,
@@ -215,6 +266,43 @@ object EventWindows {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_events_entry_exit" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS INT) AS page
+         |  FROM events),
+         |gapped AS (
+         |  SELECT *, epoch_us(ts)
+         |      - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS gap_us
+         |  FROM ev),
+         |flagged AS (
+         |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+         |                 THEN 1 ELSE 0 END AS brk
+         |  FROM gapped),
+         |sess AS (
+         |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+         |  FROM flagged),
+         |ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY user_id, sess_id
+         |      ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY user_id, sess_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM sess),
+         |per_session AS (
+         |  SELECT user_id, sess_id,
+         |    max(CASE WHEN rn_a = 1 THEN page END) AS entry_page,
+         |    max(CASE WHEN rn_d = 1 THEN page END) AS exit_page,
+         |    count(*) AS n_events
+         |  FROM ranked GROUP BY user_id, sess_id)
+         |SELECT entry_page, exit_page,
+         |  CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bounces
+         |FROM per_session GROUP BY entry_page, exit_page""".stripMargin,
     "q_events_anomaly" ->
       s"""SELECT hour, event_type, cnt, mean, variance,
          |  (CAST(cnt AS DOUBLE) - mean) / sqrt(variance) AS z,

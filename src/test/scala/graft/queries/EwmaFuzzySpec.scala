@@ -53,6 +53,28 @@ class EwmaFuzzySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("entry/exit: planted sessions split on the 30-min gap; bounces counted") {
+    import spark.implicits._
+    // user 1: three events 10 min apart (one session, entry 5, exit 7),
+    // then a 31-min gap and one lone event (a bounce on page 9);
+    // user 2: a single event (bounce on page 5).
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val events = Seq(
+      (1L, t(0), 1L, """{"k": 5}"""),
+      (1L, t(10), 2L, """{"k": 6}"""),
+      (1L, t(20), 3L, """{"k": 7}"""),
+      (1L, t(51), 4L, """{"k": 9}"""),
+      (2L, t(5), 5L, """{"k": 5}"""))
+      .toDF("user_id", "ts", "event_id", "props")
+    val rows = EventWindows.entryExitOf(events).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows == Map(
+      (5, 7) -> ((1L, 0L)),   // user 1 session 1: entry 5, exit 7, no bounce
+      (9, 9) -> ((1L, 1L)),   // user 1 session 2: lone event = bounce
+      (5, 5) -> ((1L, 1L)))) // user 2: lone event = bounce
+  }
+
   test("fuzzy join: blocked, ordered, distance-banded, and distinct-first") {
     val df = Advanced.fuzzyNameJoin(spark, sf001).cache()
     assert(df.count() > 0)
