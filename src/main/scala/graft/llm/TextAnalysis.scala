@@ -213,6 +213,39 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(100)
 
+  /** Out-of-vocabulary rate per document against the corpus TOP-20
+    * vocabulary — the junk-text signal: prose drawn from the corpus
+    * distribution covers the head vocabulary heavily, while
+    * random-character noise, foreign scripts, or markup soup score
+    * OOV ≈ 1 and get gated. (20, not the full [[vocabulary]] 100:
+    * these synthetic corpora have a closed vocabulary under 100
+    * tokens, so a top-100 cut would make every rate 0.)
+    *
+    * Scale: the vocabulary rides as ONE broadcast array row and
+    * membership is an in-row array scan — map-only over the corpus
+    * (a 20-entry scan per token is cheaper than any shuffle; at a
+    * realistic 10⁵-entry vocabulary you'd explode tokens and
+    * broadcast-anti-join against the vocab instead, trading one
+    * map-side hash probe per token).
+    */
+  def oovRate(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val vset = Tables.documents(spark, sfDir)
+      .select(explode(tokensCol).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .agg(collect_set(col("token")).as("vs"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokensCol.as("ws"))
+      .crossJoin(broadcast(vset))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(filter(col("ws"), t => !array_contains(col("vs"), t)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Compression-based quality signal: DEFLATE ratio per document
     * plus a low-entropy gate (ratio < 0.3 on ≥200-byte docs flags
     * machine-repetitive content). Map-only; not SQL-mirrorable
@@ -354,6 +387,7 @@ object TextAnalysis {
     "q_llm_scrub" -> scrub _,
     "q_llm_repetition" -> repetition _,
     "q_llm_vocab" -> vocabulary _,
+    "q_llm_oov" -> ((s: SparkSession, d: String) => oovRate(s, d)),
     "q_llm_compression" -> compressionSignal _,
     "q_llm_tfidf" -> ((s: SparkSession, d: String) => tfidfTopK(s, d)),
     "q_llm_commonness" -> commonness _,
@@ -419,6 +453,27 @@ object TextAnalysis {
         |  WHERE length(token) > 0
         |  GROUP BY token)
         |ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+    "q_llm_oov" ->
+      s"""WITH vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+         |          FROM documents)
+         |    WHERE length(token) > 0
+         |    GROUP BY token)
+         |  ORDER BY cnt DESC, token ASC LIMIT 20),
+         |vl AS (SELECT list(token) AS vs FROM vocab)
+         |SELECT doc_id, source, n_tokens, n_oov,
+         |  CASE WHEN n_tokens > 0
+         |       THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+         |    AS oov_rate
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(ws, t -> NOT list_contains(vs, t)))
+         |      AS BIGINT) AS n_oov
+         |  FROM (SELECT doc_id, source, $sqlTokens AS ws FROM documents)
+         |  CROSS JOIN vl)""".stripMargin,
     "q_llm_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),

@@ -139,6 +139,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("oov rate: bounded, consistent, and sensitive to vocabulary membership") {
+    val rows = TextAnalysis.oovRate(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nt, noov, rate) =>
+      assert(noov >= 0 && noov <= nt)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - noov.toDouble / nt) < 1e-12)
+    }
+    // the top-20 cut leaves real OOV mass on this corpus (the signal
+    // is non-degenerate) while head-vocabulary prose scores low
+    assert(rows.exists(_._4 > 0.0) && rows.exists(_._4 < 1.0))
+  }
+
   test("calibrated quality: per-language percent_rank is a total order over [0,1]") {
     val rows = TextAnalysis.qualityCalibrated(spark, sf001).collect()
     assert(rows.nonEmpty)
