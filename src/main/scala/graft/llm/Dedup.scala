@@ -203,6 +203,22 @@ object Dedup {
       .filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("mhs")))
 
+  /** Candidate-pair score histogram — the threshold-sizing probe for
+    * near-dup clustering: the decile distribution of `est_jaccard`
+    * over the LSH candidate pairs shows where a prospective cut
+    * (0.5 here) sits in the score mass BEFORE a full clustering run
+    * commits to it — the pairwise twin of [[bandBucketStats]]'s
+    * bucket-size probe. est = k/16 with k integer, so `floor(est·10)`
+    * is IEEE-exact; the k = 16 bucket is clamped into decile 10.
+    * One tiny aggregation over the (already bounded) pair set.
+    */
+  def pairScoreHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshPairs(spark, sfDir)
+      .select(least(floor(col("est_jaccard") * 10).cast("long"), lit(10L))
+        .as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** SimHash (32-bit): per-bit ±1 votes from token hashes with token
     * multiplicity, via the native codegen'd [[graft.functions.Simhash]]
     * expression — one fused hash+vote+fold loop per document. (The
@@ -700,6 +716,7 @@ object Dedup {
     "q_dedup_clusters_dist" -> dedupClustersDistributed _,
     "q_dedup_cluster_stats" -> dedupClusterStats _,
     "q_dedup_band_stats" -> bandBucketStats _,
+    "q_dedup_pair_hist" -> pairScoreHistogram _,
     "q_dedup_keep" -> keepRepresentatives _,
     "q_dedup_near_keep" -> keepNearDupRepresentatives _,
     "q_dedup_cross" -> ((s: SparkSession, d: String) => crossCorpusDedup(s, d)),
@@ -726,6 +743,19 @@ object Dedup {
          |FROM cand
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin,
+    "q_dedup_pair_hist" ->
+      s"""$sqlGrp,
+         |$sqlSigs,
+         |$sqlBandsCand,
+         |scored AS (
+         |  SELECT len(list_filter(list_zip(sa.mhs, sb.mhs),
+         |    p -> p[1] = p[2])) / 16.0 AS est
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b)
+         |SELECT CAST(least(floor(est * 10), 10) AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM scored GROUP BY 1""".stripMargin,
     "q_dedup_simhash_pairs" ->
       s"""$sqlGrp,
          |hs AS (

@@ -185,4 +185,13 @@ class DedupSpec extends SparkSpec {
     assert(j((2L, 3L)) == 0.0)   // uppercase vs lowercase near-text
     assert(j((3L, 4L)) == 0.0)   // genuinely unrelated
   }
+
+  test("pair-score histogram partitions the candidate-pair set into valid deciles") {
+    val hist = Dedup.pairScoreHistogram(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.keys.forall(d => d >= 0 && d <= 10))
+    val nPairs = Dedup.minhashLshPairs(spark, sf001).count()
+    assert(hist.values.sum == nPairs,
+      s"histogram mass ${hist.values.sum} must equal the pair count $nPairs")
+  }
 }

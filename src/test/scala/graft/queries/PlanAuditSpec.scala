@@ -171,6 +171,7 @@ class PlanAuditSpec extends SparkSpec {
         "q_llm_token_pairs", // one-row corpus-count broadcast (lift)
         "q_search_bm25", // one-row (N, avgdl) corpus-stats broadcast
         "q_graph_triangles", // three one-row count aggregates crossed
+        "q_llm_oov", // one-row top-20 vocabulary array broadcast
         "q_events_gapfill") // generated hour spine × ~5 event types:
         // O(hours × types) by construction, independent of data size
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
