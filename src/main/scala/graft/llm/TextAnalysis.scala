@@ -248,10 +248,13 @@ object TextAnalysis {
 
   /** Compression-based quality signal: DEFLATE ratio per document
     * plus a low-entropy gate (ratio < 0.3 on ≥200-byte docs flags
-    * machine-repetitive content). Map-only; not SQL-mirrorable
-    * (DEFLATE bytes are implementation-defined) → rows-only oracle
-    * mode, with the ordering/determinism guarantees asserted in
-    * TextAnalysisSpec instead.
+    * machine-repetitive content). Map-only; not expressible in DuckDB
+    * SQL (no compress function), so the hard correctness signal is an
+    * independent-implementation recompute instead: tools/check.py
+    * mirrors the expression with CPython's zlib (raw DEFLATE, level
+    * 6) and exact-compares every row — both runtimes bundle madler
+    * zlib, so the compressed byte counts are identical (verified:
+    * 500/500 docs exact at sf0.01, see CHECKS.md).
     */
   def compressionSignal(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

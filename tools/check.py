@@ -8,12 +8,43 @@ runs the matching oracle SQL from oracle_sql.json in DuckDB over the
 same sfDir parquet tables, sorts columns by name and rows by value,
 and diffs. Exit 0 iff every query matches.
 """
-import json, sys, glob, os
+import json, sys, glob, os, zlib
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def deflate_ratio(text: str):
+    """Mirror graft.functions.DeflateRatio: raw DEFLATE (nowrap) level 6
+    over the UTF-8 bytes. CPython's zlib and the JDK's Deflater both
+    bundle madler zlib, so the compressed byte count is identical and
+    the ratio compares exactly — an independent-implementation oracle
+    for the one query DuckDB SQL can't express."""
+    raw = text.encode("utf-8")
+    if len(raw) == 0:
+        return None
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    n = len(c.compress(raw)) + len(c.flush())
+    return n / len(raw)
+
+
+def oracle_llm_compression(con) -> pd.DataFrame:
+    docs = con.execute("SELECT doc_id, text FROM documents").df()
+    out = pd.DataFrame({
+        "doc_id": docs["doc_id"],
+        "n_bytes": docs["text"].map(lambda t: len(t.encode("utf-8"))).astype("int64"),
+        "deflate_ratio": docs["text"].map(deflate_ratio),
+    })
+    out["is_low_entropy"] = ((out["deflate_ratio"] < 0.3)
+                             & (out["n_bytes"] >= 200)).fillna(False)
+    return out
+
+
+# Rows-only queries that get a hard signal from a Python recompute
+# instead of DuckDB SQL (exact compare, same normalize path).
+PYTHON_ORACLES = {"q_llm_compression": oracle_llm_compression}
 
 
 def dtype_kind(s: pd.Series) -> str:
@@ -82,15 +113,18 @@ def main():
         if not files:
             failures.append(name); print(f"[FAIL] {name}: no parquet output"); continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-        if name not in oracles:
+        if name not in oracles and name not in PYTHON_ORACLES:
             print(f"[rows-only] {name}: {len(got)} rows (no oracle)")
             if len(got) == 0:
                 failures.append(name)
             continue
         try:
-            exp = con.execute(oracles[name]).df()
+            if name in PYTHON_ORACLES:
+                exp = PYTHON_ORACLES[name](con)
+            else:
+                exp = con.execute(oracles[name]).df()
         except Exception as e:
-            failures.append(name); print(f"[FAIL] {name}: oracle SQL error: {e}"); continue
+            failures.append(name); print(f"[FAIL] {name}: oracle error: {e}"); continue
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
             failures.append(name)
