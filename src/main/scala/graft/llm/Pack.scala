@@ -14,42 +14,69 @@ import graft.Tables
   *
   * The hard part at scale is the global running token count. A global
   * window (`Window.orderBy` with no partition) funnels 100 TB through
-  * ONE task; instead [[exclusivePrefixSum]] runs the textbook
-  * distributed two-pass prefix sum, made deterministic by
-  * partitioning on arithmetic ranges of the order key
-  * (`key div binWidth`) rather than `repartitionByRange`, whose
-  * sampled boundaries can differ between the partials pass and the
-  * final pass (two actions = two RDD ids = two sample seeds).
-  * Movement: one hash shuffle of the rows + a driver collect of ONE
-  * partial sum per bin — with binWidth sized for ~10k rows/bin that
-  * is a few MB of offsets at 100 TB.
+  * ONE task; instead [[exclusivePrefixSum]] runs a TWO-LEVEL
+  * distributed prefix sum, made deterministic by partitioning on
+  * arithmetic ranges of the order key (`key div binWidth`) rather
+  * than `repartitionByRange`, whose sampled boundaries can differ
+  * between the partials pass and the final pass (two actions = two
+  * RDD ids = two sample seeds).
+  *
+  * Levels: bin partials (one per `binWidth` keys) stay DISTRIBUTED
+  * and are prefix-summed with a window partitioned by super-bin;
+  * only the super-bin partials (one per `binWidth²` keys) reach the
+  * driver for the exclusive scan. Movement: one hash shuffle of the
+  * rows, a tiny shuffle of the bin partials, and a driver collect of
+  * n/binWidth² offsets — at 10¹⁰ rows with binWidth 1000 that is
+  * 10⁴ longs on the driver where the one-level scheme held 10⁷.
   */
 object Pack {
+
+  /** Rows of the most recent level-2 driver collect — the
+    * observability hook PackSpec uses to assert the collect is
+    * O(n/binWidth²), not O(n/binWidth). Test-facing only.
+    */
+  @volatile private[graft] var lastDriverCollect: Int = -1
 
   /** Global exclusive running sum of `valueCol` in `orderCol` order
     * (first row gets 0), without a global window.
     *
     * @param orderCol non-negative integral column, UNIQUE per row —
     *                 ties would make the running sum order-dependent
-    * @param binWidth order-key range per partition bin; the driver
-    *                 holds one offset per bin
+    * @param binWidth order-key range per level-1 bin; the driver
+    *                 holds one offset per binWidth² keys
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val spark = df.sparkSession
-    val binned = df.withColumn("_bin", expr(s"$orderCol div $binWidth"))
-    val partials = binned.groupBy(col("_bin"))
-      .agg(sum(col(valueCol).cast("long")).as("_s"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    // exclusive offsets: bin i starts at the sum of all earlier bins
-    val offsets = partials.map(_._1)
-      .zip(partials.map(_._2).scanLeft(0L)(_ + _)).toSeq
     import spark.implicits._
-    val offDf = offsets.toDF("_bin", "_off")
+    val binned = df.withColumn("_bin", expr(s"$orderCol div $binWidth"))
+    // level-1 partials: distributed, staged because both the level-2
+    // collect and the bin-offset window read them
+    val partials = graft.Materialize.stage(
+      binned.groupBy(col("_bin"))
+        .agg(sum(col(valueCol).cast("long")).as("_s"))
+        .withColumn("_sbin", expr(s"_bin div $binWidth")),
+      eager = false)
+    // level-2: the ONLY driver collect — one partial per binWidth² keys
+    val superPartials = partials.groupBy(col("_sbin"))
+      .agg(sum(col("_s")).as("_ss"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    lastDriverCollect = superPartials.length
+    val superOffsets = superPartials.map(_._1)
+      .zip(superPartials.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val soffDf = superOffsets.toDF("_sbin", "_soff")
+    // exclusive bin offsets: within-super-bin window + super offset
+    val wBin = Window.partitionBy(col("_sbin")).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binOffsets = partials.join(broadcast(soffDf), "_sbin")
+      .withColumn("_off", coalesce(sum(col("_s")).over(wBin), lit(0L)) + col("_soff"))
+      .select(col("_bin"), col("_off"))
+    // NOT broadcast: binOffsets is O(n/binWidth) rows — the join
+    // shuffles on _bin, and the window below reuses that partitioning
     val w = Window.partitionBy(col("_bin")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    binned.join(broadcast(offDf), "_bin")
+    binned.join(binOffsets, "_bin")
       .withColumn(outCol,
         coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L)) + col("_off"))
       .drop("_bin", "_off")

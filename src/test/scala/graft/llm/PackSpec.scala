@@ -22,6 +22,23 @@ class PackSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("two-level prefix sum: many super-bins, driver collect is O(n/binWidth^2)") {
+    // 1000 dense keys with binWidth 10 -> 100 level-1 bins across 10
+    // super-bins; the driver must see only the 10 super-bin partials
+    val df = (0L until 1000L).map(i => (i, (i % 7).toInt + 1)).toDF("id", "v")
+    val got = Pack.exclusivePrefixSum(df, "id", "v", "s", 10L)
+      .select("id", "s").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("s", coalesce(sum(col("v").cast("long")).over(w), lit(0L)))
+      .select("id", "s").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(Pack.lastDriverCollect == 10,
+      s"driver collected ${Pack.lastDriverCollect} super-partials; " +
+        "expected n/binWidth^2 = 10 (one-level scheme would collect 100)")
+  }
+
   test("prefix sum of a single row and of rows in one bin") {
     val df = Seq((1L, 10), (2L, 20)).toDF("id", "v")
     val got = Pack.exclusivePrefixSum(df, "id", "v", "s", 1000L)
