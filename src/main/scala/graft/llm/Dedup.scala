@@ -248,12 +248,17 @@ object Dedup {
     */
   private def repClusterLabels(spark: SparkSession, sigs: DataFrame): DataFrame = {
     // stage pairs first: the LSH pipeline above them is the expensive
-    // part — compute it once, then both the size probe and CC read it
+    // part — compute it once, then both the dispatch choice and CC
+    // read it. The edge count rides the staging action as an observed
+    // metric (same pattern as largeSmallStarCC's convergence counts),
+    // so choosing driver-vs-distributed costs zero extra jobs.
+    val obs = org.apache.spark.sql.Observation()
     val pairs = Materialize.stage(
       lshPairsOf(sigs)
         .filter(col("est_jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b")))
-    val nEdges = pairs.count()
+        .select(col("doc_a"), col("doc_b"))
+        .observe(obs, count(lit(1)).as("n_edges")))
+    val nEdges = obs.get("n_edges").asInstanceOf[Long]
     // broadcast the label table ONLY on the small-graph path — the
     // distributed path exists precisely because labels may not fit
     // the driver, so it must shuffle-join
@@ -466,8 +471,9 @@ object Dedup {
     * construction (both re-point only toward neighborhood minima),
     * registered as its own query so the oracle gate exercises the
     * 100 TB code path, not just the small-graph shortcut. The CC
-    * branch is chosen eagerly (the staged pair count), so the conf
-    * flip can be scoped to construction and restored after.
+    * branch is chosen eagerly (the edge count observed on the staging
+    * action), so the conf flip can be scoped to construction and
+    * restored after.
     */
   def dedupClustersDistributed(spark: SparkSession, sfDir: String): DataFrame = {
     val key = "spark.graft.cc.maxDriverEdges"

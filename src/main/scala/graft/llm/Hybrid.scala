@@ -151,7 +151,12 @@ object Hybrid {
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
       .join(broadcast(q.select(col("query_id"), col("q_emb"), col("q_bucket"))),
         col("bucket") === col("q_bucket") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      // 0-coalesced like the sparse channel's jac: a NULL cosine
+      // (zero-norm embedding) must rank below every valid score by
+      // CONSTRUCTION, not by engine-default null ordering (Spark's
+      // DESC NULLS LAST vs DuckDB's default merely happen to agree)
+      .withColumn("cos",
+        coalesce(cosine_sim(col("q_emb"), col("embedding")), lit(0.0)))
       .select(col("query_id"), col("neighbor_id"),
         row_number().over(wD).as("r_dense"))
 
@@ -257,7 +262,7 @@ object Hybrid {
          |      ORDER BY cos DESC, neighbor_id ASC) AS r_dense
          |  FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      ${Similarity.sqlCos("q.embedding", "c.embedding")} AS cos
+         |      COALESCE(${Similarity.sqlCos("q.embedding", "c.embedding")}, 0.0) AS cos
          |    FROM qs q JOIN corpus c
          |      ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)),
          |scand AS (

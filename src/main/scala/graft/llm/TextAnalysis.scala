@@ -227,14 +227,24 @@ object TextAnalysis {
     * realistic 10⁵-entry vocabulary you'd explode tokens and
     * broadcast-anti-join against the vocab instead, trading one
     * map-side hash probe per token).
+    *
+    * NULL contract: a zero-token document emits `n_tokens = 0` and
+    * `oov_rate = NULL` — the rate is 0/0, and NULL (not 0.0, which
+    * would read as "perfectly in-vocabulary") is the honest value.
+    * The DuckDB oracle's CASE with no ELSE yields the same NULL;
+    * consumers gate on `n_tokens > 0` before averaging. Asserted in
+    * TextAnalysisSpec's empty-document case.
     */
-  def oovRate(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val vset = Tables.documents(spark, sfDir)
+  def oovRate(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    oovRateOf(Tables.documents(spark, sfDir), k)
+
+  def oovRateOf(docs: DataFrame, k: Int = 20): DataFrame = {
+    val vset = docs
       .select(explode(tokensCol).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(k)
       .agg(collect_set(col("token")).as("vs"))
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("source"), tokensCol.as("ws"))
       .crossJoin(broadcast(vset))
       .select(col("doc_id"), col("source"),

@@ -201,18 +201,24 @@ object EventWindows {
         (col("wsum").cast("double") / col("wtot")).as("ewma"))
   }
 
-  /** Trailing-window z-score anomaly detection over the hourly
-    * series: each (event_type, hour) bucket is compared to its
-    * previous 24 buckets. All moments are exact BIGINT sums over the
-    * frame (counts are integers), so mean/variance reduce to a fixed
-    * sequence of IEEE divisions — deterministic cross-engine, the
-    * same discipline as [[ewma]]'s dyadic integer weights. Rows need
-    * ≥ 12 trailing buckets (half a day of history) and non-degenerate
-    * variance; |z| ≥ 3 flags the bucket.
+  /** Trailing-window z-score anomaly detection over the GAP-FILLED
+    * hourly series: each (event_type, hour) bucket is compared to its
+    * previous 24 buckets. The series is densified on the corpus's
+    * hour spine first (cnt = 0 where nothing happened) — a ROWS frame
+    * over the sparse series would silently span gaps, and a traffic
+    * drop to ZERO (the classic incident signal) could never be
+    * flagged because the missing bucket never entered the series.
+    * All moments are exact BIGINT sums over the frame (counts are
+    * integers), so mean/variance reduce to a fixed sequence of IEEE
+    * divisions — deterministic cross-engine, the same discipline as
+    * [[ewma]]'s dyadic integer weights. Rows need ≥ 12 trailing
+    * buckets (half a day of history) and non-degenerate variance;
+    * |z| ≥ 3 flags the bucket.
     *
-    * Scale: the same single event_type-keyed exchange as [[ewma]] —
-    * the window rides the hourly aggregation's partitioning, and each
-    * frame is ≤ 24 rows of integer pairs.
+    * Scale: the spine is generated from a one-row bounds aggregate
+    * (O(hours × types) rows, never O(events)); the window then rides
+    * a single event_type-keyed exchange and each frame is ≤ 24 rows
+    * of integer pairs.
     */
   def anomalies(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -223,9 +229,20 @@ object EventWindows {
     val variance = ((col("s2").cast("double")
       - col("s1").cast("double") * col("s1").cast("double") / nd)
       / (nd - lit(1.0)))
-    Tables.events(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+    spine.crossJoin(types)
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
       .select(col("hour"), col("event_type"), col("cnt"),
         count(col("cnt")).over(w).as("n"),
         sum(col("cnt")).over(w).as("s1"),
@@ -304,7 +321,22 @@ object EventWindows {
          |    AS n_bounces
          |FROM per_session GROUP BY entry_page, exit_page""".stripMargin,
     "q_events_anomaly" ->
-      s"""SELECT hour, event_type, cnt, mean, variance,
+      s"""WITH bounds AS (
+         |  SELECT date_trunc('hour', min(ts)) AS lo,
+         |         date_trunc('hour', max(ts)) AS hi FROM events),
+         |hours AS (
+         |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         |  FROM bounds),
+         |types AS (SELECT DISTINCT event_type FROM events),
+         |counts AS (
+         |  SELECT date_trunc('hour', ts) AS hour, event_type,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |filled AS (
+         |  SELECT h.hour, t.event_type, coalesce(c.cnt, 0) AS cnt
+         |  FROM hours h CROSS JOIN types t
+         |  LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type)
+         |SELECT hour, event_type, cnt, mean, variance,
          |  (CAST(cnt AS DOUBLE) - mean) / sqrt(variance) AS z,
          |  abs((CAST(cnt AS DOUBLE) - mean) / sqrt(variance)) >= 3.0 AS is_anomaly
          |FROM (
@@ -318,10 +350,7 @@ object EventWindows {
          |      CAST(count(cnt) OVER w AS BIGINT) AS n,
          |      CAST(sum(cnt) OVER w AS BIGINT) AS s1,
          |      CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2
-         |    FROM (
-         |      SELECT date_trunc('hour', ts) AS hour, event_type,
-         |             CAST(count(*) AS BIGINT) AS cnt
-         |      FROM events GROUP BY 1, 2)
+         |    FROM filled
          |    WINDOW w AS (PARTITION BY event_type ORDER BY hour
          |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
          |  WHERE n >= 12)

@@ -109,17 +109,18 @@ object Search {
   val QueryTerms = Seq("hash", "join", "stream")
 
   /** BM25 ranking for a fixed term query — the standard sparse
-    * retrieval scorer, in its LOG-FREE rational form: the
-    * Robertson–Spärck-Jones idf `(N - df + 0.5) / (df + 0.5)` is used
-    * without the logarithm so every factor is a single IEEE division
-    * and the score reproduces bit-for-bit in the DuckDB oracle. A
-    * documented deviation, not an accident: the log only damps the
-    * idf ratios (per-term ranking is unchanged; cross-term mixes can
-    * reorder), and a cluster deployment that wants textbook BM25
-    * swaps one expression. Per-term scores cross the final sum as
-    * fixed-point BIGINTs (`floor(s·2³⁰+0.5)` — the
-    * [[graft.llm.Similarity.centroidsOf]] trick) so the cross-term
-    * addition is associative and partition-order-free.
+    * retrieval scorer, TEXTBOOK form: idf is Lucene's
+    * `ln(1 + (N - df + 0.5) / (df + 0.5))` (the non-negative
+    * Robertson–Spärck-Jones variant), so multi-term rankings match
+    * what any real BM25 implementation produces. Cross-engine
+    * determinism survives the transcendental: Spark's `Math.log` and
+    * DuckDB's `ln` agree to the last ulp in practice (both faithfully
+    * rounded libm implementations), and the per-term scores cross the
+    * final sum as fixed-point BIGINTs (`floor(s·2³⁰+0.5)` — the
+    * [[graft.llm.Similarity.centroidsOf]] trick), which both makes
+    * the cross-term addition associative / partition-order-free AND
+    * absorbs any residual last-ulp divergence (a flip would need the
+    * product to land within ~1e-6 of a rounding boundary).
     *
     * Scale: work is O(Σ |postings(query term)|) — the corpus enters
     * only through the term-filtered posting explode and two one-row
@@ -148,8 +149,9 @@ object Search {
       .withColumn("avgdl",
         col("tot_dl").cast("double") / col("n_docs").cast("double"))
       .withColumn("idf",
-        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
-          / (col("df").cast("double") + lit(0.5)))
+        log(lit(1.0)
+          + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5))))
       .withColumn("tfn",
         col("tf").cast("double") * lit(Bm25K1 + 1.0)
           / (col("tf").cast("double")
@@ -212,7 +214,7 @@ object Search {
          |scored AS (
          |  SELECT t.doc_id,
          |    CAST(floor(
-         |      ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+         |      ln(1 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
          |         / (CAST(d.df AS DOUBLE) + 0.5))
          |      * (CAST(t.tf AS DOUBLE) * 2.2
          |         / (CAST(t.tf AS DOUBLE)

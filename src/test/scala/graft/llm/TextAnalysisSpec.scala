@@ -153,6 +153,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_._4 > 0.0) && rows.exists(_._4 < 1.0))
   }
 
+  test("oov rate: a zero-token document emits n_tokens = 0 and NULL oov_rate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", "alpha beta alpha"),
+      (2L, "web", ""),
+      (3L, "web", "   ")) // whitespace-only also tokenizes to zero
+      .toDF("doc_id", "source", "text")
+    val byId = TextAnalysis.oovRateOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(2) == 3L && !byId(1L).isNullAt(4))
+    Seq(2L, 3L).foreach { id =>
+      assert(byId(id).getLong(2) == 0L, s"doc $id n_tokens")
+      assert(byId(id).isNullAt(4), s"doc $id oov_rate must be NULL, not 0.0")
+    }
+  }
+
   test("calibrated quality: per-language percent_rank is a total order over [0,1]") {
     val rows = TextAnalysis.qualityCalibrated(spark, sf001).collect()
     assert(rows.nonEmpty)
