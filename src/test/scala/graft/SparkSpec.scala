@@ -12,7 +12,12 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 slots, maxFailures = 2 — task retry is LIVE
+      // suite-wide (the reference's worker-crash re-execution,
+      // coordinator.go:50,203-218), exercised directly by
+      // CrashRecoverySpec; plain local[n] would fail the job on the
+      // first task failure and could never test recovery.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

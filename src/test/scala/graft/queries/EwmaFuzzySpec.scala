@@ -42,13 +42,16 @@ class EwmaFuzzySpec extends SparkSpec {
       assert(flag == (math.abs(z) >= 3.0))
     }
     // the >= 12 trailing-bucket guard: the first 12 rows of every
-    // series can never appear
-    val withRn = EventWindows.ewma(spark, sf001).withColumn("rn",
+    // series can never appear. Row numbers must come from the SAME
+    // gap-filled spine the anomaly series runs on — the sparse hourly
+    // series numbers rows differently wherever hours are missing.
+    val withRn = Incremental.gapFilledHourly(spark, sf001).withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("hour"))))
       .select(col("event_type").as("et"), col("hour").as("h"), col("rn"))
     val joined = df.join(withRn,
       col("event_type") === col("et") && col("hour") === col("h"))
+    assert(joined.count() == df.count(), "every anomaly row is on the spine")
     assert(joined.where(col("rn") <= 12).count() == 0)
     df.unpersist()
   }

@@ -172,8 +172,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_search_bm25", // one-row (N, avgdl) corpus-stats broadcast
         "q_graph_triangles", // three one-row count aggregates crossed
         "q_llm_oov", // one-row top-20 vocabulary array broadcast
-        "q_events_gapfill") // generated hour spine × ~5 event types:
+        "q_events_gapfill", // generated hour spine × ~5 event types:
         // O(hours × types) by construction, independent of data size
+        "q_events_anomaly") // same gap-filled spine as q_events_gapfill
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
