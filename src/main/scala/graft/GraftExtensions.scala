@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSim, Fnv1a, H60, MinhashSigs, Simhash, Tokenize}
+import graft.functions.{CosineSim, Fnv1a, H60, MinhashSigs, Simhash, Tokenize, WordCountMap}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * expressions into the SQL function registry, so
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.h60Desc)
     e.injectFunction(GraftExtensions.simhashDesc)
     e.injectFunction(GraftExtensions.minhashDesc)
+    e.injectFunction(GraftExtensions.wcMapDesc)
   }
 }
 
@@ -58,10 +59,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
     (args: Seq[Expression]) => MinhashSigs(args.head))
 
+  // the one Generator (UDTF): mapf-style fan-out callable from SQL
+  private val wcMapDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wc_map"),
+    new ExpressionInfo(classOf[WordCountMap].getName, "wc_map"),
+    (args: Seq[Expression]) => WordCountMap(args.head))
+
   /** Register on an already-built session (test/driver convenience). */
   def register(spark: SparkSession): Unit = {
     Seq(fnv1aDesc, cosineDesc, tokenizeDesc, h60Desc, simhashDesc,
-      minhashDesc).foreach { d =>
+      minhashDesc, wcMapDesc).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
   }

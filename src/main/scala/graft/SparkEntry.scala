@@ -22,6 +22,7 @@ object SparkEntry {
     "mr_inverted_index" -> (CanonicalJobs.invertedIndex _),
     "mr_grep" -> ((s: SparkSession, d: String) => CanonicalJobs.grep(s, d)),
     "mr_sort" -> (CanonicalJobs.sortDocs _),
+    "mr_sql_mapf" -> (CanonicalJobs.sqlWordcount _),
   ) ++ graft.queries.StarSchema.queries ++ graft.queries.EventWindows.queries ++
     graft.queries.Advanced.queries ++ graft.queries.Graph.queries ++
     graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
@@ -55,6 +56,12 @@ object SparkEntry {
     "mr_sort" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY lang ASC, n_chars DESC, doc_id ASC""".stripMargin,
+    "mr_sql_mapf" ->
+      """SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY doc_id, word""".stripMargin,
   ) ++ graft.queries.StarSchema.oracles ++ graft.queries.EventWindows.oracles ++
     graft.queries.Advanced.oracles ++ graft.queries.Graph.oracles ++
     graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++

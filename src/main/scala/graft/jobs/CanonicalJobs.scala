@@ -70,6 +70,24 @@ object CanonicalJobs {
       .filter(col("text").rlike(pattern))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Word count per document, driven ENTIRELY from SQL through the
+    * registered [[graft.functions.WordCountMap]] generator — the
+    * UDTF face of the reference's `mapf` plugin surface
+    * (worker.go:31): `LATERAL VIEW wc_map(text)` fans each document
+    * out to its (word, in-doc count) rows with the within-document
+    * combine folded into the generator, so the only shuffle a
+    * downstream global aggregate would need starts from per-doc
+    * combined counts. Registered via [[graft.GraftExtensions]].
+    */
+  def sqlWordcount(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("graft_mapf_docs")
+    spark.sql(
+      """SELECT doc_id, word, cnt
+        |FROM graft_mapf_docs
+        |LATERAL VIEW wc_map(text) t AS word, cnt""".stripMargin)
+  }
+
   /** Distributed sort: total order over (lang, n_chars desc, doc_id).
     * Spark plans a range-partitioned exchange + per-partition sort —
     * the scalable TeraSort shape (samples ranges, no single-reducer

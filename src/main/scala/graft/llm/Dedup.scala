@@ -568,6 +568,37 @@ object Dedup {
       .filter(col("containment") >= 0.9)
   }
 
+  /** Sizing probe for [[containmentPairs]]' min-shingle inverted
+    * index — makes the "probes are not df-skewed" scale argument
+    * MEASURABLE, the same operational role [[bandBucketStats]] plays
+    * for the LSH bands: per posting-list size, how many lists exist
+    * and how many probes actually land on lists of that size. A
+    * healthy index concentrates probe hits on short lists (min-hashes
+    * spread uniformly); probe mass migrating onto long common-shingle
+    * lists is the skew signal that says re-shingle or cap before a
+    * full run.
+    *
+    * Scale: one shingle-level aggregation (the wordcount shape) for
+    * list sizes + a doc-level aggregation for probes, joined on the
+    * hash — never materializes candidate pairs at all.
+    */
+  def containmentIndexStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = sigTable(spark, sfDir)
+    val hsh = Materialize.stage(shArrTable(spark, sfDir)
+      .join(st.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), transform(col("sh"), s => h60(s)).as("hs")),
+      eager = false)
+    val lists = hsh.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("list_size"))
+    val probed = hsh.select(array_min(col("hs")).as("mh"))
+      .groupBy(col("mh")).agg(count(lit(1)).as("n_probes"))
+    lists.join(probed, col("h") === col("mh"), "left")
+      .groupBy(col("list_size"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(coalesce(col("n_probes"), lit(0L))).as("n_probe_hits"))
+  }
+
   /** Cross-corpus dedup — the production INCREMENTAL mode: a new
     * batch (here `source = batchSource`) is deduplicated AGAINST the
     * existing reference corpus (every other source) rather than
@@ -727,6 +758,7 @@ object Dedup {
     "q_dedup_near_keep" -> keepNearDupRepresentatives _,
     "q_dedup_cross" -> ((s: SparkSession, d: String) => crossCorpusDedup(s, d)),
     "q_dedup_containment" -> containmentPairs _,
+    "q_dedup_containment_stats" -> containmentIndexStats _,
     "q_jaccard_adjacent" -> jaccardAdjacent _,
   )
 
@@ -864,6 +896,21 @@ object Dedup {
          |  JOIN sharr a ON a.doc_id = doc_a
          |  JOIN sharr b ON b.doc_id = doc_b)
          |WHERE containment >= 0.9""".stripMargin,
+    "q_dedup_containment_stats" ->
+      s"""$sqlGrp,
+         |hsh AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${sqlH60("s")}) AS hs
+         |  FROM sharr),
+         |lists AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS list_size
+         |  FROM (SELECT doc_id, unnest(hs) AS h FROM hsh) GROUP BY h),
+         |probes AS (
+         |  SELECT list_min(hs) AS mh, CAST(count(*) AS BIGINT) AS n_probes
+         |  FROM hsh GROUP BY 1)
+         |SELECT list_size, CAST(count(*) AS BIGINT) AS n_lists,
+         |  CAST(COALESCE(sum(n_probes), 0) AS BIGINT) AS n_probe_hits
+         |FROM lists LEFT JOIN probes ON mh = h
+         |GROUP BY list_size""".stripMargin,
     "q_dedup_cross" ->
       s"""$sqlGrp,
          |$sqlSigs,
