@@ -35,7 +35,13 @@ object Bench {
     // warmup: JVM, codegen, shuffle machinery, parquet footers
     force(SparkEntry.queries("mr_grep")(spark, sfDir))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (comma-separated names) for targeted scale
+    // smokes; the driver's full run never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger corpus from an existing sfDir for local scale
+  * smoke tests (BASELINE.md's linearity check): documents, embeddings
+  * and lineitem are expanded `factor`× with shifted keys; every other
+  * table is copied through, so any registered query runs unchanged
+  * against the output dir.
+  *
+  * Document copies get every TOKEN suffixed with a copy tag ("_k"),
+  * which makes each copy a fully DISTINCT document (shingle/token
+  * overlap 0 across copies) while preserving the within-copy near-dup
+  * structure — naive duplication would hand the dedup queries a
+  * corpus where every doc has factor-1 near-identical twins and the
+  * candidate-pair count would grow by construction (quadratically in
+  * factor), which measures the synthetic data, not the algorithm.
+  * Embedding copies are rotated one float right per copy step (norms
+  * and pairwise within-copy geometry preserved, cross-copy cosines
+  * scrambled) for the same reason.
+  *
+  * Usage: ScaleUp <srcSfDir> <dstDir> <factor>
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    require(factor >= 1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(base: DataFrame)(one: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => one(base, k)).reduce(_ unionAll _)
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders")) {
+      val p = s"$src/$t.parquet"
+      if (new java.io.File(p).exists())
+        spark.read.parquet(p).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    // events carries TIMESTAMP(NANOS) — route through the loader that
+    // rewrites ts to micros (Tables.events), so the copy reads back
+    // through the normal path
+    Tables.events(spark, src)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docShift = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    copies(docs) { (d, k) =>
+      val text = if (k == 0) col("text")
+        else concat_ws(" ", transform(
+          filter(split(col("text"), "\\s+"), t => length(t) > 0),
+          t => concat(t, lit(s"_$k"))))
+      d.select((col("doc_id") + lit(k * docShift)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecShift = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    copies(emb) { (e, k) =>
+      val dim = size(col("embedding"))
+      val rotated = if (k == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), dim - lit(k % 16) + 1, lit(k % 16)),
+          slice(col("embedding"), lit(1), dim - lit(k % 16)))
+      e.select((col("vec_id") + lit(k * vecShift)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val okShift = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+    copies(li) { (l, k) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(k * okShift))
+    }.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    println(s"scaled $src -> $dst x$factor")
+    spark.stop()
+  }
+}
