@@ -19,6 +19,29 @@ import graft.Tables
   */
 object Pipeline {
 
+  /** Pushdown barrier for the quality gate: a nondeterministic column
+    * (seeded rand) in the same projection as the gate inputs, kept
+    * alive by an always-true conjunct in the filter itself. Without
+    * it PushPredicateThroughNonJoin — which checks the PROJECT's
+    * fields for determinism but has no expression-cost model — pushes
+    * the gate predicate below the `clean` projection by inlining the
+    * whole 3-regex scrub chain into the Filter, which the survivors'
+    * Project then evaluates AGAIN (2× scrub per surviving row,
+    * visible in the formatted plan). Both halves matter: the rand
+    * column makes the projection non-pushable-through, and the
+    * `>= 0` reference (true for every rand draw, but not provably so
+    * to the optimizer) keeps ColumnPruning from deleting the barrier
+    * before the pushdown batch reaches fixpoint — an unreferenced
+    * barrier is pruned and the filter pushes anyway. rand (unlike
+    * monotonically_increasing_id) is legal in streaming plans, so
+    * [[graft.streaming.DocStreams.prepStream]] keeps reusing this
+    * stage verbatim.
+    */
+  private def withGateBarrier(df: DataFrame): DataFrame =
+    df.withColumn("_barrier", rand(42))
+
+  private def barrierTrue: Column = col("_barrier") >= 0.0
+
   /** Stateless scrub + quality-gate stage over a (doc_id, lang, text)
     * frame — pure projections and filters, so the SAME code runs on a
     * batch DataFrame and a streaming one
@@ -26,16 +49,17 @@ object Pipeline {
     * parity asserted in StreamBatchParitySpec).
     */
   private[graft] def scrubGate(docs: DataFrame): DataFrame =
-    docs
+    withGateBarrier(docs
       .select(col("doc_id"), col("lang"),
         TextAnalysis.scrubCol(col("text")).as("clean"))
       .withColumn("toks", filter(split(col("clean"), " "), w => length(w) > 0))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_punct",
-        size(regexp_extract_all(col("clean"), lit("[^A-Za-z0-9\\s]"), lit(0))))
-      .filter(col("n_tokens") >= 5
+        size(regexp_extract_all(col("clean"), lit("[^A-Za-z0-9\\s]"), lit(0)))))
+      .filter(barrierTrue && col("n_tokens") >= 5
         && when(length(col("clean")) > 0,
           col("n_punct").cast("double") / length(col("clean"))) <= lit(0.2))
+      .drop("_barrier")
 
   def trainingPrep(spark: SparkSession, sfDir: String): DataFrame = {
     val gated = scrubGate(Tables.documents(spark, sfDir))
@@ -204,14 +228,15 @@ object Pipeline {
     val scrubbed = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.scrubCol(col("text")).as("clean"))
-    val gated = scrubbed
+    val gated = withGateBarrier(scrubbed
       .withColumn("ws", toks(col("clean")))
       .withColumn("n_tokens", size(col("ws")))
       .withColumn("n_punct",
-        size(regexp_extract_all(col("clean"), lit("[^A-Za-z0-9\\s]"), lit(0))))
-      .filter(col("n_tokens") >= 5
+        size(regexp_extract_all(col("clean"), lit("[^A-Za-z0-9\\s]"), lit(0)))))
+      .filter(barrierTrue && col("n_tokens") >= 5
         && when(length(col("clean")) > 0,
           col("n_punct").cast("double") / length(col("clean"))) <= lit(0.2))
+      .drop("_barrier")
     val deduped = gated
       .withColumn("rn",
         row_number().over(org.apache.spark.sql.expressions.Window
