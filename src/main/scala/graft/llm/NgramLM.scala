@@ -96,9 +96,98 @@ object NgramLM {
           / (col("c_a") * col("c_b"))).as("lift"))
   }
 
+  /** Per-document perplexity under the corpus's own Laplace-smoothed
+    * bigram LM — the actual LM-score filter (low-perplexity ≈
+    * predictable/templated text, high ≈ noise) that
+    * [[bigramScore]]'s rational mass ratio stands in for. The
+    * module's "no logs" discipline is upgraded, not broken, by the
+    * technique proven on q_search_bm25: `ln` is bit-identical across
+    * engines (faithfully-rounded libm on identical double inputs),
+    * and each bigram's log-prob crosses the per-doc sum as a
+    * fixed-point BIGINT (`floor(lp·2³⁰+0.5)`), so the sum is
+    * associative and partition-order-free; the terminal average is a
+    * pure division of exact integers. `fp_sum` (exact BIGINT) is
+    * emitted alongside, so the core signal stays integer-exact.
+    * The exponentiated form `perplexity = exp(-avg_logprob)` is
+    * deliberately LEFT TO THE CONSUMER: unlike ln, `exp` diverges in
+    * the last ulp between the JVM intrinsic and libm (measured: 4.6%
+    * of rows at sf0.01), and the ranking is identical either way —
+    * avg_logprob is monotone in perplexity.
+    *
+    * Smoothing: p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), V = corpus
+    * token vocabulary (one broadcast one-row aggregate). Scale shape
+    * identical to [[bigramScore]]: staged bigram table, two count
+    * aggregations, gram-key equi-joins, one final doc_id aggregation.
+    */
+  def perplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val q30 = 1L << 30
+    val bg = Materialize.stage(bigrams(spark, sfDir))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cp = bg.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokensCol).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val avg = col("fp_sum").cast("double") / lit(q30.toDouble) / col("n_bigrams")
+    bg.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("fp",
+        floor(log((col("cb") + 1).cast("double") / (col("cp") + col("v")).cast("double"))
+          * q30 + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("fp_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("fp_sum"),
+        avg.as("avg_logprob"))
+  }
+
+  /** Per-source token-distribution drift: KL(source ‖ corpus) — the
+    * corpus-monitoring signal that flags a crawl slice whose language
+    * has shifted from the mixture (new boilerplate, a scraper gone
+    * wrong, an injected spam source) before it trains into the model.
+    *
+    * KL = Σ_w p_w · ln(p_w/q_w) with p the source's token
+    * distribution and q the corpus's; every source token appears in
+    * the corpus by construction, so no smoothing is needed. Each
+    * term's ratio is the exact-integer form c_sw·T / (c_w·T_s) —
+    * one ln per (source, token) — and terms cross the per-source sum
+    * as `c_sw`-weighted fixed-point BIGINTs (the [[perplexity]]
+    * discipline): kl_fp = Σ c_sw·floor(ln(ratio)·2³⁰+0.5), divided
+    * once by T_s at the end. Non-negative up to fixed-point rounding
+    * (each term rounds within 2⁻³¹·c_sw).
+    *
+    * Scale: one (source, token) aggregation (map-side combined), one
+    * token aggregation, totals as one broadcast row each — never a
+    * shuffle wider than the vocabulary.
+    */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val q30 = 1L << 30
+    val tok = Materialize.stage(Tables.documents(spark, sfDir)
+      .select(col("source"), explode(TextAnalysis.tokensCol).as("w")),
+      eager = false)
+    val st = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val ct = tok.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = tok.agg(count(lit(1)).as("t_all"))
+    val sTot = st.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+    st.join(ct, "w")
+      .join(sTot, "source")
+      .crossJoin(broadcast(totals))
+      .withColumn("fp",
+        col("c_sw") * floor(
+          log((col("c_sw") * col("t_all")).cast("double")
+            / (col("c_w") * col("t_s")).cast("double")) * q30 + lit(0.5)).cast("long"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("n_vocab"),
+        max(col("t_s")).as("n_tokens"),
+        sum(col("fp")).as("kl_fp"))
+      .select(col("source"), col("n_vocab"), col("n_tokens"),
+        (col("kl_fp").cast("double") / lit(q30.toDouble) / col("n_tokens"))
+          .as("kl_divergence"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_bigram_lm" -> bigramScore _,
     "q_llm_token_pairs" -> tokenPairs _,
+    "q_llm_perplexity" -> perplexity _,
+    "q_llm_source_drift" -> sourceDrift _,
   )
 
   import TextAnalysis.sqlTokens
@@ -121,6 +210,48 @@ object NgramLM {
          |    / CAST(sum(cp.cp) AS BIGINT) AS predictability
          |FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)
          |GROUP BY doc_id""".stripMargin,
+    "q_llm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+         |cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY w1),
+         |v AS (
+         |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         |  FROM (SELECT unnest($sqlTokens) AS w FROM documents)),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln(CAST(cb.cb + 1 AS DOUBLE) / CAST(cp.cp + v.v AS DOUBLE))
+         |      * 1073741824 + 0.5) AS BIGINT) AS fp
+         |  FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(fp) AS BIGINT) AS fp_sum,
+         |  CAST(sum(fp) AS DOUBLE) / 1073741824.0 / count(*) AS avg_logprob
+         |FROM scored GROUP BY doc_id""".stripMargin,
+    "q_llm_source_drift" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($sqlTokens) AS w FROM documents),
+         |st AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+         |  FROM tok GROUP BY source, w),
+         |ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_all FROM tok),
+         |stot AS (
+         |  SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s
+         |  FROM st GROUP BY source),
+         |terms AS (
+         |  SELECT st.source, st.w, st.c_sw, stot.t_s,
+         |    st.c_sw * CAST(floor(
+         |      ln(CAST(st.c_sw * tot.t_all AS DOUBLE)
+         |         / CAST(ct.c_w * stot.t_s AS DOUBLE)) * 1073741824 + 0.5)
+         |      AS BIGINT) AS fp
+         |  FROM st JOIN ct USING (w) JOIN stot USING (source) CROSS JOIN tot)
+         |SELECT source,
+         |  CAST(count(DISTINCT w) AS BIGINT) AS n_vocab,
+         |  CAST(max(t_s) AS BIGINT) AS n_tokens,
+         |  CAST(sum(fp) AS DOUBLE) / 1073741824.0 / max(t_s) AS kl_divergence
+         |FROM terms GROUP BY source""".stripMargin,
     "q_llm_token_pairs" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, w FROM (

@@ -41,6 +41,40 @@ class NgramLMSpec extends SparkSpec {
     assert(scored.where(col("p") =!= 1.0).count() == 0)
   }
 
+  test("perplexity: negative log-probs, exact reconstruction, covers multi-token docs") {
+    val df = NgramLM.perplexity(spark, sf001).cache()
+    val nMulti = graft.Tables.documents(spark, sf001)
+      .where(size(TextAnalysis.tokensCol) >= 2).count()
+    assert(df.count() == nMulti, "every >=2-token doc gets a score")
+    // smoothed probs are < 1, so every fixed-point log-prob is negative
+    assert(df.where(col("fp_sum") >= 0).count() == 0)
+    // avg_logprob reconstructs exactly from the exact integers
+    val bad = df.withColumn("want",
+      col("fp_sum").cast("double") / lit((1L << 30).toDouble) / col("n_bigrams"))
+      .where(col("avg_logprob") =!= col("want"))
+    assert(bad.count() == 0)
+    // the corpus's most templated docs must be more predictable than
+    // its least — i.e. the signal is non-degenerate
+    val stats = df.agg(min(col("avg_logprob")), max(col("avg_logprob"))).head()
+    assert(stats.getDouble(0) < stats.getDouble(1))
+    df.unpersist()
+  }
+
+  test("source drift: one row per source, KL non-negative, totals tile the corpus") {
+    val df = NgramLM.sourceDrift(spark, sf001).cache()
+    val nSources = graft.Tables.documents(spark, sf001)
+      .select(col("source")).distinct().count()
+    assert(df.count() == nSources)
+    // KL >= 0 up to fixed-point rounding (each term rounds within
+    // 2^-31 of exact, weighted by its token count)
+    assert(df.where(col("kl_divergence") < -1e-6).count() == 0)
+    val totalToks = graft.Tables.documents(spark, sf001)
+      .select(explode(TextAnalysis.tokensCol).as("w")).count()
+    assert(df.agg(sum(col("n_tokens"))).head.getLong(0) == totalToks,
+      "per-source token totals must tile the corpus")
+    df.unpersist()
+  }
+
   test("token pairs: support >= threshold, lift formula exact, ordered pairs") {
     val df = NgramLM.tokenPairs(spark, sf001).cache()
     assert(df.count() > 0, "tiny-vocab corpus must produce frequent pairs")
