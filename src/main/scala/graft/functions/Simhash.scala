@@ -9,18 +9,20 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 32-bit SimHash of a token array, as a native codegen'd expression.
+/** 60-bit SimHash of a token array, as a native codegen'd expression.
   *
   * Per token w the bit source is `H60.hash(w || "#sim")` (the engine's
   * portable 60-bit md5 prefix, mirrored exactly by the DuckDB oracle's
   * `CAST('0x' || substr(md5(w || '#sim'),1,15) AS BIGINT)`); each of
-  * the low 32 bits votes +1/-1 weighted by token multiplicity, and bit
+  * the 60 hash bits votes +1/-1 weighted by token multiplicity, and bit
   * b of the result is set iff its vote sum is positive — identical
   * semantics to the higher-order-function formulation it replaces
   * (sum over b of CASE WHEN sum(votes) > 0 THEN 1<<b END), but one
   * fused loop per row: hash each token once, add its bit votes, fold
-  * the 32 counters. The HOF form re-dispatched interpreted lambdas
-  * O(32·tokens) times per document — this is the case SURVEY §2's
+  * the 60 counters. (60, not 32: the width is the pigeonhole pair
+  * scheme's capacity — see Dedup.simhashPairs — and 60 is every bit
+  * the portable md5-prefix token hash carries.) The HOF form re-dispatched interpreted lambdas
+  * O(width·tokens) times per document — this is the case SURVEY §2's
   * "native Expression beats UDF beats HOF" preference ordering exists
   * for.
   *
@@ -54,7 +56,7 @@ object Simhash {
 
   /** One pass over the tokens: hash, accumulate per-bit votes, fold. */
   def compute(tokens: ArrayData): Long = {
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](60)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
@@ -62,7 +64,7 @@ object Simhash {
         val w = tokens.getUTF8String(i)
         val h = H60.hash(UTF8String.concat(w, Suffix))
         var b = 0
-        while (b < 32) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -71,7 +73,7 @@ object Simhash {
     }
     var sig = 0L
     var b = 0
-    while (b < 32) {
+    while (b < 60) {
       if (counts(b) > 0) sig |= 1L << b
       b += 1
     }

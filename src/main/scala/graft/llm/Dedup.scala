@@ -219,7 +219,7 @@ object Dedup {
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_pairs"))
 
-  /** SimHash (32-bit): per-bit ±1 votes from token hashes with token
+  /** SimHash (60-bit): per-bit ±1 votes from token hashes with token
     * multiplicity, via the native codegen'd [[graft.functions.Simhash]]
     * expression — one fused hash+vote+fold loop per document. (The
     * earlier higher-order-function formulation computed the same value
@@ -318,12 +318,16 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs by the pigeonhole chunk trick:
-    * the 32-bit simhash splits into four 8-bit chunks, and any two
+    * the 60-bit simhash splits into four 15-bit chunks, and any two
     * hashes within Hamming distance 3 agree on at least one chunk
     * (3 differing bits touch at most 3 of the 4), so an equi-join on
     * (chunk_index, chunk_value) finds every such pair without an
     * all-pairs scan — the same Σ bucket² cost shape as MinHash
-    * banding, over a 4× smaller band table. Exact-dup groups are
+    * banding, over a 4× smaller band table. Chunk width is the
+    * scheme's saturation dial: 2¹⁵ values per chunk index, where the
+    * earlier 32-bit/8-bit layout had only 2⁸ and a 10× corpus grew
+    * candidate pairs ~quadratically (measured 14× time at 10× docs in
+    * the round-5 scale sweep — buckets had saturated). Exact-dup groups are
     * pre-collapsed first (identical token streams share the simhash
     * bit-for-bit, the same m² guard as [[minhashLshPairs]]). Output:
     * (doc_a, doc_b, hamming ≤ 3) between representatives.
@@ -338,7 +342,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i => struct(lit(i).as("ci"),
-        shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)).as("cv"))): _*)).as("c"))
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("cv"))): _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
     chunks.as("a")
       .join(chunks.as("b"),
@@ -802,14 +806,14 @@ object Dedup {
          |  FROM grp WHERE doc_id = rep),
          |sh AS (
          |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 32), b ->
+         |    CAST(list_sum(list_transform(range(0, 60), b ->
          |      CASE WHEN list_sum(list_transform(hs,
          |             h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
          |  FROM hs),
          |chunks AS (
          |  SELECT doc_id, simhash, CAST(i AS INT) AS ci,
-         |    (simhash >> (CAST(i AS INT) * 8)) & 255 AS cv
+         |    (simhash >> (CAST(i AS INT) * 15)) & 32767 AS cv
          |  FROM sh CROSS JOIN range(0, 4) t(i))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -866,7 +870,7 @@ object Dedup {
          |      w -> CAST('0x' || substr(md5(w || '#sim'), 1, 15) AS BIGINT)) AS hs
          |  FROM documents)
          |SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 32), b ->
+         |  CAST(list_sum(list_transform(range(0, 60), b ->
          |    CASE WHEN list_sum(list_transform(hs,
          |           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash

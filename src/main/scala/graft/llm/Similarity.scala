@@ -76,7 +76,7 @@ object Similarity {
     */
   private def rankTopK(joined: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+      .orderBy(col("cos").desc_nulls_last, col("neighbor_id").asc)
     joined
       .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w))
@@ -388,7 +388,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("cell").as("q_cell"), col("label").as("q_label"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+      .orderBy(col("cos").desc_nulls_last, col("neighbor_id").asc)
     assigned
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("cell"), col("label"))
@@ -515,7 +515,7 @@ object Similarity {
     val b = reps.select(col("lbl"), col("rep_id").as("vec_id"),
       col("embedding").as("emb_b"))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("leader_id").asc)
+      .orderBy(col("cos").desc_nulls_last, col("leader_id").asc)
     val repRemoved = a.join(b, Seq("lbl"))
       .filter(col("leader_id") < col("vec_id"))
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
@@ -600,7 +600,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q8").as("qq8"), col("sn").as("qsn"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+      .orderBy(col("qcos").desc_nulls_last, col("neighbor_id").asc)
     e.select(col("vec_id").as("neighbor_id"), col("q8"), col("sn"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("qcos",
@@ -653,7 +653,7 @@ object Similarity {
        |assigned AS (
        |  SELECT vec_id, embedding, label, cent_id AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY cos_c DESC, cent_id ASC) AS rn
+       |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
        |    FROM scored)
        |  WHERE rn = 1)""".stripMargin
 
@@ -662,7 +662,7 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, cos FROM (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
        |    ${sqlCos("q.embedding", "e.embedding")} AS cos
        |  FROM assigned q JOIN assigned e
        |    ON e.cell = q.cell AND e.vec_id <> q.vec_id
@@ -684,7 +684,7 @@ object Similarity {
          |  SELECT vec_id, embedding, cent_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, c.cent_id,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${sqlCos("e.embedding", "c.cent_emb")} DESC, c.cent_id ASC) AS rn
+         |        ORDER BY ${sqlCos("e.embedding", "c.cent_emb")} DESC NULLS LAST, c.cent_id ASC) AS rn
          |    FROM embeddings e CROSS JOIN cents$i c)
          |  WHERE rn = 1)""".stripMargin
     def cents(i: Int) =
@@ -718,7 +718,7 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, cos FROM (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
        |    ${sqlCos("q.embedding", "e.embedding")} AS cos
        |  FROM a3 q JOIN a3 e
        |    ON e.cell = q.cell AND e.vec_id <> q.vec_id
@@ -748,7 +748,7 @@ object Similarity {
       s"""SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
          |    ${sqlCos("q.embedding", "e.embedding")} AS cos
          |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NumQueries)
@@ -758,7 +758,7 @@ object Similarity {
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
          |    ${sqlCos("q.embedding", "e.embedding")} AS cos
          |  FROM buckets q JOIN buckets e
          |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
@@ -788,7 +788,7 @@ object Similarity {
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY CAST(list_sum(list_transform(list_zip(q.q8, e.q8),
-         |          p -> CAST(p[1] * p[2] AS BIGINT))) AS DOUBLE) / (q.sn * e.sn) DESC,
+         |          p -> CAST(p[1] * p[2] AS BIGINT))) AS DOUBLE) / (q.sn * e.sn) DESC NULLS LAST,
          |        e.vec_id ASC) AS rank,
          |    CAST(list_sum(list_transform(list_zip(q.q8, e.q8),
          |        p -> CAST(p[1] * p[2] AS BIGINT))) AS DOUBLE) / (q.sn * e.sn) AS qcos
@@ -805,7 +805,7 @@ object Similarity {
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |    CAST(e.label AS BIGINT) AS label,
          |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
          |    ${sqlCos("q.embedding", "e.embedding")} AS cos
          |  FROM assigned q JOIN assigned e
          |    ON e.cell = q.cell AND e.label = q.label AND e.vec_id <> q.vec_id
@@ -822,19 +822,19 @@ object Similarity {
          |assigned AS (
          |  SELECT vec_id, embedding, cent_id AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_c DESC, cent_id ASC) AS rn
+         |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
          |    FROM scored)
          |  WHERE rn = 1),
          |qcells AS (
          |  SELECT vec_id, embedding, cent_id AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_c DESC, cent_id ASC) AS rn
+         |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
          |    FROM scored WHERE vec_id < $NumQueries)
          |  WHERE rn <= $NumProbes)
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rank,
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
          |    ${sqlCos("q.embedding", "e.embedding")} AS cos
          |  FROM qcells q JOIN assigned e
          |    ON e.cell = q.cell AND e.vec_id <> q.vec_id)
@@ -864,7 +864,7 @@ object Similarity {
          |    a.vec_id AS leader_id,
          |    ${sqlCos("a.embedding", "b.embedding")} AS cos,
          |    row_number() OVER (PARTITION BY b.vec_id
-         |      ORDER BY ${sqlCos("a.embedding", "b.embedding")} DESC,
+         |      ORDER BY ${sqlCos("a.embedding", "b.embedding")} DESC NULLS LAST,
          |        a.vec_id ASC) AS rn
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id

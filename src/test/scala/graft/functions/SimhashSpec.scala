@@ -14,7 +14,7 @@ class SimhashSpec extends SparkSpec {
       |  element_at(transform(array(
       |      transform(ws, w -> CAST(conv(substring(md5(concat(w, '#sim')), 1, 15), 16, 10) AS BIGINT))), hs ->
       |    aggregate(
-      |      transform(sequence(0, 31), b ->
+      |      transform(sequence(0, 59), b ->
       |        CASE WHEN aggregate(hs, 0, (acc, h) ->
       |                 acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
       |             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),

@@ -174,7 +174,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_llm_oov", // one-row top-20 vocabulary array broadcast
         "q_events_gapfill", // generated hour spine × ~5 event types:
         // O(hours × types) by construction, independent of data size
-        "q_events_anomaly") // same gap-filled spine as q_events_gapfill
+        "q_events_anomaly", // same gap-filled spine as q_events_gapfill
+        "q_llm_perplexity", // one-row vocabulary-size broadcast (V)
+        "q_llm_source_drift") // one-row corpus-token-total broadcast
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
