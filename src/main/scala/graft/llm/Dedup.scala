@@ -421,7 +421,7 @@ object Dedup {
     * because both star ops only ever re-point toward neighborhood
     * minima.
     */
-  private[llm] def largeSmallStarCC(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+  private[graft] def largeSmallStarCC(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     var edges = Materialize.stage(
       pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))

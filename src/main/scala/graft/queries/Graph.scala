@@ -80,9 +80,39 @@ object Graph {
       (col("r").cast("double") / Scale).as("pr_frac"))
   }
 
+  /** Connected components of the undirected click graph — the third
+    * classic MapReduce graph benchmark beside PageRank and triangles,
+    * and a direct reuse of the dedup engine's large-star/small-star
+    * machinery ([[graft.llm.Dedup.largeSmallStarCC]], O(log d)
+    * rounds over the EDGE set) on a graph that isn't a similarity
+    * graph. Per node: `component` = min node id of its component
+    * (min-label, matching union-find), `component_size` alongside.
+    * Self-loops don't connect anything; a node with only self-loops
+    * is its own singleton component (the left join + coalesce).
+    *
+    * Scale: CC touches only the distinct undirected edge set; the
+    * node relabel is one join; the size annotation is one
+    * component-keyed window over nodes (pages, not events).
+    */
+  def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Materialize.stage(clickEdges(spark, sfDir)
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    val labels = graft.llm.Dedup.largeSmallStarCC(
+      e.filter(col("src") =!= col("dst"))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+    val nodes = e.select(col("src").as("page"))
+      .union(e.select(col("dst").as("page"))).distinct()
+    val w = Window.partitionBy(col("component"))
+    nodes
+      .join(labels.withColumnRenamed("doc_id", "page"), Seq("page"), "left")
+      .select(col("page"), coalesce(col("cluster"), col("page")).as("component"))
+      .withColumn("component_size", count(lit(1)).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "q_graph_triangles" -> triangleCount _,
+    "q_graph_components" -> connectedComponents _,
   )
 
   /** Oracle: the same three iterations unrolled as CTEs; `//` is
@@ -158,6 +188,39 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_graph_components" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS INT) AS k
+         |  FROM events),
+         |nxt AS (
+         |  SELECT k AS src,
+         |         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev),
+         |edges AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+         |  FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |allnodes AS (
+         |  SELECT DISTINCT page FROM (
+         |    SELECT src AS page FROM edges UNION ALL SELECT dst FROM edges)),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |ed AS (SELECT a AS src, b AS dst FROM und
+         |       UNION ALL SELECT b, a FROM und),
+         |nodes AS (SELECT DISTINCT src AS doc FROM ed),
+         |reach(doc, r) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN ed e ON reach.r = e.src),
+         |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc),
+         |lab AS (
+         |  SELECT n.page, COALESCE(c.component, n.page) AS component
+         |  FROM allnodes n LEFT JOIN comp c ON c.doc = n.page)
+         |SELECT page, component,
+         |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+         |    AS component_size
+         |FROM lab""".stripMargin,
     "q_graph_triangles" ->
       s"""WITH ev AS (
          |  SELECT user_id, ts, event_id,

@@ -30,12 +30,12 @@ class ExpressionPropertySpec extends SparkSpec {
     java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
 
   private def refSimhash(tokens: Seq[String]): Long = {
-    val votes = Array.fill(32)(0)
+    val votes = Array.fill(60)(0)
     tokens.foreach { w =>
       val h = refH60(w + "#sim")
-      (0 until 32).foreach(b => votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+      (0 until 60).foreach(b => votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
     }
-    (0 until 32).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
   }
 
   private def refMinhash(shingles: Seq[String]): Seq[Long] = {

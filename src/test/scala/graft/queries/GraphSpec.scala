@@ -93,6 +93,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("components over the corpus: labels match a driver BFS reference") {
+    val rows = Graph.connectedComponents(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // independent reference: BFS over the same undirected edge set
+    val edges = Graph.clickEdges(spark, sf001)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.filter { case (a, b) => a != b }.foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val allNodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    allNodes.sorted.foreach { start =>
+      if (!label.contains(start)) {
+        var frontier = List(start); val seen = scala.collection.mutable.Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj).filterNot(seen)
+          frontier.foreach(seen.add)
+        }
+        seen.foreach(n => label(n) = seen.min)
+      }
+    }
+    assert(rows.map(r => r._1 -> r._2).toMap == label.toMap)
+    // sizes are consistent with the labels
+    val sizes = label.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (_, comp, sz) => assert(sizes(comp) == sz) }
+  }
+
   test("triangles over the corpus: count matches the unoriented enumeration") {
     val und = Graph.clickEdges(spark, sf001)
       .filter(col("src") =!= col("dst"))
