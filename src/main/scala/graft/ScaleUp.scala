@@ -47,9 +47,17 @@ object ScaleUp {
     }
     // events carries TIMESTAMP(NANOS) — route through the loader that
     // rewrites ts to micros (Tables.events), so the copy reads back
-    // through the normal path
-    Tables.events(spark, src)
-      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    // through the normal path. Copies shift user_id and event_id
+    // (10× the user population, same time range — the realistic way
+    // traffic grows; shifting ts instead would just stretch the hour
+    // spine), preserving each user's session/transition structure.
+    val ev = Tables.events(spark, src)
+    val uShift = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val eShift = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+    copies(ev) { (e, k) =>
+      e.withColumn("user_id", col("user_id") + lit(k * uShift))
+        .withColumn("event_id", col("event_id") + lit(k * eShift))
+    }.write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docShift = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
