@@ -69,8 +69,14 @@ object TrainOrder {
     * sides).
     */
   def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = TextAnalysis.qualityScore(spark, sfDir)
-      .select(col("doc_id"), coalesce(col("quality"), lit(0.0)).as("q"))
+    // staged: the scored frame feeds BOTH the threshold aggregate and
+    // the bucketing tail — unstaged, the regex-heavy quality pipeline
+    // runs twice over the corpus (the q_skyline lesson; the staged
+    // frame is two columns, a bounded fraction of the text it scores)
+    val q = graft.Materialize.stage(
+      TextAnalysis.qualityScore(spark, sfDir)
+        .select(col("doc_id"), coalesce(col("quality"), lit(0.0)).as("q")),
+      eager = false)
     val thresholds = q.agg(
       expr("percentile(q, array(0.25, 0.5, 0.75))").as("ts"))
     val w = Window.partitionBy(col("bucket"))
