@@ -95,6 +95,103 @@ object StarSchema {
       .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
   }
 
+  /** TPC-H Q6-shaped forecast revenue: the pure-pushdown query — no
+    * join, no groupBy key, three scan-level predicates. At 100 TB this
+    * plan is ONLY a parquet scan with PushedFilters skipping row
+    * groups plus a partial+final agg of one row per partition; any
+    * plan that reads more than (shipdate, discount, quantity,
+    * extendedprice) or evaluates the filter above the scan is wrong.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4-shaped late-shipment count (adapted: the synthetic
+    * lineitem has no commit/receipt dates, so "late" is shipped more
+    * than 60 days after the order date). The defining plan feature is
+    * the EXISTS with a CORRELATED extra condition: a left-semi join on
+    * orderkey whose join condition also compares ship vs order date —
+    * Spark keeps the non-equi predicate inside the semi join, so each
+    * order is emitted at most once without a distinct.
+    */
+  def orderPriorityChecking(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey")
+        && li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q12-shaped priority line counts (adapted: grouped by
+    * l_returnflag since the synthetic schema has no shipmode).
+    * Conditional aggregation — the CASE collapses inside the partial
+    * agg, so the shuffle carries |returnflag| rows per partition, not
+    * the joined fact rows.
+    */
+  def priorityLineCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q14-shaped promo effect: percentage-of-total conditional
+    * aggregate over a broadcast dim join. Both sums are exact decimal
+    * (order-independent); the final ratio is one double division, with
+    * identical association on the oracle side so the bits match.
+    */
+  def promoEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg((lit(100.0)
+          * sum(when(col("p_type") === "PROMO",
+              discPrice(col("l_extendedprice"), col("l_discount")))).cast("double")
+          / sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double"))
+        .as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18-shaped large-volume customers. Unlike textbook Q18
+    * (which rescans lineitem after the HAVING subquery), the
+    * qualifying aggregate already carries sum_qty, so we join it
+    * straight to orders — ONE lineitem scan instead of two. The
+    * qualifying set is O(orders) so it shuffle-joins on orderkey (not
+    * broadcast — at 100 TB it does not fit); customer broadcasts.
+    */
+  def largeVolumeCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Top customers by lifetime order value — broadcast-joined dim,
     * top-k via TakeOrderedAndProject.
     */
@@ -319,7 +416,12 @@ object StarSchema {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> pricingSummary _,
     "q3_shipping_priority" -> shippingPriority _,
+    "q4_order_priority" -> orderPriorityChecking _,
     "q5_local_supplier" -> localSupplierVolume _,
+    "q6_forecast_revenue" -> forecastRevenue _,
+    "q12_priority_lines" -> priorityLineCounts _,
+    "q14_promo_effect" -> promoEffect _,
+    "q18_large_volume" -> largeVolumeCustomers _,
     "q_top_customers" -> topCustomers _,
     "q_window_top_orders" -> windowTopOrders _,
     "q_set_ops" -> setOps _,
@@ -363,6 +465,15 @@ object StarSchema {
          |GROUP BY o_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderkey ASC
          |LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT n_name, ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
          |FROM region, nation, supplier, customer, orders, lineitem
@@ -372,6 +483,47 @@ object StarSchema {
          |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
          |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_revenue_pct,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    "q18_large_volume" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         |FROM orders
+         |JOIN (SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey
+         |      HAVING sum_qty > 150) big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
     "q_top_customers" ->
       s"""SELECT c_custkey, c_name,
          |  ${sqlDsum("o_totalprice")} AS total_spent, count(*) AS n_orders

@@ -34,6 +34,37 @@ class PlanAuditSpec extends SparkSpec {
       s"orders date range not pushed:\n$p")
   }
 
+  test("q6: all three predicates reach the lineitem scan, four-column read") {
+    val p = planOf("q6_forecast_revenue")
+    // PushedFilters is elided in toString; the scan's DataFilters line
+    // carries the same predicates untruncated
+    assert("l_shipdate#\\d+ >= 1997-01-01".r.findFirstIn(p).isDefined
+      && "l_shipdate#\\d+ < 1998-01-01".r.findFirstIn(p).isDefined,
+      s"shipdate range not pushed:\n$p")
+    assert("l_discount#\\d+ >= 0.05".r.findFirstIn(p).isDefined
+      && "l_discount#\\d+ <= 0.07".r.findFirstIn(p).isDefined,
+      s"discount range not pushed:\n$p")
+    assert("l_quantity#\\d+ < 24.0".r.findFirstIn(p).isDefined,
+      s"quantity bound not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"), s"scan should read exactly 4 columns:\n$p")
+  }
+
+  test("q4: correlated EXISTS is a single-scan semi join, date condition inside") {
+    val p = planOf("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"expected a semi join for EXISTS:\n$p")
+    assert(p.contains("INTERVAL '60' DAY"), s"late-shipment condition should live in the join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size + "FileScan parquet".r.findAllIn(p).size <= 4,
+      s"orders and lineitem should each scan once:\n$p")
+  }
+
+  test("q18: lineitem scans once (qualifying agg reused, no textbook rescan)") {
+    val p = planOf("q18_large_volume")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"the HAVING aggregate should be joined, not recomputed from a second scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 should be TakeOrderedAndProject")
+  }
+
   test("ann top-k: rank filter becomes WindowGroupLimit (no full sort per query)") {
     val p = planOf("q_ann_topk")
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
