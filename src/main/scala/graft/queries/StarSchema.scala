@@ -192,6 +192,49 @@ object StarSchema {
       .limit(100)
   }
 
+  /** TPC-H Q15-shaped top supplier: aggregate once, then keep the
+    * row(s) equal to the global max via a one-row broadcast scalar —
+    * the rev frame is staged so the max does not recompute it. The
+    * max compare is safe cross-engine because total_rev is an exact
+    * decimal sum (order-independent) cast to double.
+    */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = graft.Materialize.stage(
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("total_rev")),
+      eager = false)
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: "compare each row to its
+    * group's aggregate". Textbook Q17 (and the oracle SQL) self-joins
+    * a per-part GROUP BY back to lineitem — TWO fact scans and two
+    * shuffles; here the per-part average is an unordered window over
+    * l_partkey, so the fact scans ONCE and shuffles once, and values
+    * are identical (same exact decimal sum / count, then double math
+    * written the same on both sides).
+    */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .withColumn("avg_qty",
+        sum(dec2(col("l_quantity"))).over(w).cast("double")
+          / count(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Top customers by lifetime order value — broadcast-joined dim,
     * top-k via TakeOrderedAndProject.
     */
@@ -421,6 +464,8 @@ object StarSchema {
     "q6_forecast_revenue" -> forecastRevenue _,
     "q12_priority_lines" -> priorityLineCounts _,
     "q14_promo_effect" -> promoEffect _,
+    "q15_top_supplier" -> topSupplier _,
+    "q17_small_qty_revenue" -> smallQtyRevenue _,
     "q18_large_volume" -> largeVolumeCustomers _,
     "q_top_customers" -> topCustomers _,
     "q_window_top_orders" -> windowTopOrders _,
@@ -515,6 +560,23 @@ object StarSchema {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${sqlRevenue("l_extendedprice", "l_discount")} AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+    "q17_small_qty_revenue" ->
+      s"""SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN (SELECT l_partkey, ${sqlDavg("l_quantity")} AS avg_qty
+         |      FROM lineitem GROUP BY l_partkey) a USING (l_partkey)
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "q18_large_volume" ->
       s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
          |FROM orders

@@ -58,6 +58,13 @@ class PlanAuditSpec extends SparkSpec {
       s"orders and lineitem should each scan once:\n$p")
   }
 
+  test("q17: group-average compare is one window pass, not a self-join rescan") {
+    val p = planOf("q17_small_qty_revenue")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"per-part average should come from a window, not a second scan:\n$p")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+  }
+
   test("q18: lineitem scans once (qualifying agg reused, no textbook rescan)") {
     val p = planOf("q18_large_volume")
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
