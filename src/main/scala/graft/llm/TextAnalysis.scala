@@ -337,6 +337,35 @@ object TextAnalysis {
           .as("commonness"))
   }
 
+  /** Approximate top-20 frequent tokens via the mergeable Misra-Gries
+    * sketch ([[graft.operators.MisraGriesAgg]]): one pass, each task
+    * holds a ≤k-entry summary, only summaries cross the shuffle — the
+    * scale path when the vocabulary itself is too large to shuffle
+    * (the exact wordcount here exists purely to VERIFY the sketch).
+    *
+    * Hard signal: with k=64 ≥ this corpus's vocabulary the MG
+    * guarantee forces est = exact and slack = n − S = 0, so the
+    * sketch's own estimates hash-compare against DuckDB's exact
+    * counts — any reduce/merge bug shows up as a value mismatch. The
+    * k < vocab truncation path (bounds, guaranteed capture) is
+    * property-tested in AggregatorsSpec with a planted skewed corpus.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokensCol).as("word")).as[String]
+    val sketch = toks.select(graft.operators.MisraGriesAgg(64).toColumn.name("sketch"))
+      .select(explode(col("sketch")).as(Seq("word", "est")),
+        expr("aggregate(map_values(sketch), 0L, (a, x) -> a + x)").as("s_mass"))
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val totals = exact.agg(sum(col("cnt")).as("n_total"))
+    exact.orderBy(col("cnt").desc, col("word").asc).limit(20)
+      .join(sketch, Seq("word"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("word"), col("cnt"), col("est"),
+        (col("n_total") - col("s_mass")).as("slack"))
+  }
+
   /** The dataset "data card": per-source corpus datasheet — sizes,
     * verbatim-duplicate ratio, token mass, language spread, and mean
     * quality — the one-page summary a training-data owner publishes
@@ -392,6 +421,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_heavy_hitters" -> heavyHitters _,
     "q_llm_lang_id" -> langId _,
     "q_llm_quality" -> qualityScore _,
     "q_llm_quality_calibrated" -> qualityCalibrated _,
@@ -417,6 +447,13 @@ object TextAnalysis {
          |       WHEN ${sqlScore("es")} >= ${sqlScore("fr")} THEN 'es'
          |       ELSE 'fr' END AS detected
          |FROM documents""".stripMargin,
+    // The sketch's own estimates are hash-compared against exact
+    // counts (k ≥ vocab ⇒ MG is exact and slack is provably 0).
+    "q_llm_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($sqlTokens) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+         |SELECT word, cnt, cnt AS est, CAST(0 AS BIGINT) AS slack
+         |FROM c ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
     "q_llm_quality" -> sqlQualityTable,
     "q_llm_quality_calibrated" ->
       s"""SELECT doc_id, lang, quality,

@@ -25,6 +25,46 @@ class AggregatorsSpec extends SparkSpec {
     assert(got == Map("x" -> 2.0, "y" -> 5.0))
   }
 
+  test("Misra-Gries: bounds + guaranteed capture when vocab >> k, across partitions") {
+    import spark.implicits._
+    // planted skew: 4 heavy items drown 200 light ones; k far below vocab
+    val k = 16
+    val rng = new scala.util.Random(42)
+    val heavy = Seq.fill(3000)(s"h${rng.nextInt(4)}")
+    val light = Seq.fill(2000)(s"l${rng.nextInt(200)}")
+    val stream = rng.shuffle(heavy ++ light)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    // 7 partitions forces real partial summaries through merge()
+    val sketch = stream.toDS().repartition(7)
+      .select(MisraGriesAgg(k).toColumn.name("sk")).head()
+    val s = sketch.valuesIterator.sum
+    assert(sketch.size <= k, "summary must not exceed capacity")
+    sketch.foreach { case (w, est) =>
+      val t = exact(w)
+      assert(est <= t, s"$w: est $est overestimates true $t")
+      assert((t - est) * (k + 1) <= n - s,
+        s"$w: error ${t - est} breaks the (n-S)/(k+1) bound")
+    }
+    // every item heavier than the error budget MUST be captured
+    exact.foreach { case (w, t) =>
+      if (t * (k + 1) > n - s)
+        assert(sketch.contains(w), s"heavy item $w (count $t) missing")
+    }
+    assert(Seq("h0", "h1", "h2", "h3").forall(sketch.contains), "planted heavies missing")
+  }
+
+  test("Misra-Gries: exact when k >= vocab, merge-order independent") {
+    import spark.implicits._
+    val words = Seq.fill(500)(s"w${scala.util.Random.nextInt(20)}")
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 3, 13)) {
+      val got = words.toDS().repartition(parts)
+        .select(MisraGriesAgg(32).toColumn.name("sk")).head()
+      assert(got == exact, s"k>=vocab must be exact at $parts partitions")
+    }
+  }
+
   test("GraftExtensions: fnv1a and cosine_sim callable from SQL") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
