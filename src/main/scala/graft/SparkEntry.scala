@@ -23,7 +23,8 @@ object SparkEntry {
     "mr_grep" -> ((s: SparkSession, d: String) => CanonicalJobs.grep(s, d)),
     "mr_sort" -> (CanonicalJobs.sortDocs _),
     "mr_sql_mapf" -> (CanonicalJobs.sqlWordcount _),
-  ) ++ graft.queries.StarSchema.queries ++ graft.queries.EventWindows.queries ++
+  ) ++ graft.queries.StarSchema.queries ++ graft.queries.TpchMore.queries ++
+    graft.queries.EventWindows.queries ++
     graft.queries.Advanced.queries ++ graft.queries.Graph.queries ++
     graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
     graft.llm.NgramLM.queries ++
@@ -62,7 +63,8 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(word) > 0
         |GROUP BY doc_id, word""".stripMargin,
-  ) ++ graft.queries.StarSchema.oracles ++ graft.queries.EventWindows.oracles ++
+  ) ++ graft.queries.StarSchema.oracles ++ graft.queries.TpchMore.oracles ++
+    graft.queries.EventWindows.oracles ++
     graft.queries.Advanced.oracles ++ graft.queries.Graph.oracles ++
     graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++
     graft.llm.NgramLM.oracles ++

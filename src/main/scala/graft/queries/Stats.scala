@@ -22,10 +22,37 @@ object Stats {
 
   private def d2(c: Column): Column = graft.Exact.dec2(c)
 
+  /** Exact-split decimal→double for NON-NEGATIVE decimal sums.
+    *
+    * A direct `CAST(decimal AS DOUBLE)` is not deterministic across
+    * engines: DuckDB converts the scaled int128 to double and then
+    * divides by 10^scale — TWO roundings — while Spark/Java round the
+    * decimal once, correctly; on values like 7096786968835.8685 they
+    * differ by an ulp and a downstream correlation hash-mismatches.
+    * Splitting into `floor` (an exactly-representable integer ≤ 2^53
+    * at every gate SF) plus the scale-digit fractional numerator
+    * (< 10^scale, also exact) leaves both engines evaluating the SAME
+    * IEEE `hi + lo/10^scale` expression — identical bits. Mirror:
+    * [[sqlDbl]].
+    */
+  private def dbl(c: Column, scale: Int): Column = {
+    val pow = math.pow(10, scale)
+    floor(c).cast("long").cast("double") +
+      ((c - floor(c)) * lit(pow.toLong)).cast("long").cast("double") / lit(pow)
+  }
+
+  /** SQL fragment mirroring [[dbl]] for the DuckDB oracle. */
+  private def sqlDbl(s: String, scale: Int): String = {
+    val pow = math.pow(10, scale).toLong
+    s"(CAST(CAST(floor($s) AS BIGINT) AS DOUBLE)" +
+      s" + CAST(CAST(($s - floor($s)) * $pow AS BIGINT) AS DOUBLE) / $pow.0)"
+  }
+
   /** Per-returnflag Pearson correlation (and means) of quantity vs
     * extended price over lineitem. Exact decimal first/second moments
     * — one map-side-combinable aggregation, no second pass — then the
-    * raw-moment formula in doubles.
+    * raw-moment formula in doubles, with every moment entering double
+    * land through the exact-split [[dbl]] conversion.
     */
   def corrQtyPrice(spark: SparkSession, sfDir: String): DataFrame = {
     val q = col("l_quantity")
@@ -38,11 +65,11 @@ object Stats {
         sum(d2(q) * d2(q)).as("sxx_d"), sum(d2(p) * d2(p)).as("syy_d"),
         sum(d2(q) * d2(p)).as("sxy_d"))
     val nd = col("n").cast("double")
-    val sx = col("sx_d").cast("double")
-    val sy = col("sy_d").cast("double")
-    val sxx = col("sxx_d").cast("double")
-    val syy = col("syy_d").cast("double")
-    val sxy = col("sxy_d").cast("double")
+    val sx = dbl(col("sx_d"), 2)
+    val sy = dbl(col("sy_d"), 2)
+    val sxx = dbl(col("sxx_d"), 4)
+    val syy = dbl(col("syy_d"), 4)
+    val sxy = dbl(col("sxy_d"), 4)
     m.select(col("l_returnflag"), col("n"),
       (sx / nd).as("avg_qty"),
       (sy / nd).as("avg_price"),
@@ -129,25 +156,26 @@ object Stats {
          |SELECT doc_id, dd.q AS quality, n_chars
          |FROM dd JOIN pm USING (q)
          |WHERE m_strict IS NULL OR n_chars >= m_strict""".stripMargin,
+    // Decimal moments enter double land via the exact-split sqlDbl
+    // form, NOT a direct CAST — DuckDB's native decimal→double cast
+    // double-rounds (int128→double, then /10^scale) and can land an
+    // ulp off Spark's correctly-rounded conversion.
     "q_stats_corr" ->
-      """SELECT l_returnflag, n,
-        |  sx / nd AS avg_qty,
-        |  sy / nd AS avg_price,
-        |  (nd * sxy - sx * sy)
-        |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
-        |    AS corr_qty_price
-        |FROM (SELECT l_returnflag,
-        |        CAST(count(*) AS BIGINT) AS n,
-        |        CAST(count(*) AS DOUBLE) AS nd,
-        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-        |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-        |                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        |      FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+      s"""SELECT l_returnflag, n,
+         |  sx / nd AS avg_qty,
+         |  sy / nd AS avg_price,
+         |  (nd * sxy - sx * sy)
+         |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+         |    AS corr_qty_price
+         |FROM (SELECT l_returnflag,
+         |        CAST(count(*) AS BIGINT) AS n,
+         |        CAST(count(*) AS DOUBLE) AS nd,
+         |        ${sqlDbl("sum(CAST(l_quantity AS DECIMAL(18,2)))", 2)} AS sx,
+         |        ${sqlDbl("sum(CAST(l_extendedprice AS DECIMAL(18,2)))", 2)} AS sy,
+         |        ${sqlDbl("sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))", 4)} AS sxx,
+         |        ${sqlDbl("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))", 4)} AS syy,
+         |        ${sqlDbl("sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))", 4)} AS sxy
+         |      FROM lineitem GROUP BY l_returnflag)""".stripMargin,
     "q_stats_outliers" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

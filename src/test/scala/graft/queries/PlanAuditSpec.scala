@@ -190,6 +190,73 @@ class PlanAuditSpec extends SparkSpec {
       s"transition derivation should shuffle once on user_id:\n$p")
   }
 
+  test("q7: nation prune pushed to the dim scans, dims broadcast before the fact shuffle") {
+    val p = planOf("q7_volume_shipping")
+    assert(p.contains("In(n_name, [NATION_1,NATION_2,NATION_3,NATION_4])"),
+      s"nation name filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      s"shipdate range not pushed:\n$p")
+    // the nation-pruned dims must hash-broadcast into each fact side;
+    // the only wide joins are the pruned fact-fact join + final agg
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected both dims broadcast into both fact sides:\n$p")
+  }
+
+  test("q9: part-name contains-filter pushed to the part scan") {
+    val p = planOf("q9_product_profit")
+    assert(p.contains("StringContains(p_name,widget)"),
+      s"p_name LIKE filter not pushed:\n$p")
+  }
+
+  test("q10: flags pushed, customer-key pre-aggregation, top-k via TakeOrdered") {
+    val p = planOf("q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"orderdate range not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "expected top-k operator")
+    // revenue aggregates on o_custkey BEFORE the customer dim join:
+    // the partial agg must key on o_custkey, not on customer columns
+    assert("partial_sum".r.findFirstIn(p).isDefined
+      && "keys=\\[o_custkey#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"expected pre-aggregation keyed on o_custkey before the dim decorate:\n$p")
+  }
+
+  test("q13: zero-order customers via one outer join over a pre-aggregated side") {
+    val p = planOf("q13_order_distribution")
+    assert(p.contains("LeftOuter"), s"expected a left outer join:\n$p")
+    assert(p.contains("Not(EqualTo(o_orderpriority,5-LOW))"),
+      s"priority exclusion not pushed:\n$p")
+  }
+
+  test("q19: disjunction residuals pushed per side, full OR inside the join") {
+    val p = planOf("q19_disjunctive_or")
+    // lineitem side keeps the quantity-range union (PushedFilters is
+    // truncated in toString; the scan-level Filter carries it in full)
+    assert("\\(l_quantity#\\d+ >= 1.0\\) AND \\(l_quantity#\\d+ <= 11.0\\)".r
+        .findFirstIn(p).isDefined,
+      s"quantity-range disjunction not pushed to the lineitem side:\n$p")
+    // part side keeps the brand/size union
+    assert("\\(p_brand#\\d+ = Brand#12\\) AND \\(p_size#\\d+ <= 5\\)".r
+        .findFirstIn(p).isDefined,
+      s"brand/size disjunction not pushed to the part side:\n$p")
+    // and the cross-side conjuncts evaluate inside the broadcast join
+    assert(p.contains("BroadcastHashJoin"), "expected a broadcast hash join")
+  }
+
+  test("q21: the triple-self-join rewrite scans lineitem exactly once") {
+    val p = planOf("q21_waiting_supplier")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"the aggregate rewrite must scan lineitem once (textbook scans 3x):\n$p")
+    assert(p.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "expected top-k operator")
+  }
+
+  test("q22: dormancy is an anti join with the recency filter pushed to orders") {
+    val p = planOf("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), s"expected a left anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-08-01"),
+      s"recency filter not pushed to the orders scan:\n$p")
+  }
+
   test("suite-wide smell sweep: no nested-loop joins, no cartesian products") {
     // A nested-loop join is scale-hostile when BOTH sides scale with
     // the data. Two queries carry a provably BOUNDED build side and
@@ -214,7 +281,9 @@ class PlanAuditSpec extends SparkSpec {
         // O(hours × types) by construction, independent of data size
         "q_events_anomaly", // same gap-filled spine as q_events_gapfill
         "q_llm_perplexity", // one-row vocabulary-size broadcast (V)
-        "q_llm_source_drift") // one-row corpus-token-total broadcast
+        "q_llm_source_drift", // one-row corpus-token-total broadcast
+        "q22_dormant_customers", // one-row avg-balance scalar broadcast
+        "q_llm_heavy_hitters") // one-row corpus-total (n_total) broadcast
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
