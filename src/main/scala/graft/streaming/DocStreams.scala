@@ -62,6 +62,25 @@ object DocStreams {
       }
   }
 
+  /** Streaming heavy hitters: the mergeable Misra-Gries summary
+    * ([[graft.operators.MisraGriesAgg]]) as a streaming GLOBAL
+    * aggregate. Each micro-batch's partial summaries fold into the
+    * running state through the SAME reduce/merge the batch path uses
+    * (mergeability is exactly what makes a sketch streamable), so a
+    * drained stream with k ≥ |vocab| equals the exact batch counts —
+    * asserted in StreamBatchParitySpec — and for k < |vocab| the
+    * deterministic MG bounds still hold. State is ONE ≤k-entry map;
+    * Complete output mode re-emits it per micro-batch.
+    */
+  def heavyHittersStream(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(explode(graft.llm.TextAnalysis.tokensCol).as("word"))
+      .as[String]
+      .select(graft.operators.MisraGriesAgg(k).toColumn.name("sketch"))
+      .toDF()
+  }
+
   case class PrepDoc(doc_id: Long, lang: String, n_tokens: Int)
 
   /** Streaming ingest prep: the batch pipeline's stateless

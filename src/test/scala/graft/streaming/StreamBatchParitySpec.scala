@@ -350,6 +350,50 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("heavy hitters: drained Misra-Gries stream equals exact batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    // k=64 ≥ |vocab|=31: the MG guarantee forces exactness, so the
+    // stream must land on the true counts REGARDLESS of micro-batch
+    // partial/merge order
+    val q = DocStreams.heavyHittersStream(input.toDS().toDF("doc_id", "text"), k = 64)
+      .writeStream.format("memory").queryName("parity_hh")
+      .outputMode("complete").start()
+    // three waves forces real cross-micro-batch state merges
+    docs.grouped((docs.size + 2) / 3).foreach { w =>
+      input.addData(w); q.processAllAvailable()
+    }
+    val streamed = spark.table("parity_hh").collect().head
+      .getMap[String, Long](0).toMap
+    q.stop()
+    val exact = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.llm.TextAnalysis.tokensCol).as("word"))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == exact,
+      s"stream-only: ${(streamed.toSet -- exact.toSet).take(3)}; " +
+        s"batch-only: ${(exact.toSet -- streamed.toSet).take(3)}")
+    // and a truncating sketch keeps its invariants across the stream
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = DocStreams.heavyHittersStream(input2.toDS().toDF("doc_id", "text"), k = 8)
+      .writeStream.format("memory").queryName("parity_hh_small")
+      .outputMode("complete").start()
+    docs.grouped((docs.size + 2) / 3).foreach { w =>
+      input2.addData(w); q2.processAllAvailable()
+    }
+    val small = spark.table("parity_hh_small").collect().head
+      .getMap[String, Long](0).toMap
+    q2.stop()
+    assert(small.size <= 8, "summary must not exceed capacity")
+    small.foreach { case (w, est) =>
+      assert(est <= exact(w), s"$w: streaming est overestimates")
+    }
+  }
+
   test("dedup: duplicated stream collapses to the batch-distinct event set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
