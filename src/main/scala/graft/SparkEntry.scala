@@ -27,7 +27,7 @@ object SparkEntry {
     graft.queries.EventWindows.queries ++
     graft.queries.Advanced.queries ++ graft.queries.Graph.queries ++
     graft.llm.TextAnalysis.queries ++ graft.llm.Dedup.queries ++
-    graft.llm.NgramLM.queries ++
+    graft.llm.NgramLM.queries ++ graft.llm.Bpe.queries ++
     graft.llm.Similarity.queries ++ graft.llm.Multimodal.queries ++
     graft.llm.Pipeline.queries ++ graft.llm.Pack.queries ++
     graft.llm.TrainOrder.queries ++ graft.llm.Boilerplate.queries ++
@@ -67,7 +67,7 @@ object SparkEntry {
     graft.queries.EventWindows.oracles ++
     graft.queries.Advanced.oracles ++ graft.queries.Graph.oracles ++
     graft.llm.TextAnalysis.oracles ++ graft.llm.Dedup.oracles ++
-    graft.llm.NgramLM.oracles ++
+    graft.llm.NgramLM.oracles ++ graft.llm.Bpe.oracles ++
     graft.llm.Similarity.oracles ++ graft.llm.Multimodal.oracles ++
     graft.llm.Pipeline.oracles ++ graft.llm.Pack.oracles ++
     graft.llm.TrainOrder.oracles ++ graft.llm.Boilerplate.oracles ++

@@ -1,0 +1,157 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed BPE tokenizer training — the classic word-count
+  * formulation (Sennrich et al., ACL'16): merge rules are learned from
+  * the DISTINCT-word frequency table, not the raw token stream, so
+  * every round is O(|vocab|) work regardless of corpus size — at
+  * 100 TB the corpus collapses to its word-count aggregate once
+  * (map-side combinable) and the merge loop never rescans it.
+  *
+  * Round structure (unrolled [[Rounds]] times, one Catalyst plan):
+  *   1. explode each word's adjacent symbol pairs, weighted by the
+  *      word's corpus count; partial+final hash agg → pair totals;
+  *   2. argmax with total ordering (count desc, pair asc) → ONE row,
+  *      broadcast;
+  *   3. rewrite every word's symbol sequence by merging that pair.
+  *
+  * The rewrite is the part engines usually hand to a UDF; here it is
+  * a single literal `replace()` via a boundary encoding: a sequence
+  * s1 s2 … is stored as `␟␟s1␟␟s2␟␟…` (␟ = U+001F, absent from the
+  * corpus), and merging pair (x,y) replaces `␟x␟␟y␟` with `␟xy␟`.
+  * The doubled boundary makes leftmost non-overlapping replacement —
+  * the shared semantics of Spark's and DuckDB's `replace` — EXACTLY
+  * greedy BPE: consecutive overlapping pairs (`a a a a` → `aa aa`)
+  * merge correctly because each match consumes only the inner ␟ of
+  * each doubled pair, leaving the outer ␟ to anchor the next match,
+  * and multi-char symbols can never false-match because an interior
+  * character is never flanked by single ␟s. No UDF, no regex, and
+  * bit-identical across engines — the DuckDB oracle runs the same
+  * unrolled rounds as plain SQL.
+  */
+object Bpe {
+
+  /** Merge rounds to learn; small and fixed so the oracle unrolls. */
+  val Rounds = 3
+
+  private val S = ""
+
+  /** `␟␟c1␟␟c2␟␟…` character-level encoding of a word. */
+  private def encode(word: Column): Column =
+    concat(regexp_replace(word, "(.)", S + S + "$1"), lit(S + S))
+
+  private def symbols(enc: Column): Column =
+    filter(split(enc, S + S), x => x =!= "")
+
+  /** (distinct word, corpus count, encoded symbol sequence). */
+  private def wordTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokensCol).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("enc", encode(col("word")))
+
+  /** One-row (a, b, total) frame: the round's most frequent pair. */
+  private def bestPair(words: DataFrame): DataFrame = {
+    val syms = symbols(col("enc"))
+    words
+      .select(col("cnt"),
+        explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("total"))
+      .orderBy(col("total").desc, col("a").asc, col("b").asc)
+      .limit(1)
+  }
+
+  /** Apply one learned merge to every word (broadcast scalar join). */
+  private def applyMerge(words: DataFrame, merge: DataFrame): DataFrame =
+    words.crossJoin(broadcast(merge.select(col("a"), col("b"))))
+      .withColumn("enc", expr(
+        s"replace(enc, concat('$S', a, '$S$S', b, '$S'), concat('$S', a, b, '$S'))"))
+      .drop("a", "b")
+
+  private def trained(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    var words = wordTable(spark, sfDir)
+    val merges = (1 to Rounds).map { r =>
+      val m = graft.Materialize.stage(bestPair(words), eager = false)
+      words = applyMerge(words, m)
+      m.withColumn("round", lit(r.toLong))
+    }
+    (words, merges)
+  }
+
+  /** The learned merge table: one row per round. */
+  def merges(spark: SparkSession, sfDir: String): DataFrame =
+    trained(spark, sfDir)._2
+      .reduce(_ unionAll _)
+      .select(col("round"), col("a"), col("b"), col("total"))
+
+  /** Every distinct word segmented by the learned merges. */
+  def segmented(spark: SparkSession, sfDir: String): DataFrame = {
+    val (words, _) = trained(spark, sfDir)
+    words.select(col("word"), col("cnt"),
+      trim(regexp_replace(col("enc"), S + "+", " ")).as("segmentation"),
+      size(symbols(col("enc"))).cast("long").as("n_symbols"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_bpe_merges" -> merges _,
+    "q_llm_bpe_segments" -> segmented _,
+  )
+
+  // The oracle unrolls the same rounds in SQL: enc0 is the char-level
+  // encoding; each mN is a 1-row argmax CTE and each encN rewrites
+  // with the same literal replace. Pair extraction indexes the symbol
+  // list directly (DuckDB lists are 1-based; range(1, len) yields the
+  // adjacent-pair positions).
+  private val sqlEnc0 =
+    s"""SELECT word, cnt,
+       |  regexp_replace(word, '(.)', chr(31) || chr(31) || '\\1', 'g') ||
+       |    chr(31) || chr(31) AS enc
+       |FROM (SELECT word, count(*)::BIGINT AS cnt
+       |      FROM (SELECT unnest(${TextAnalysis.sqlTokens}) AS word FROM documents)
+       |      GROUP BY word)""".stripMargin
+
+  private def sqlSyms(enc: String): String =
+    s"list_filter(string_split($enc, chr(31) || chr(31)), x -> x <> '')"
+
+  private def sqlRound(prev: String, m: String, next: String): String =
+    s"""$m AS (
+       |  SELECT a, b, total FROM (
+       |    SELECT sym[i] AS a, sym[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS total
+       |    FROM (SELECT cnt, ${sqlSyms("enc")} AS sym FROM $prev),
+       |         UNNEST(range(1, len(sym))) AS t(i)
+       |    GROUP BY 1, 2)
+       |  ORDER BY total DESC, a ASC, b ASC LIMIT 1),
+       |$next AS (
+       |  SELECT word, cnt,
+       |    replace(enc, chr(31) || a || chr(31) || chr(31) || b || chr(31),
+       |                 chr(31) || a || b || chr(31)) AS enc
+       |  FROM $prev, $m)""".stripMargin
+
+  private val sqlChain =
+    s"""WITH enc0 AS ($sqlEnc0),
+       |${sqlRound("enc0", "m1", "enc1")},
+       |${sqlRound("enc1", "m2", "enc2")},
+       |${sqlRound("enc2", "m3", "enc3")}""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_llm_bpe_merges" ->
+      s"""$sqlChain
+         |SELECT CAST(1 AS BIGINT) AS round, a, b, total FROM m1
+         |UNION ALL SELECT 2, a, b, total FROM m2
+         |UNION ALL SELECT 3, a, b, total FROM m3""".stripMargin,
+    "q_llm_bpe_segments" ->
+      s"""$sqlChain
+         |SELECT word, cnt,
+         |  trim(regexp_replace(enc, chr(31) || '+', ' ', 'g')) AS segmentation,
+         |  CAST(len(${sqlSyms("enc")}) AS BIGINT) AS n_symbols
+         |FROM enc3""".stripMargin,
+  )
+}

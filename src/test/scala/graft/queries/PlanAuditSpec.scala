@@ -283,7 +283,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_llm_perplexity", // one-row vocabulary-size broadcast (V)
         "q_llm_source_drift", // one-row corpus-token-total broadcast
         "q22_dormant_customers", // one-row avg-balance scalar broadcast
-        "q_llm_heavy_hitters") // one-row corpus-total (n_total) broadcast
+        "q_llm_heavy_hitters", // one-row corpus-total (n_total) broadcast
+        "q_llm_bpe_merges", // one-row learned-merge broadcast per round
+        "q_llm_bpe_segments") // same one-row merge broadcasts
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
