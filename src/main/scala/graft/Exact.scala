@@ -13,6 +13,18 @@ import org.apache.spark.sql.types.DecimalType
   * decimal(18,2) first — decimal addition is associative — then cast
   * the result back to double. DuckDB mirrors it as
   * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+  *
+  * Boundary: the final decimal→double cast is engine-identical only
+  * while `value · 10^scale < 2^53`. Below it, DuckDB's conversion
+  * (int128→double, then ÷10^scale) starts from an EXACT double and
+  * its single division is correctly rounded — same bits as
+  * Spark/Java's correctly-rounded one-step conversion. Above it the
+  * int128→double step itself rounds and the divide rounds AGAIN,
+  * which can land one ulp off (observed on a 17-digit scale-4 second
+  * moment). The gate-SF sums here stay orders of magnitude below the
+  * line; anything that can cross it (second moments, large products)
+  * must convert via [[graft.queries.Stats]]'s exact floor+fraction
+  * split (`dbl`/`sqlDbl`) instead of a direct cast.
   */
 object Exact {
   /** Cast a money-like double to exact decimal(18,2). */

@@ -21,7 +21,8 @@ object Explain {
     "q_events_anomaly", "q_events_entry_exit",
     "q4_order_priority", "q6_forecast_revenue", "q17_small_qty_revenue",
     "q18_large_volume", "q7_volume_shipping", "q10_returned_items",
-    "q19_disjunctive_or", "q21_waiting_supplier")
+    "q19_disjunctive_or", "q21_waiting_supplier", "q_llm_bpe_merges",
+    "q_llm_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
