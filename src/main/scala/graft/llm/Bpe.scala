@@ -31,6 +31,13 @@ import graft.Tables
   * character is never flanked by single ␟s. No UDF, no regex, and
   * bit-identical across engines — the DuckDB oracle runs the same
   * unrolled rounds as plain SQL.
+  *
+  * Precondition: each round assumes at least one adjacent pair exists
+  * somewhere in the vocabulary (true of any real corpus). On a
+  * degenerate all-single-symbol vocabulary the round's merge frame is
+  * empty and the scalar join annihilates the output — identically in
+  * both engines (the oracle mirrors the same join), so it is a
+  * documented semantic edge, not a divergence.
   */
 object Bpe {
 
