@@ -107,9 +107,26 @@ object Bpe {
       size(symbols(col("enc"))).cast("long").as("n_symbols"))
   }
 
+  /** Apply the learned tokenizer to the corpus: per-document BPE
+    * symbol count vs whitespace token count (the compression the
+    * tokenizer buys). The segmentation table is O(|vocab|) and
+    * BROADCAST — at 100 TB, corpus tokenization is a map-side join
+    * against the trained vocabulary, never a shuffle of the corpus.
+    */
+  def encoded(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = segmented(spark, sfDir).select("word", "n_symbols")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextAnalysis.tokensCol).as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_symbols")).as("n_bpe_symbols"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_bpe_merges" -> merges _,
     "q_llm_bpe_segments" -> segmented _,
+    "q_llm_bpe_encode" -> encoded _,
   )
 
   // The oracle unrolls the same rounds in SQL: enc0 is the char-level
@@ -160,5 +177,15 @@ object Bpe {
          |  trim(regexp_replace(enc, chr(31) || '+', ' ', 'g')) AS segmentation,
          |  CAST(len(${sqlSyms("enc")}) AS BIGINT) AS n_symbols
          |FROM enc3""".stripMargin,
+    "q_llm_bpe_encode" ->
+      s"""$sqlChain,
+         |vocab AS (SELECT word, CAST(len(${sqlSyms("enc")}) AS BIGINT)
+         |            AS n_symbols FROM enc3),
+         |toks AS (SELECT doc_id, unnest(${TextAnalysis.sqlTokens}) AS word
+         |         FROM documents)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(n_symbols) AS BIGINT) AS n_bpe_symbols
+         |FROM toks JOIN vocab USING (word)
+         |GROUP BY doc_id""".stripMargin,
   )
 }

@@ -285,7 +285,8 @@ class PlanAuditSpec extends SparkSpec {
         "q22_dormant_customers", // one-row avg-balance scalar broadcast
         "q_llm_heavy_hitters", // one-row corpus-total (n_total) broadcast
         "q_llm_bpe_merges", // one-row learned-merge broadcast per round
-        "q_llm_bpe_segments") // same one-row merge broadcasts
+        "q_llm_bpe_segments", // same one-row merge broadcasts
+        "q_llm_bpe_encode") // same, under the broadcast vocab join
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
