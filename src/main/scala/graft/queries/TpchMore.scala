@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.Exact._
 import graft.Tables
 
-/** The second half of the TPC-H plan-shape family (Q7–Q22 minus the
-  * partsupp-only queries — the synthetic schema has no partsupp, so
-  * Q2/Q11/Q16/Q20 are inexpressible and Q9 substitutes
-  * `p_retailprice` for `ps_supplycost`).
+/** The second half of the TPC-H plan-shape family (Q7–Q22). The
+  * synthetic schema has no partsupp, so Q9 substitutes
+  * `p_retailprice` for `ps_supplycost`, and the four partsupp-only
+  * queries (Q2/Q11/Q16/Q20) treat the OBSERVED supply relation —
+  * lineitem aggregated per (part, supplier) — as partsupp: supply
+  * cost is the minimum observed unit price, supply value the shipped
+  * revenue, availability the shipped quantity. Every defining plan
+  * shape survives the substitution.
   *
   * Like [[StarSchema]], each query is chosen for a DISTINCT
   * load-bearing plan feature the engine must get right at 100 TB:
@@ -247,7 +251,149 @@ object TpchMore {
       .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
   }
 
+  /** TPC-H Q2-shaped minimum-cost supplier (adapted: supply cost is
+    * the minimum unit price a supplier has ever shipped the part at,
+    * `min(l_extendedprice / l_quantity)` — the observed analog of
+    * `ps_supplycost`). The defining feature is the correlated
+    * minimum: only (part, supplier) rows achieving the per-part
+    * regional minimum survive.
+    *
+    * Scale shape: BOTH broadcast dims prune BEFORE the fact shuffle
+    * (p_size/p_type cut part ~300×, the region cut suppliers 5×), so
+    * the groupBy aggregates only surviving fact rows; the correlated
+    * min is a window over the O(parts × regional suppliers) aggregate
+    * — no second scan, no self-join — and the result caps through
+    * TakeOrderedAndProject. Cross-engine exactness: the unit price is
+    * ONE IEEE division of the same two parquet doubles, and min() of
+    * identical doubles is bit-identical in any order.
+    */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+    val eu = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(eu), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand")
+    val supply = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_brand"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supplycost"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    supply
+      .withColumn("min_cost", min(col("supplycost")).over(w))
+      .filter(col("supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("s_name").asc, col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q11-shaped important-parts-by-value (adapted: supply value
+    * is shipped revenue `sum(l_extendedprice)` from EUROPE suppliers;
+    * the textbook's fixed fraction becomes 1.25× the average per-part
+    * value so the predicate is scale-invariant — a constant fraction
+    * of TOTAL degenerates as the part count grows).
+    *
+    * The defining feature is the scalar-subquery gate: the total and
+    * part count are ONE broadcast row crossed against the per-part
+    * aggregate. Both sides compute the threshold compare in the same
+    * order on exact decimal sums cast to double once (`4·value·n >
+    * 5·total`), so the boundary is bit-identical cross-engine.
+    */
+  def importantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+    val eu = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(eu), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    // Staged once (Materialize): the per-part aggregate feeds BOTH the
+    // output rows and the scalar total — without staging, the scalar
+    // subtree would rescan the 100 TB fact for an O(parts) frame.
+    val perPart = graft.Materialize.stage(
+      Tables.lineitem(spark, sfDir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec2(col("l_extendedprice"))).as("value_dec")))
+    val totals = perPart.agg(
+      sum(col("value_dec")).as("total_dec"), count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(totals))
+      .filter(col("value_dec").cast("double") * col("n_parts") * lit(4.0)
+        > col("total_dec").cast("double") * lit(5.0))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+  }
+
+  /** TPC-H Q16-shaped supplier count per part attribute (adapted:
+    * the supply relation is observed shipments, and the excluded
+    * "complaint" suppliers are the distressed ones, s_acctbal < 0 —
+    * the schema has no s_comment). Defining shape: dedup to DISTINCT
+    * (brand, type, size, supplier) BEFORE the count so multiple
+    * shipments don't inflate it, with the exclusion as a broadcast
+    * left-anti join pushed below the distinct — at 100 TB the
+    * distinct shuffles O(relationships), not O(lineitem).
+    */
+  def partSupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20-shaped surging suppliers (adapted: with shipments as
+    * the supply relation, the availability-vs-half-year-demand test
+    * becomes "shipped more of the red parts in 1997 than an average
+    * year": `7 · qty_1997 > qty_total` over the 7-year corpus).
+    *
+    * Defining shape: the textbook's nested IN subqueries collapse to
+    * ONE conditional-aggregate scan per supplier — the year slice and
+    * the all-time total are two sums over the same rows — and the
+    * supplier decorate is a semi join against the qualifying keys.
+    * The compare is integer cents (`sum` of `quantity·100` as BIGINT):
+    * exact, order-free, and overflow-safe past 10¹⁶ rows.
+    */
+  def surgingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val red = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val in97 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+    val qtyCents = (dec2(col("l_quantity")) * lit(100)).cast("long")
+    val qualifying = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(when(in97, qtyCents).otherwise(0L)).as("q97"),
+        sum(qtyCents).as("qtot"))
+      .filter(col("q97") * lit(7L) > col("qtot"))
+      .select("l_suppkey")
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> minCostSupplier _,
+    "q11_important_parts" -> importantParts _,
+    "q16_part_supplier_cnt" -> partSupplierCount _,
+    "q20_surging_supplier" -> surgingSuppliers _,
     "q7_volume_shipping" -> volumeShipping _,
     "q8_market_share" -> marketShare _,
     "q9_product_profit" -> productProfit _,
@@ -259,6 +405,56 @@ object TpchMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (
+        |  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+        |    min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+        |      AS supplycost
+        |  FROM lineitem, part, supplier, nation, region
+        |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+        |FROM supply
+        |WHERE supplycost = (SELECT min(s2.supplycost) FROM supply s2
+        |                    WHERE s2.p_partkey = supply.p_partkey)
+        |ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+        |  FROM lineitem, supplier, nation, region
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM v
+        |WHERE CAST(value_dec AS DOUBLE) * (SELECT count(*) FROM v) * 4.0
+        |    > CAST((SELECT sum(value_dec) FROM v) AS DOUBLE) * 5.0""".stripMargin,
+    "q16_part_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    // Textbook nested-IN form on purpose: the hash match proves the
+    // one-scan conditional-aggregate rewrite is equivalent.
+    "q20_surging_supplier" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY l_suppkey
+        |  HAVING 7 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |                 THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |                 ELSE 0 END)
+        |       > SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)))""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT supp_nation, cust_nation, l_year,
          |  CAST(SUM(vol) AS DOUBLE) AS revenue

@@ -257,6 +257,44 @@ class PlanAuditSpec extends SparkSpec {
       s"recency filter not pushed to the orders scan:\n$p")
   }
 
+  test("q2: dim prunes pushed, one fact scan, correlated min is a window not a rescan") {
+    val p = planOf("q2_min_cost_supplier")
+    assert(p.contains("EqualTo(p_size,15)") && p.contains("EqualTo(p_type,STANDARD)"),
+      s"part filters not pushed:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"the per-part minimum must come from a window, not a second supply scan:\n$p")
+    assert(p.contains("Window"), s"expected the correlated-min window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 should be TakeOrderedAndProject")
+  }
+
+  test("q11: per-part aggregate staged once; scalar gate does not rescan the fact") {
+    val p = planOf("q11_important_parts")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the per-part aggregate should be staged (Materialize):\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"the scalar total must come from the staged aggregate, not a fact rescan:\n$p")
+  }
+
+  test("q16: exclusion is an anti join below the distinct; part filters pushed") {
+    val p = planOf("q16_part_supplier_cnt")
+    assert(p.contains("LeftAnti"), s"expected a broadcast anti join:\n$p")
+    assert(p.contains("Not(EqualTo(p_brand,Brand#45))"),
+      s"brand exclusion not pushed:\n$p")
+    // PushedFilters is truncated in toString; the scan-level Filter
+    // node carries the IN-list in full
+    assert("p_size#\\d+ IN \\(1,9,14,19,23,36,45,49\\)".r.findFirstIn(p).isDefined,
+      s"size IN-list not pushed:\n$p")
+  }
+
+  test("q20: nested-IN collapses to one conditional-agg scan + semi join") {
+    val p = planOf("q20_surging_supplier")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"year slice and total must be two sums over ONE scan (textbook scans twice):\n$p")
+    assert(p.contains("LeftSemi"), s"supplier decorate should be a semi join:\n$p")
+    assert(p.contains("StringStartsWith(p_name,red)"),
+      s"part-name prefix filter not pushed:\n$p")
+  }
+
   test("suite-wide smell sweep: no nested-loop joins, no cartesian products") {
     // A nested-loop join is scale-hostile when BOTH sides scale with
     // the data. Two queries carry a provably BOUNDED build side and
@@ -283,6 +321,7 @@ class PlanAuditSpec extends SparkSpec {
         "q_llm_perplexity", // one-row vocabulary-size broadcast (V)
         "q_llm_source_drift", // one-row corpus-token-total broadcast
         "q22_dormant_customers", // one-row avg-balance scalar broadcast
+        "q11_important_parts", // one-row (total, n_parts) scalar broadcast
         "q_llm_heavy_hitters", // one-row corpus-total (n_total) broadcast
         "q_llm_bpe_merges", // one-row learned-merge broadcast per round
         "q_llm_bpe_segments", // same one-row merge broadcasts
