@@ -610,6 +610,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("qcos"))
   }
 
+  /** Recall probe: scores each approximate index (LSH buckets,
+    * single-probe IVF, multi-probe IVF) against the exact brute-force
+    * top-k — the eval harness that makes the ANN quality/cost
+    * trade-off MEASURABLE instead of asserted. One row per method:
+    * micro recall (Σ hits / Σ exact results, one division of two
+    * exact BIGINTs — engine-identical), the worst single query's
+    * recall, and the raw counts.
+    *
+    * Scale: the exact baseline is O(corpus × queries) — that is the
+    * cost of ground truth, which is why real evals (and this one) run
+    * it over a SAMPLED query set ([[NumQueries]] probes), not the full
+    * corpus; it is staged once and reused by all three branches. Each
+    * per-method intersection joins two ≤ K·[[NumQueries]]-row frames.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = graft.Materialize.stage(
+      bruteForceTopK(spark, sfDir).select(col("query_id"), col("neighbor_id")))
+    def branch(method: String, approx: DataFrame): DataFrame =
+      exact
+        .join(approx.select(col("query_id").as("a_q"), col("neighbor_id").as("a_n")),
+          col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("a_n")).as("n_hit"), count(lit(1)).as("n_exact"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hit")).as("total_hits"),
+          sum(col("n_exact")).as("total_exact"),
+          min(col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("min_recall"))
+        .select(lit(method).as("method"), col("n_queries"),
+          col("total_hits"), col("total_exact"),
+          (col("total_hits").cast("double") / col("total_exact").cast("double"))
+            .as("micro_recall"),
+          col("min_recall"))
+    branch("lsh", lshTopK(spark, sfDir))
+      .unionAll(branch("ivf", ivfTopK(spark, sfDir)))
+      .unionAll(branch("multiprobe", ivfMultiProbeTopK(spark, sfDir)))
+  }
+
   // ---- oracle SQL ----------------------------------------------------
 
   /** Ordered-reduce cosine between two FLOAT[] SQL expressions —
@@ -656,6 +695,57 @@ object Similarity {
        |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
        |    FROM scored)
        |  WHERE rn = 1)""".stripMargin
+
+  private lazy val sqlBruteTopK =
+    s"""SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
+       |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rank <= $K""".stripMargin
+
+  private lazy val sqlLshTopK =
+    s"""WITH $sqlBuckets
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
+       |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+       |  FROM buckets q JOIN buckets e
+       |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rank <= $K""".stripMargin
+
+  private lazy val sqlMultiprobeTopK =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb
+       |  FROM embeddings WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ${sqlCos("e.embedding", "c.cent_emb")} AS cos_c
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1),
+       |qcells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
+       |    FROM scored WHERE vec_id < $NumQueries)
+       |  WHERE rn <= $NumProbes)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
+       |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+       |  FROM qcells q JOIN assigned e
+       |    ON e.cell = q.cell AND e.vec_id <> q.vec_id)
+       |WHERE rank <= $K""".stripMargin
 
   private lazy val sqlIvfTopK =
     s"""WITH $sqlIvfAssigned
@@ -726,8 +816,38 @@ object Similarity {
        |WHERE rank <= $K""".stripMargin
   }
 
+  /** The recall oracle composes the EXISTING per-method oracles as
+    * CTEs (DuckDB allows a nested WITH inside a CTE body), so the
+    * ground truth and every approximate side are the same SQL the
+    * driver already hash-verifies query-by-query.
+    */
+  private lazy val sqlAnnRecall: String = {
+    def branch(method: String, cte: String) =
+      s"""SELECT '$method' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(n_hit) AS BIGINT) AS total_hits,
+         |  CAST(sum(n_exact) AS BIGINT) AS total_exact,
+         |  CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_exact) AS DOUBLE) AS micro_recall,
+         |  min(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)) AS min_recall
+         |FROM (
+         |  SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |    CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM exact e LEFT JOIN $cte a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id)""".stripMargin
+    s"""WITH exact AS ($sqlBruteTopK),
+       |m_lsh AS ($sqlLshTopK),
+       |m_ivf AS ($sqlIvfTopK),
+       |m_multi AS ($sqlMultiprobeTopK)
+       |${branch("lsh", "m_lsh")}
+       |UNION ALL
+       |${branch("ivf", "m_ivf")}
+       |UNION ALL
+       |${branch("multiprobe", "m_multi")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> bruteForceTopK _,
+    "q_ann_recall" -> annRecall _,
     "q_ann_lsh_topk" -> lshTopK _,
     "q_ann_ivf_topk" -> ivfTopK _,
     "q_ann_ivf_index_probe" -> ivfIndexProbeTopK _,
@@ -744,27 +864,10 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
-    "q_ann_topk" ->
-      s"""SELECT query_id, neighbor_id, rank, cos FROM (
-         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
-         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
-         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries)
-         |WHERE rank <= $K""".stripMargin,
-    "q_ann_lsh_topk" ->
-      s"""WITH $sqlBuckets
-         |SELECT query_id, neighbor_id, rank, cos FROM (
-         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
-         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
-         |  FROM buckets q JOIN buckets e
-         |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries)
-         |WHERE rank <= $K""".stripMargin,
+    "q_ann_topk" -> sqlBruteTopK,
+    "q_ann_lsh_topk" -> sqlLshTopK,
     "q_ann_ivf_topk" -> sqlIvfTopK,
+    "q_ann_recall" -> sqlAnnRecall,
     "q_ann_cell_stats" ->
       s"""WITH $sqlIvfAssigned
          |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
@@ -811,34 +914,7 @@ object Similarity {
          |    ON e.cell = q.cell AND e.label = q.label AND e.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rank <= $K""".stripMargin,
-    "q_ann_ivf_multiprobe" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cent_emb
-         |  FROM embeddings WHERE vec_id < $NumCells),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, c.cent_id,
-         |    ${sqlCos("e.embedding", "c.cent_emb")} AS cos_c
-         |  FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cent_id AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
-         |    FROM scored)
-         |  WHERE rn = 1),
-         |qcells AS (
-         |  SELECT vec_id, embedding, cent_id AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
-         |    FROM scored WHERE vec_id < $NumQueries)
-         |  WHERE rn <= $NumProbes)
-         |SELECT query_id, neighbor_id, rank, cos FROM (
-         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
-         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
-         |  FROM qcells q JOIN assigned e
-         |    ON e.cell = q.cell AND e.vec_id <> q.vec_id)
-         |WHERE rank <= $K""".stripMargin,
+    "q_ann_ivf_multiprobe" -> sqlMultiprobeTopK,
     "q_ann_ivf_kmeans_topk" -> sqlKmeansTopK,
     "q_embed_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,

@@ -202,6 +202,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= r1)
   }
 
+  test("recall probe agrees with independently-computed recalls; multiprobe >= ivf") {
+    val rows = Similarity.annRecall(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("lsh", "ivf", "multiprobe"))
+    // cross-check micro recall against set intersections computed here
+    val bf = Similarity.bruteForceTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def micro(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(bf).size.toDouble / bf.size
+    assert(math.abs(rows("ivf").getDouble(4) -
+      micro(Similarity.ivfTopK(spark, sf001))) < 1e-12)
+    assert(math.abs(rows("lsh").getDouble(4) -
+      micro(Similarity.lshTopK(spark, sf001))) < 1e-12)
+    rows.values.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(3) > 0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= r.getDouble(4))
+    }
+    assert(rows("multiprobe").getDouble(4) >= rows("ivf").getDouble(4),
+      "multi-probe recall must dominate single-probe")
+  }
+
   test("bucketed near-dup pairs are a subset of brute-force pairs; recall reported") {
     val brute = Similarity.embeddingNearDupBrute(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
