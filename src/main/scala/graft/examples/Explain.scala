@@ -22,7 +22,8 @@ object Explain {
     "q4_order_priority", "q6_forecast_revenue", "q17_small_qty_revenue",
     "q18_large_volume", "q7_volume_shipping", "q10_returned_items",
     "q19_disjunctive_or", "q21_waiting_supplier", "q_llm_bpe_merges",
-    "q_llm_heavy_hitters")
+    "q_llm_heavy_hitters", "q2_min_cost_supplier", "q11_important_parts",
+    "q16_part_supplier_cnt", "q20_surging_supplier", "q_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
