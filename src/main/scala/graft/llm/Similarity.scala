@@ -610,8 +610,90 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("qcos"))
   }
 
+  val NumSub = 8
+  val SubDim: Int = Dim / NumSub
+  val NumCodes: Int = NumCells // codewords per subspace, same first-N init
+
+  /** PQ codebooks: the first [[NumCodes]] vectors, split into
+    * [[NumSub]] subvectors each — the same deterministic,
+    * engine-portable init as the IVF centroids ([[firstNCentroids]]).
+    * cb(m)(c) is codeword c of subspace m.
+    */
+  private[llm] def pqCodebooks(e: DataFrame): Array[Array[Array[Float]]] = {
+    val base = firstNCentroids(e)
+    Array.tabulate(NumSub)(m => base.map(_.slice(m * SubDim, (m + 1) * SubDim)))
+  }
+
+  /** Sequential-fold squared L2 between a FLOAT[] column and a
+    * literal codeword — deterministic, mirrored by the oracle's
+    * list_reduce.
+    */
+  private def sqDist(a: Column, cw: Array[Float]): Column =
+    aggregate(
+      zip_with(a, array(cw.toIndexedSeq.map(lit): _*), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Per-row PQ encoding: for each subspace, the index of the nearest
+    * codeword (squared L2, ties to the lowest code — `array_position`
+    * returns the FIRST minimum). Map-only, literal codebooks — the
+    * same zero-shuffle shape as [[assignWith]]. 64 floats (256 B)
+    * compress to 8 byte-sized codes.
+    */
+  private[llm] def pqEncode(e: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame =
+    e.withColumn("codes", array((0 until NumSub).map { m =>
+      val dists = array(cb(m).toIndexedSeq.map(cw =>
+        sqDist(slice(col("embedding"), m * SubDim + 1, SubDim), cw)): _*)
+      (PortableHash.bind(dists)(a => array_position(a, array_min(a))) - 1)
+        .cast("int")
+    }: _*))
+
+  /** PQ-ADC approximate top-k: the canonical billion-scale memory
+    * trick. The corpus holds only the 8 codes per vector; each query
+    * precomputes ONE lookup table per subspace (its subvector's dot
+    * with all 16 codewords, on the broadcast side — real ADC, not a
+    * per-pair recompute), and a pair's score is 8 table lookups.
+    *
+    * Determinism: each LUT entry is fixed-point
+    * (`floor(dot·2³⁰+0.5)` BIGINT), so the 8-term pair sum is exact
+    * integer arithmetic — associative, order-free — and the rank
+    * compares BIGINTs. The emitted score is the one double division
+    * at the end. Scale shape: encoding is map-only over one corpus
+    * scan; scoring is a broadcast join carrying codes only (the
+    * embedding column never reaches the pair stream).
+    */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = pqCodebooks(e)
+    val q30 = 1L << 30
+    def fixdot(sub: Column, cw: Array[Float]): Column =
+      floor(aggregate(
+        zip_with(sub, array(cw.toIndexedSeq.map(lit): _*),
+          (x, g) => x.cast("double") * g.cast("double")),
+        lit(0.0), (acc, v) => acc + v) * q30 + lit(0.5)).cast("long")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until NumSub).map { m =>
+          array(cb(m).toIndexedSeq.map(cw =>
+            fixdot(slice(col("embedding"), m * SubDim + 1, SubDim), cw)): _*)
+            .as(s"lut$m")
+        }: _*)
+    val enc = pqEncode(e, cb).select(col("vec_id").as("neighbor_id"), col("codes"))
+    val scoreFp = (0 until NumSub).map(m =>
+      element_at(col(s"lut$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id").asc)
+    enc.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", scoreFp)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (col("score_fp").cast("double") / q30.toDouble).as("score"))
+  }
+
   /** Recall probe: scores each approximate index (LSH buckets,
-    * single-probe IVF, multi-probe IVF) against the exact brute-force
+    * single-probe IVF, multi-probe IVF, PQ-ADC) against the exact brute-force
     * top-k — the eval harness that makes the ANN quality/cost
     * trade-off MEASURABLE instead of asserted. One row per method:
     * micro recall (Σ hits / Σ exact results, one division of two
@@ -647,6 +729,7 @@ object Similarity {
     branch("lsh", lshTopK(spark, sfDir))
       .unionAll(branch("ivf", ivfTopK(spark, sfDir)))
       .unionAll(branch("multiprobe", ivfMultiProbeTopK(spark, sfDir)))
+      .unionAll(branch("pq", pqTopK(spark, sfDir)))
   }
 
   // ---- oracle SQL ----------------------------------------------------
@@ -695,6 +778,51 @@ object Similarity {
        |      ORDER BY cos_c DESC NULLS LAST, cent_id ASC) AS rn
        |    FROM scored)
        |  WHERE rn = 1)""".stripMargin
+
+  /** PQ-ADC mirror: codewords and codes via list_slice subvectors,
+    * the same first-min argmin (dist ASC, code ASC), fixed-point
+    * BIGINT LUT entries, and an exact integer pair sum.
+    */
+  private lazy val sqlPqTopK = {
+    def sub(emb: String) = s"list_slice($emb, c.m * $SubDim + 1, (c.m + 1) * $SubDim)"
+    s"""WITH cw AS (
+       |  SELECT c.m, e.vec_id AS code,
+       |    list_slice(e.embedding, c.m * $SubDim + 1, (c.m + 1) * $SubDim) AS sub
+       |  FROM embeddings e CROSS JOIN range($NumSub) c(m)
+       |  WHERE e.vec_id < $NumCodes),
+       |enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT e.vec_id, c.m, c.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.m
+       |        ORDER BY list_reduce(list_transform(
+       |            list_zip(${sub("e.embedding")}, c.sub),
+       |            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |          (x, y) -> x + y) ASC, c.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cw c)
+       |  WHERE rn = 1),
+       |qlut AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.code,
+       |    CAST(floor(list_reduce(list_transform(
+       |        list_zip(${sub("q.embedding")}, c.sub),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+       |      (x, y) -> x + y) * 1073741824 + 0.5) AS BIGINT) AS fix
+       |  FROM embeddings q CROSS JOIN cw c
+       |  WHERE q.vec_id < $NumQueries),
+       |sc AS (
+       |  SELECT l.query_id, n.vec_id AS neighbor_id,
+       |    CAST(SUM(l.fix) AS BIGINT) AS score_fp
+       |  FROM enc n JOIN qlut l ON l.m = n.m AND l.code = n.code
+       |  WHERE n.vec_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rank,
+       |  CAST(score_fp AS DOUBLE) / 1073741824.0 AS score
+       |FROM (SELECT query_id, neighbor_id, score_fp,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score_fp DESC, neighbor_id ASC) AS rank
+       |      FROM sc)
+       |WHERE rank <= $K""".stripMargin
+  }
 
   private lazy val sqlBruteTopK =
     s"""SELECT query_id, neighbor_id, rank, cos FROM (
@@ -837,12 +965,15 @@ object Similarity {
     s"""WITH exact AS ($sqlBruteTopK),
        |m_lsh AS ($sqlLshTopK),
        |m_ivf AS ($sqlIvfTopK),
-       |m_multi AS ($sqlMultiprobeTopK)
+       |m_multi AS ($sqlMultiprobeTopK),
+       |m_pq AS ($sqlPqTopK)
        |${branch("lsh", "m_lsh")}
        |UNION ALL
        |${branch("ivf", "m_ivf")}
        |UNION ALL
-       |${branch("multiprobe", "m_multi")}""".stripMargin
+       |${branch("multiprobe", "m_multi")}
+       |UNION ALL
+       |${branch("pq", "m_pq")}""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -854,6 +985,7 @@ object Similarity {
     "q_ann_ivf_kmeans_topk" -> ivfKmeansTopK _,
     "q_ann_ivf_multiprobe" -> ivfMultiProbeTopK _,
     "q_ann_sq8_topk" -> sq8TopK _,
+    "q_ann_pq_topk" -> pqTopK _,
     "q_ann_filtered_topk" -> filteredTopK _,
     "q_embed_centroids" -> labelCentroids _,
     "q_ann_cell_stats" -> ivfCellStats _,
@@ -915,6 +1047,7 @@ object Similarity {
          |  WHERE q.vec_id < $NumQueries)
          |WHERE rank <= $K""".stripMargin,
     "q_ann_ivf_multiprobe" -> sqlMultiprobeTopK,
+    "q_ann_pq_topk" -> sqlPqTopK,
     "q_ann_ivf_kmeans_topk" -> sqlKmeansTopK,
     "q_embed_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,

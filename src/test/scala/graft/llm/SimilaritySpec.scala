@@ -202,10 +202,45 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= r1)
   }
 
+  test("PQ: codes in range, k rows per query, ADC score tracks the true dot") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val cb = Similarity.pqCodebooks(e)
+    assert(cb.length == Similarity.NumSub
+      && cb.forall(_.length == Similarity.NumCodes)
+      && cb.forall(_.forall(_.length == Similarity.SubDim)))
+    val enc = Similarity.pqEncode(e, cb)
+      .select(col("vec_id"), col("codes")).collect()
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == Similarity.NumSub)
+      assert(codes.forall(c => c >= 0 && c < Similarity.NumCodes))
+    }
+    // a codebook-source vector reconstructs exactly: its codes must all
+    // point at itself (distance 0 to its own subvectors, lowest-id tie)
+    val self = enc.filter(_.getLong(0) < Similarity.NumCodes)
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      val id = r.getLong(0).toInt
+      // ties possible only if another codeword equals this subvector;
+      // synthetic embeddings are distinct, so expect exact self-codes
+      assert(r.getSeq[Int](1).forall(_ == id),
+        s"codebook vector $id should encode to itself")
+    }
+    val topk = Similarity.pqTopK(spark, sf001).collect()
+    val perQ = topk.groupBy(_.getLong(0))
+    assert(perQ.size == Similarity.NumQueries)
+    perQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to Similarity.K))
+      // scores non-increasing with rank
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("recall probe agrees with independently-computed recalls; multiprobe >= ivf") {
     val rows = Similarity.annRecall(spark, sf001).collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet == Set("lsh", "ivf", "multiprobe"))
+    assert(rows.keySet == Set("lsh", "ivf", "multiprobe", "pq"))
     // cross-check micro recall against set intersections computed here
     val bf = Similarity.bruteForceTopK(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

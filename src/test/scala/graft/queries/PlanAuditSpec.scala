@@ -309,6 +309,8 @@ class PlanAuditSpec extends SparkSpec {
     // a join into O(n^2).
     val boundedBuildSide =
       Set("q_ann_topk", "q_ann_sq8_topk", "q_above_avg_balance",
+        "q_ann_pq_topk", // broadcast NumQueries LUT rows vs corpus codes
+        "q_ann_recall", // contains the exact O(n·queries) baseline branch
         "q_llm_tfidf", "q_llm_commonness", "q_llm_curriculum",
         "q_dedup_strip_spans", // one-row flagged-hash array broadcast
         "q_llm_token_pairs", // one-row corpus-count broadcast (lift)
