@@ -747,8 +747,37 @@ object Dedup {
        |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
        |comp AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)""".stripMargin
 
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct 3-shingles that occur in NO other document — the
+    * memorization-risk / contribution signal (a doc whose shingles all
+    * appear elsewhere adds nothing but duplication pressure; a
+    * high-novelty doc is unique content). The complement of the
+    * containment family: containment asks "is doc A inside doc B",
+    * novelty asks "how much of A is anywhere else".
+    *
+    * Scale: the exploded (doc, shingle) relation is staged once and
+    * consumed twice (df aggregation, then the join back) — the
+    * vocabulary-outgrows-a-broadcast shape of
+    * [[TextAnalysis.commonness]]; both the aggregation and the join
+    * shuffle on the shingle key, never all-pairs. Shingles per doc are
+    * already distinct, so df counts documents directly.
+    */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Materialize.stage(
+      shArrTable(spark, sfDir).select(col("doc_id"), explode(col("sh")).as("s")))
+    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact _,
+    "q_dedup_novelty" -> novelty _,
     "q_dedup_minhash" -> minhashSignatures _,
     "q_dedup_minhash_pairs" -> minhashLshPairs _,
     "q_dedup_simhash" -> simhash _,
@@ -767,6 +796,17 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_novelty" ->
+      s"""$sqlShArr,
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sharr),
+         |dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY s)
+         |SELECT ex.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM ex JOIN dfc ON ex.s = dfc.s
+         |GROUP BY ex.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  min(doc_id) AS keep_doc, count(*) AS n_dups

@@ -641,13 +641,19 @@ object Similarity {
     * same zero-shuffle shape as [[assignWith]]. 64 floats (256 B)
     * compress to 8 byte-sized codes.
     */
-  private[llm] def pqEncode(e: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame =
+  private[llm] def pqEncode(e: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame = {
+    // zero codewords (empty corpus): array() of distances types as
+    // array<null> and argmin fails ANALYSIS — same guard as
+    // [[assignWith]]; there are no rows to encode anyway
+    if (cb(0).isEmpty)
+      return e.withColumn("codes", lit(null).cast("array<int>"))
     e.withColumn("codes", array((0 until NumSub).map { m =>
       val dists = array(cb(m).toIndexedSeq.map(cw =>
         sqDist(slice(col("embedding"), m * SubDim + 1, SubDim), cw)): _*)
       (PortableHash.bind(dists)(a => array_position(a, array_min(a))) - 1)
         .cast("int")
     }: _*))
+  }
 
   /** PQ-ADC approximate top-k: the canonical billion-scale memory
     * trick. The corpus holds only the 8 codes per vector; each query
@@ -666,6 +672,12 @@ object Similarity {
   def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val cb = pqCodebooks(e)
+    if (cb(0).isEmpty)
+      // empty corpus: no codebooks to build LUTs from — a correctly
+      // typed empty result (same schema as the populated path)
+      return e.filter(lit(false))
+        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("score"))
     val q30 = 1L << 30
     def fixdot(sub: Column, cw: Array[Float]): Column =
       floor(aggregate(

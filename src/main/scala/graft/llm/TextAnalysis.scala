@@ -366,6 +366,44 @@ object TextAnalysis {
         (col("n_total") - col("s_mass")).as("slack"))
   }
 
+  /** Point-frequency estimates from the mergeable Count-Min sketch
+    * ([[graft.operators.CountMinAgg]]): one pass folds the token
+    * stream into a 4×256 counter grid per task; only grids cross the
+    * shuffle — the fixed-size alternative when even Misra-Gries's
+    * k entries are the wrong shape (you need counts for ITEMS OF YOUR
+    * CHOOSING, not the top-k). The top-20 exact words here are the
+    * probe set; the exact wordcount exists purely to verify.
+    *
+    * Hard signal, stronger than a bound check: CMS cells are
+    * deterministic sums over the portable hash, so the DuckDB oracle
+    * rebuilds the grid in SQL and the estimates HASH-compare. The
+    * lookup side runs through the Catalyst [[PortableHash.h60]] while
+    * the sketch side hashes in the JVM ([[graft.operators.CountMinAgg.h60]])
+    * — the match also proves the two hash paths identical. Collision
+    * behavior (overestimates, the εn bound) is property-tested on a
+    * planted narrow grid in AggregatorsSpec.
+    */
+  def cmsCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val depth = 4
+    val width = 256
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokensCol).as("word")).as[String]
+    val sketch = toks.select(
+      graft.operators.CountMinAgg(depth, width).toColumn.name("cells"))
+    val est = (0 until depth)
+      .map { r =>
+        element_at(col("cells"),
+          (h60(col("word"), lit("cms" + r)) % width + r * width + 1).cast("int"))
+      }
+      .reduce(least(_, _))
+    toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(20)
+      .crossJoin(broadcast(sketch))
+      .select(col("word"), col("cnt"), est.as("est"),
+        (est >= col("cnt")).as("no_underest"))
+  }
+
   /** The dataset "data card": per-source corpus datasheet — sizes,
     * verbatim-duplicate ratio, token mass, language spread, and mean
     * quality — the one-page summary a training-data owner publishes
@@ -422,6 +460,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_heavy_hitters" -> heavyHitters _,
+    "q_llm_cms_counts" -> cmsCounts _,
     "q_llm_lang_id" -> langId _,
     "q_llm_quality" -> qualityScore _,
     "q_llm_quality_calibrated" -> qualityCalibrated _,
@@ -454,6 +493,23 @@ object TextAnalysis {
          |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
          |SELECT word, cnt, cnt AS est, CAST(0 AS BIGINT) AS slack
          |FROM c ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+    // The grid is rebuilt cell-by-cell in SQL (a CMS cell is a
+    // deterministic count over the salted portable hash), so the
+    // sketch's estimates hash-compare — no tolerance anywhere.
+    "q_llm_cms_counts" ->
+      s"""WITH w AS (SELECT unnest($sqlTokens) AS word FROM documents),
+         |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+         |cells AS (
+         |  SELECT r, ${sqlH60("word || '#cms' || r")} % 256 AS b,
+         |         CAST(count(*) AS BIGINT) AS cell
+         |  FROM w CROSS JOIN (SELECT unnest([0,1,2,3]) AS r)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT 20)
+         |SELECT t.word, t.cnt, min(cells.cell) AS est,
+         |       min(cells.cell) >= t.cnt AS no_underest
+         |FROM top t JOIN cells
+         |  ON cells.b = ${sqlH60("t.word || '#cms' || cells.r")} % 256
+         |GROUP BY t.word, t.cnt""".stripMargin,
     "q_llm_quality" -> sqlQualityTable,
     "q_llm_quality_calibrated" ->
       s"""SELECT doc_id, lang, quality,

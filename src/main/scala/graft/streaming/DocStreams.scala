@@ -81,6 +81,24 @@ object DocStreams {
       .toDF()
   }
 
+  /** Streaming Count-Min sketch ([[graft.operators.CountMinAgg]]) as
+    * a streaming global aggregate — same mergeable-summary argument as
+    * [[heavyHittersStream]], with a STRONGER parity contract: the grid
+    * is a deterministic function of the multiset of tokens (cells are
+    * sums over the salted portable hash), so a drained stream's grid
+    * is ELEMENTWISE EQUAL to the batch grid, regardless of
+    * micro-batch boundaries (asserted in StreamBatchParitySpec).
+    * State is depth·width longs, constant in the vocabulary.
+    */
+  def cmsStream(docs: DataFrame, depth: Int, width: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(explode(graft.llm.TextAnalysis.tokensCol).as("word"))
+      .as[String]
+      .select(graft.operators.CountMinAgg(depth, width).toColumn.name("cells"))
+      .toDF()
+  }
+
   case class PrepDoc(doc_id: Long, lang: String, n_tokens: Int)
 
   /** Streaming ingest prep: the batch pipeline's stateless

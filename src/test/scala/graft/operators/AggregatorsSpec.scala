@@ -65,6 +65,47 @@ class AggregatorsSpec extends SparkSpec {
     }
   }
 
+  test("Count-Min: no underestimates, mass conserved per row, grid partition-invariant") {
+    import spark.implicits._
+    // narrow grid (2x8) over a 60-word vocab: collisions are certain,
+    // so this exercises the overestimate path the oracle query's
+    // 4x256 grid (vocab ~31) never hits
+    val depth = 2
+    val width = 8
+    val rng = new scala.util.Random(7)
+    val stream = Seq.fill(4000)(s"w${rng.nextInt(60)}")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val grids = Seq(1, 3, 13).map { parts =>
+      stream.toDS().repartition(parts)
+        .select(CountMinAgg(depth, width).toColumn.name("g")).head()
+    }
+    // merge is elementwise sum — the grid must not depend on partitioning
+    assert(grids.forall(_.sameElements(grids.head)),
+      "grid must be partition-invariant")
+    val g = grids.head
+    (0 until depth).foreach { r =>
+      assert((r * width until (r + 1) * width).map(g).sum == n,
+        s"row $r must conserve total mass $n")
+    }
+    exact.foreach { case (w, t) =>
+      val est = CountMinAgg.estimate(g, depth, width, w)
+      assert(est >= t, s"$w: CMS must never underestimate ($est < $t)")
+      assert(est <= n, s"$w: estimate above stream length")
+    }
+  }
+
+  test("Count-Min: JVM h60 mirror matches the Catalyst H60 expression") {
+    import spark.implicits._
+    val words = Seq("name", "", "a", "hash join", "päivää", "日本語", "w#cms0")
+    val viaSpark = words.toDF("w")
+      .select(col("w"), graft.llm.PortableHash.h60(col("w")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(CountMinAgg.h60(w) == viaSpark(w), s"h60 mismatch for '$w'")
+    }
+  }
+
   test("GraftExtensions: fnv1a and cosine_sim callable from SQL") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -394,6 +394,35 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("Count-Min: drained streaming grid is elementwise equal to the batch grid") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    // narrow grid so collisions are live; the grid is a deterministic
+    // function of the token multiset, so ANY micro-batch split must
+    // land on the identical cells — bit-exact parity, not bounds
+    val q = DocStreams.cmsStream(input.toDS().toDF("doc_id", "text"),
+        depth = 3, width = 16)
+      .writeStream.format("memory").queryName("parity_cms")
+      .outputMode("complete").start()
+    docs.grouped((docs.size + 2) / 3).foreach { w =>
+      input.addData(w); q.processAllAvailable()
+    }
+    val streamed = spark.table("parity_cms").collect().head
+      .getSeq[Long](0).toArray
+    q.stop()
+    val batch = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.llm.TextAnalysis.tokensCol).as("word"))
+      .as[String]
+      .select(graft.operators.CountMinAgg(3, 16).toColumn.name("cells"))
+      .head()
+    assert(streamed.sameElements(batch),
+      "streaming CMS grid must equal the batch grid")
+  }
+
   test("dedup: duplicated stream collapses to the batch-distinct event set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
