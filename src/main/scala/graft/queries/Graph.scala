@@ -109,10 +109,54 @@ object Graph {
       .withColumn("component_size", count(lit(1)).over(w))
   }
 
+  /** Bounded-hop BFS on the DIRECTED click graph from a deterministic
+    * source (the minimum page id): per page, the shortest hop count
+    * within `maxHops`, NULL beyond — the k-hop-neighborhood primitive
+    * (impact radius of a landing page, crawl frontier, feature
+    * neighborhoods). The fourth iterative-graph pattern beside
+    * PageRank (fixed rounds over all nodes), connected components
+    * (label convergence), and triangles (joins): a FRONTIER
+    * expansion, where each round touches only nodes first reached in
+    * the previous round.
+    *
+    * Scale: each round is one frontier⋈edges equi-join + distinct
+    * (cost ∝ the frontier's out-edges, not the graph) and one
+    * left-join relabel of the distance frame; rounds are bounded by
+    * `maxHops`, so cost is k joins regardless of diameter. Expanding
+    * only newly-reached nodes preserves BFS minimality: a node first
+    * reached at hop h expands exactly once, in round h+1. The one
+    * driver scalar is the source id (like PageRank's node count).
+    */
+  def bfsHops(spark: SparkSession, sfDir: String, maxHops: Int = 4): DataFrame = {
+    val e = Materialize.stage(clickEdges(spark, sfDir)
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct())
+    val nodes = Materialize.stage(
+      e.select(col("src").as("page"))
+        .union(e.select(col("dst").as("page"))).distinct())
+    val srcRow = nodes.agg(min(col("page"))).head()
+    if (srcRow.isNullAt(0))
+      // empty graph: no source to start from — typed all-NULL hops
+      return nodes.select(col("page"), lit(null).cast("int").as("hop"))
+    val source = srcRow.getLong(0)
+    var dist = Materialize.stage(nodes.select(col("page"),
+      when(col("page") === source, 0).otherwise(lit(null).cast("int")).as("hop")))
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hop") === (h - 1))
+        .join(e, col("page") === col("src"))
+        .select(col("dst").as("page")).distinct()
+      dist = Materialize.stage(
+        dist.join(frontier.withColumn("nh", lit(h)), Seq("page"), "left")
+          .select(col("page"), coalesce(col("hop"), col("nh")).as("hop")))
+    }
+    dist
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "q_graph_triangles" -> triangleCount _,
     "q_graph_components" -> connectedComponents _,
+    "q_graph_bfs_hops" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
   )
 
   /** Oracle: the same three iterations unrolled as CTEs; `//` is
@@ -188,6 +232,36 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // Bounded recursion: the UNION dedups (page, hop) pairs, the
+    // WHERE hop < 4 caps depth, and min(hop) per page is the BFS
+    // distance — identical semantics to the Spark frontier loop,
+    // which expands each node once when first reached.
+    "q_graph_bfs_hops" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS INT) AS k
+         |  FROM events),
+         |nxt AS (
+         |  SELECT k AS src,
+         |         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev),
+         |edges AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+         |  FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |allnodes AS (
+         |  SELECT DISTINCT page FROM (
+         |    SELECT src AS page FROM edges UNION ALL SELECT dst FROM edges)),
+         |s AS (SELECT min(page) AS sp FROM allnodes),
+         |reach(page, hop) AS (
+         |  SELECT sp, 0 FROM s
+         |  UNION
+         |  SELECT e.dst, reach.hop + 1
+         |  FROM reach JOIN edges e ON e.src = reach.page
+         |  WHERE reach.hop < 4),
+         |d AS (SELECT page, CAST(min(hop) AS INT) AS hop
+         |      FROM reach GROUP BY page)
+         |SELECT n.page, d.hop
+         |FROM allnodes n LEFT JOIN d ON d.page = n.page""".stripMargin,
     "q_graph_components" ->
       s"""WITH RECURSIVE ev AS (
          |  SELECT user_id, ts, event_id,
