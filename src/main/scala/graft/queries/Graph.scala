@@ -127,10 +127,18 @@ object Graph {
     * reached at hop h expands exactly once, in round h+1. The one
     * driver scalar is the source id (like PageRank's node count).
     */
-  def bfsHops(spark: SparkSession, sfDir: String, maxHops: Int = 4): DataFrame = {
-    val e = Materialize.stage(clickEdges(spark, sfDir)
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct())
+  def bfsHops(spark: SparkSession, sfDir: String, maxHops: Int = 4): DataFrame =
+    bfsHopsOf(
+      clickEdges(spark, sfDir)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .distinct(),
+      maxHops)
+
+  /** Core over any directed (src, dst) distinct edge frame; the
+    * source is the minimum node id.
+    */
+  def bfsHopsOf(edges: DataFrame, maxHops: Int): DataFrame = {
+    val e = Materialize.stage(edges)
     val nodes = Materialize.stage(
       e.select(col("src").as("page"))
         .union(e.select(col("dst").as("page"))).distinct())

@@ -124,6 +124,25 @@ class GraphSpec extends SparkSpec {
     rows.foreach { case (_, comp, sz) => assert(sizes(comp) == sz) }
   }
 
+  test("BFS hops: planted graph — shortest paths win, the hop cap truncates, unreachable stays NULL") {
+    import spark.implicits._
+    // 1→2→3→4→5 chain, a 1→3 shortcut, and 6→1 (unreachable FROM 1:
+    // BFS follows direction). Source is min(id) = 1.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (6L, 1L))
+      .toDF("src", "dst")
+    def hops(maxHops: Int): Map[Long, Option[Int]] =
+      Graph.bfsHopsOf(e, maxHops).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+        .toMap
+    assert(hops(4) == Map(
+      1L -> Some(0), 2L -> Some(1), 3L -> Some(1), // shortcut beats 2-hop path
+      4L -> Some(2), 5L -> Some(3), 6L -> None))
+    // cap at 2: node 5 (dist 3) must be unreached, nothing else changes
+    assert(hops(2) == Map(
+      1L -> Some(0), 2L -> Some(1), 3L -> Some(1),
+      4L -> Some(2), 5L -> None, 6L -> None))
+  }
+
   test("triangles over the corpus: count matches the unoriented enumeration") {
     val und = Graph.clickEdges(spark, sf001)
       .filter(col("src") =!= col("dst"))

@@ -295,6 +295,24 @@ class PlanAuditSpec extends SparkSpec {
       s"part-name prefix filter not pushed:\n$p")
   }
 
+  test("cms: typed-aggregator sketch plans partial+final; probe set is a top-k") {
+    val p = planOf("q_llm_cms_counts")
+    // the mergeable grid must cross the shuffle as partial summaries,
+    // not as raw tokens
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed Aggregator should plan ObjectHashAggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 probe words should be a top-k, not a global sort:\n$p")
+  }
+
+  test("novelty: df-count and join-back both ride the shingle key, no all-pairs") {
+    val p = planOf("q_dedup_novelty")
+    assert("Exchange hashpartitioning\\(s#\\d+".r.findFirstIn(p).isDefined,
+      s"expected the shingle-key shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty must stay an equi-join pipeline:\n$p")
+  }
+
   test("suite-wide smell sweep: no nested-loop joins, no cartesian products") {
     // A nested-loop join is scale-hostile when BOTH sides scale with
     // the data. Two queries carry a provably BOUNDED build side and
@@ -325,6 +343,7 @@ class PlanAuditSpec extends SparkSpec {
         "q22_dormant_customers", // one-row avg-balance scalar broadcast
         "q11_important_parts", // one-row (total, n_parts) scalar broadcast
         "q_llm_heavy_hitters", // one-row corpus-total (n_total) broadcast
+        "q_llm_cms_counts", // one-row sketch-grid broadcast
         "q_llm_bpe_merges", // one-row learned-merge broadcast per round
         "q_llm_bpe_segments", // same one-row merge broadcasts
         "q_llm_bpe_encode") // same, under the broadcast vocab join
