@@ -33,7 +33,8 @@ object SparkEntry {
     graft.llm.TrainOrder.queries ++ graft.llm.Boilerplate.queries ++
     graft.llm.Hybrid.queries ++
     graft.queries.Search.queries ++ graft.queries.Stats.queries ++
-    graft.queries.Incremental.queries ++ graft.queries.Reshape.queries
+    graft.queries.Incremental.queries ++ graft.queries.Reshape.queries ++
+    graft.queries.Features.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -73,5 +74,6 @@ object SparkEntry {
     graft.llm.TrainOrder.oracles ++ graft.llm.Boilerplate.oracles ++
     graft.llm.Hybrid.oracles ++
     graft.queries.Search.oracles ++ graft.queries.Stats.oracles ++
-    graft.queries.Incremental.oracles ++ graft.queries.Reshape.oracles
+    graft.queries.Incremental.oracles ++ graft.queries.Reshape.oracles ++
+    graft.queries.Features.oracles
 }

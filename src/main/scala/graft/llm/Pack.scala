@@ -111,8 +111,29 @@ object Pack {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
 
+  /** Packing-efficiency probe — the budget-sizing readout in the
+    * same spirit as the dedup band/containment sizing probes: the
+    * distribution of pack fill as integer deciles of `budget`
+    * (decile 10 = exactly full; >10 = a straddling document pushed
+    * the pack past the budget, which concat-and-chunk allows). Lots
+    * of mass below decile 8 says the budget is too large for the
+    * document length mix; mass far above 10 says long documents
+    * dominate and a split-long-docs pass should precede packing.
+    * One extra agg over the pack frame — the probe costs one
+    * aggregation, not a second prefix sum.
+    */
+  def packFillHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    packAssignments(spark, sfDir)
+      .groupBy(col("pack_id"))
+      .agg(sum(col("n_tokens")).as("pack_tokens"))
+      .groupBy(expr(s"pack_tokens * 10 div $DefaultBudget").as("fill_decile"))
+      .agg(count(lit(1)).as("n_packs"),
+        min(col("pack_tokens")).as("min_tokens"),
+        max(col("pack_tokens")).as("max_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_pack" -> packStats _,
+    "q_llm_pack_stats" -> packFillHistogram _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -133,5 +154,25 @@ object Pack {
          |  min(doc_id) AS first_doc,
          |  max(doc_id) AS last_doc
          |FROM s GROUP BY 1""".stripMargin,
+    "q_llm_pack_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${TextAnalysis.sqlTokens}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_tok
+         |  FROM t),
+         |p AS (
+         |  SELECT start_tok // $DefaultBudget AS pack_id,
+         |    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |  FROM s GROUP BY 1)
+         |SELECT pack_tokens * 10 // $DefaultBudget AS fill_decile,
+         |  count(*) AS n_packs,
+         |  min(pack_tokens) AS min_tokens,
+         |  max(pack_tokens) AS max_tokens
+         |FROM p GROUP BY 1""".stripMargin,
   )
 }

@@ -296,7 +296,62 @@ object Pipeline {
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
 
+  /** Documents each source contributes to the mix under temperature
+    * sampling (the budget for [[quotaSample]]-style draws). */
+  val TemperatureBudget = 100000L
+
+  /** Temperature-scaled mixture allocation — the multilingual /
+    * multi-source rebalancing rule (e.g. the mBERT / XLM-R exponent
+    * trick): source s gets budget share ∝ n_s^α with α = 1/2, which
+    * upweights tail sources relative to proportional sampling
+    * without letting any head source dominate. Output: per source,
+    * its document count, temperature weight, and an INTEGER
+    * allocation of [[TemperatureBudget]] examples that sums to the
+    * budget EXACTLY (largest-remainder apportionment, remainder ties
+    * broken by source name).
+    *
+    * Engine-exact by construction: n^α is `sqrt` (correctly-rounded
+    * IEEE on both JVMs and libm) scaled by 2^20 and floored into a
+    * BIGINT — after that every quantity (weight sums, floor shares
+    * `B·w div W`, remainders `B·w mod W`, the leftover count) is
+    * integer arithmetic, so apportionment is deterministic and
+    * oracle-hashable. No double is ever summed.
+    *
+    * Scale shape: one hash agg to per-source counts (map-side
+    * partials), then everything runs on the O(#sources) frame — the
+    * scalar total and floor-sum ride broadcast one-row frames, and
+    * the remainder-rank window is over sources, not documents
+    * (#sources is catalog-bounded, thousands at worst).
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String,
+      budget: Long = TemperatureBudget): DataFrame =
+    temperatureMixOf(
+      Tables.documents(spark, sfDir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      budget)
+
+  /** Core over any (source, n_docs) counts frame. */
+  def temperatureMixOf(counts: DataFrame, budget: Long): DataFrame = {
+    val weighted = counts
+      .withColumn("w",
+        floor(sqrt(col("n_docs").cast("double")) * (1L << 20)).cast("long"))
+    val total = weighted.agg(sum(col("w")).as("tw"))
+    val shares = weighted.crossJoin(broadcast(total))
+      .withColumn("alloc_floor", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val floorSum = shares.agg(sum(col("alloc_floor")).as("fsum"))
+    val byRemainder = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc)
+    shares.crossJoin(broadcast(floorSum))
+      .withColumn("rk", row_number().over(byRemainder).cast("long"))
+      .withColumn("alloc",
+        col("alloc_floor") +
+          when(col("rk") <= lit(budget) - col("fsum"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("w"), col("alloc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "q_llm_weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "q_llm_pipeline" -> trainingPrep _,
     "q_llm_full_pipeline" -> fullPrep _,
@@ -453,5 +508,29 @@ object Pipeline {
          |      FROM documents)
          |GROUP BY lang""".stripMargin
     },
+    "q_llm_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source),
+         |wt AS (
+         |  SELECT source, n_docs,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * ${1L << 20}) AS BIGINT) AS w
+         |  FROM c),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt),
+         |a AS (
+         |  SELECT source, n_docs, w,
+         |    ($TemperatureBudget * w) // tw AS alloc_floor,
+         |    ($TemperatureBudget * w) % tw AS rem
+         |  FROM wt CROSS JOIN t),
+         |f AS (SELECT CAST(sum(alloc_floor) AS BIGINT) AS fsum FROM a),
+         |r AS (
+         |  SELECT a.*, f.fsum,
+         |    CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT) AS rk
+         |  FROM a CROSS JOIN f)
+         |SELECT source, n_docs, w,
+         |  CAST(alloc_floor +
+         |    CASE WHEN rk <= $TemperatureBudget - fsum THEN 1 ELSE 0 END
+         |    AS BIGINT) AS alloc
+         |FROM r""".stripMargin,
   )
 }

@@ -160,11 +160,76 @@ object Graph {
     dist
   }
 
+  /** Community detection via synchronous weighted label propagation
+    * (Raghavan et al. 2007) on the undirected click graph — the fifth
+    * iterative-graph pattern, and the one whose per-round semantics
+    * differ from all the others: each node adopts the label carrying
+    * the LARGEST total edge weight among its neighbors (majority
+    * vote), not a min/sum/frontier. Communities are denser than
+    * connected components (a bridge edge can't drag a whole
+    * component into one label) and need no target count, unlike
+    * k-means.
+    *
+    * Determinism: synchronous rounds (all nodes update from the
+    * PREVIOUS round's labels — no update-order dependence, unlike
+    * the asynchronous textbook variant) and a total-order tiebreak
+    * (max weight, then MIN label). Weights are integer transition
+    * counts, so vote sums are exact on both engines.
+    *
+    * Scale shape per round: one equi-join (symmetrized edges ⋈
+    * labels on the neighbor key) + one (node, label) hash agg + a
+    * per-node top-1 window — WindowGroupLimit pushes the rank-1
+    * filter below the exchange. Edges and nodes are staged once;
+    * labels are O(nodes) per round. Rounds are fixed (3), so the
+    * oracle unrolls them as CTEs.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String,
+      rounds: Int = 3): DataFrame =
+    labelPropagationOf(
+      clickEdges(spark, sfDir)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w")),
+      rounds)
+
+  /** Core over any directed weighted (src, dst, w) edge frame. */
+  def labelPropagationOf(edges: DataFrame, rounds: Int): DataFrame = {
+    val dir = Materialize.stage(edges)
+    val noSelf = dir.filter(col("src") =!= col("dst"))
+    // symmetrize: each undirected neighbor pair votes with the sum of
+    // both directions' transition counts
+    val sym = Materialize.stage(
+      noSelf.select(col("src").as("node"), col("dst").as("nbr"), col("w"))
+        .unionAll(
+          noSelf.select(col("dst").as("node"), col("src").as("nbr"), col("w")))
+        .groupBy(col("node"), col("nbr")).agg(sum(col("w")).as("w")))
+    val nodes = Materialize.stage(
+      dir.select(col("src").as("id"))
+        .union(dir.select(col("dst").as("id"))).distinct())
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    val topVote = Window.partitionBy(col("node"))
+      .orderBy(col("s").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      val winner = sym.join(labels, sym("nbr") === labels("id"))
+        .groupBy(col("node"), col("label")).agg(sum(col("w")).as("s"))
+        .withColumn("rn", row_number().over(topVote))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("nl"))
+      // self-loop-only nodes have no sym edges: they keep their own id
+      labels = Materialize.stage(
+        nodes.join(winner, nodes("id") === winner("node"), "left")
+          .select(nodes("id"), coalesce(col("nl"), nodes("id")).as("label")))
+    }
+    val byCommunity = Window.partitionBy(col("community"))
+    labels.select(col("id").as("page"), col("label").as("community"))
+      .withColumn("community_size", count(lit(1)).over(byCommunity))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "q_graph_triangles" -> triangleCount _,
     "q_graph_components" -> connectedComponents _,
     "q_graph_bfs_hops" -> ((s: SparkSession, d: String) => bfsHops(s, d)),
+    "q_graph_label_prop" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
   )
 
   /** Oracle: the same three iterations unrolled as CTEs; `//` is
@@ -239,7 +304,54 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(nTri)
   }
 
+  /** One synchronous label-propagation round as two CTEs: winner
+    * vote per node (max weight-sum, min label), then relabel with
+    * keep-own-label fallback for vote-less nodes.
+    */
+  private def lpIterSql(prev: String, pOut: String, lOut: String): String =
+    s"""$pOut AS (
+       |  SELECT node, label FROM (
+       |    SELECT s.node, l.label,
+       |      row_number() OVER (PARTITION BY s.node
+       |                         ORDER BY sum(s.w) DESC, l.label ASC) AS rn
+       |    FROM sym s JOIN $prev l ON l.id = s.nbr
+       |    GROUP BY s.node, l.label)
+       |  WHERE rn = 1),
+       |$lOut AS (
+       |  SELECT n.id, COALESCE(p.label, n.id) AS label
+       |  FROM allnodes n LEFT JOIN $pOut p ON p.node = n.id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_graph_label_prop" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS INT) AS k
+         |  FROM events),
+         |nxt AS (
+         |  SELECT k AS src,
+         |         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev),
+         |wedges AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |allnodes AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges)),
+         |sym AS (
+         |  SELECT node, nbr, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT src AS node, dst AS nbr, w FROM wedges WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS node, src AS nbr, w FROM wedges WHERE src <> dst)
+         |  GROUP BY node, nbr),
+         |l0 AS (SELECT id, id AS label FROM allnodes),
+         |${lpIterSql("l0", "p1", "l1")},
+         |${lpIterSql("l1", "p2", "l2")},
+         |${lpIterSql("l2", "p3", "l3")}
+         |SELECT id AS page, CAST(label AS BIGINT) AS community,
+         |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+         |    AS community_size
+         |FROM l3""".stripMargin,
     // Bounded recursion: the UNION dedups (page, hop) pairs, the
     // WHERE hop < 4 caps depth, and min(hop) per page is the BFS
     // distance — identical semantics to the Spark frontier loop,

@@ -72,4 +72,35 @@ class PackSpec extends SparkSpec {
     assert(nDocs == graft.Tables.documents(spark, sf001).count())
     assert(total > 0)
   }
+
+  test("fill histogram partitions the packs and bounds each decile's tokens") {
+    val packs = Pack.packStats(spark, sf001).collect()
+    val hist = Pack.packFillHistogram(spark, sf001).collect()
+    assert(hist.map(_.getAs[Long]("n_packs")).sum == packs.length.toLong,
+      "histogram must partition the pack set")
+    hist.foreach { r =>
+      val d = r.getAs[Long]("fill_decile")
+      val lo = d * Pack.DefaultBudget / 10
+      val hi = (d + 1) * Pack.DefaultBudget / 10
+      assert(r.getAs[Long]("min_tokens") >= lo && r.getAs[Long]("max_tokens") < hi,
+        s"decile $d tokens outside [$lo,$hi): $r")
+    }
+    // concat-and-chunk coverage: every pack except the LAST ends past
+    // its upper budget boundary (its final doc straddles or lands
+    // exactly on it) — under-full deciles come only from a previous
+    // pack's straddler delaying this pack's first start, never from a
+    // gap in the token stream.
+    import org.apache.spark.sql.functions._
+    val spans = Pack.packAssignments(spark, sf001)
+      .groupBy(col("pack_id"))
+      .agg(min(col("start_tok")).as("first_start"),
+        sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("pack_id")).collect()
+    spans.dropRight(1).foreach { r =>
+      val end = r.getAs[Long]("first_start") + r.getAs[Long]("tokens")
+      val bound = (r.getAs[Long]("pack_id") + 1) * Pack.DefaultBudget
+      assert(end >= bound,
+        s"non-final pack ${r.getAs[Long]("pack_id")} ends at $end before its boundary $bound")
+    }
+  }
 }

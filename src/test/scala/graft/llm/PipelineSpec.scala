@@ -78,6 +78,65 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSet == run().toSet, "hash-ordered sampling must be re-run-stable")
   }
 
+  test("temperature mix: allocations sum to the budget exactly and flatten the head") {
+    val rows = Pipeline.temperatureMix(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val budget = Pipeline.TemperatureBudget
+    assert(rows.map(_._4).sum == budget,
+      "largest-remainder apportionment must hit the budget exactly")
+    // every allocation is the floor share or floor+1
+    val tw = rows.map(_._3).sum
+    rows.foreach { case (s, _, w, alloc) =>
+      val fl = budget * w / tw
+      assert(alloc == fl || alloc == fl + 1, s"source $s: alloc $alloc not in {$fl, ${fl + 1}}")
+    }
+    // α = 1/2 flattening: the smallest source's WEIGHT share exceeds
+    // its document share, the largest's sits below — compared by
+    // exact integer cross-multiplication (w/tw vs n_docs/N). The
+    // sf0.001 corpus has uniform sources, where flattening is
+    // correctly a no-op, so the strict form is gated on a real gap.
+    val n = rows.map(_._2).sum
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    if (smallest._2 < largest._2) {
+      assert(smallest._3 * n > smallest._2 * tw,
+        s"tail source ${smallest._1} must be upweighted")
+      assert(largest._3 * n < largest._2 * tw,
+        s"head source ${largest._1} must be downweighted")
+    } else {
+      // uniform corpus: every source gets budget/k up to rounding
+      val even = budget / rows.length
+      rows.foreach { case (s, _, _, alloc) =>
+        assert(math.abs(alloc - even) <= 1, s"uniform corpus: $s got $alloc, want ~$even")
+      }
+    }
+    // monotone: more docs never means a smaller allocation
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4, s"monotonicity: $a vs $b")
+      case _ =>
+    }
+  }
+
+  test("temperature mix: planted skewed counts — exact apportionment and flattening") {
+    import spark.implicits._
+    // 10000 vs 100 vs 1: α=1/2 compresses a 10^4:1 head/tail ratio
+    // to 10^2:1 in weight space
+    val counts = Seq(("head", 10000L), ("mid", 100L), ("tail", 1L))
+      .toDF("source", "n_docs")
+    val rows = Pipeline.temperatureMixOf(counts, 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._4).sum == 1000L)
+    val byName = rows.map(r => r._1 -> r._4).toMap
+    // sqrt shares: 100 / 111 ≈ .9009, 10 / 111 ≈ .0900, 1 / 111 ≈ .0090
+    assert(byName("head") == 901L && byName("mid") == 90L && byName("tail") == 9L,
+      s"got $byName")
+    // flattening: head had 99% of docs but gets ~90% of budget; tail
+    // had 0.0099% but gets 0.9%
+    assert(byName("head") < 10000L * 1000L / 10101L)
+    assert(byName("tail") > 1L * 1000L / 10101L)
+  }
+
   test("grouped split: no source straddles train/val; doc counts partition the corpus") {
     val rows = Pipeline.groupedSplit(spark, sf001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -143,6 +143,35 @@ class GraphSpec extends SparkSpec {
       4L -> Some(2), 5L -> None, 6L -> None))
   }
 
+  test("label prop: planted two-clique bridge graph resolves to two communities") {
+    import spark.implicits._
+    // two K4s joined by one weak bridge (4-5, weight 1 vs 10 inside);
+    // a self-loop-only node 9 must stay a singleton. CC would merge
+    // the cliques into one 8-node component — label prop must NOT.
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (a, b) => (a + 4L, b + 4L) }
+    val edges = ((k4a ++ k4b).map { case (a, b) => (a, b, 10L) }
+      ++ Seq((4L, 5L, 1L), (9L, 9L, 3L)))
+      .toDF("src", "dst", "w")
+    val r = Graph.labelPropagationOf(edges, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val expected = (1L to 4L).map(n => (n, 1L, 4L)).toSet ++
+      (5L to 8L).map(n => (n, 5L, 4L)).toSet + ((9L, 9L, 1L))
+    assert(r == expected, s"got $r")
+  }
+
+  test("label prop: equal-weight triangle converges to the min label") {
+    import spark.implicits._
+    // synchronous rounds with (max weight, min label) tiebreak: round
+    // 1 gives 1->2, 2->1, 3->1; round 2 resolves every tie to 1
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val r = Graph.labelPropagationOf(edges, 3)
+      .select(col("community")).distinct()
+      .as[Long].collect().toSet
+    assert(r == Set(1L), s"deterministic tiebreak must land on min id, got $r")
+  }
+
   test("triangles over the corpus: count matches the unoriented enumeration") {
     val und = Graph.clickEdges(spark, sf001)
       .filter(col("src") =!= col("dst"))

@@ -346,7 +346,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_llm_cms_counts", // one-row sketch-grid broadcast
         "q_llm_bpe_merges", // one-row learned-merge broadcast per round
         "q_llm_bpe_segments", // same one-row merge broadcasts
-        "q_llm_bpe_encode") // same, under the broadcast vocab join
+        "q_llm_bpe_encode", // same, under the broadcast vocab join
+        "q_llm_temperature_mix") // two one-row scalar broadcasts
+        // (weight total, floor-sum) crossed into the O(#sources) frame
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
