@@ -76,4 +76,16 @@ object SparkEntry {
     graft.queries.Search.oracles ++ graft.queries.Stats.oracles ++
     graft.queries.Incremental.oracles ++ graft.queries.Reshape.oracles ++
     graft.queries.Features.oracles
+
+  /** Non-registry extras: results whose values no SQL engine can
+    * recompute (today: the raw DEFLATE byte counts). Verify dumps
+    * them under `outDir/_extras/<name>` — outside the driver's
+    * DuckDB gate — and tools/check.py exact-compares each against an
+    * independent Python recompute (recorded in CHECKS.md). The
+    * driver-gated invariants of the same computation live in the
+    * regular registry (`q_llm_compression`).
+    */
+  def extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_compression_ratio" -> (graft.llm.TextAnalysis.compressionRatio _),
+  )
 }

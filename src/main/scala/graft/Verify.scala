@@ -27,6 +27,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // extras: python-oracle-checked dumps, kept OUT of the driver's
+    // manifest/gate (leading "_extras/" path; tools/check.py picks
+    // them up explicitly)
+    selected(SparkEntry.extras).foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_extras/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] extra $name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -256,17 +256,44 @@ object TextAnalysis {
           col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
-  /** Compression-based quality signal: DEFLATE ratio per document
-    * plus a low-entropy gate (ratio < 0.3 on ≥200-byte docs flags
-    * machine-repetitive content). Map-only; not expressible in DuckDB
-    * SQL (no compress function), so the hard correctness signal is an
-    * independent-implementation recompute instead: tools/check.py
-    * mirrors the expression with CPython's zlib (raw DEFLATE, level
-    * 6) and exact-compares every row — both runtimes bundle madler
-    * zlib, so the compressed byte counts are identical (verified:
-    * 500/500 docs exact at sf0.01, see CHECKS.md).
+  /** Compression-based quality signal, driver-gate form. DEFLATE
+    * output is implementation-defined across libraries (no DuckDB
+    * compress function), so the registered query emits the two
+    * *invariants* of a correct compressor that an external oracle CAN
+    * pin — `roundtrip_ok` (inflate(deflate(text)) == text, computed
+    * inside [[graft.functions.DeflateCheck]]) and `bound_ok` (the
+    * compressed size respects zlib's published worst case: 5 bytes
+    * overhead per 16383-byte block + 6, and ≥ 1 byte for nonempty
+    * input) — both TRUE in the DuckDB oracle, so a broken compressor
+    * fails the hash compare. The exact compressed-byte-count
+    * cross-check against CPython's independent zlib binding remains
+    * in tools/check.py over the [[compressionRatio]] dump (see
+    * CHECKS.md). Empty docs pass both flags vacuously.
     */
-  def compressionSignal(spark: SparkSession, sfDir: String): DataFrame =
+  def compressionSignal(spark: SparkSession, sfDir: String): DataFrame = {
+    val bound = col("n_bytes") +
+      lit(5L) * (floor(col("n_bytes") / 16383d).cast("long") + 1L) + lit(6L)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.DeflateCheck.deflate_check(col("text")).as("dc"))
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("dc.n_comp") >= 1L && col("dc.n_comp") <= bound,
+          col("n_bytes") === 0L).as("bound_ok"),
+        coalesce(col("dc.roundtrip"), col("n_bytes") === 0L).as("roundtrip_ok"))
+  }
+
+  /** Compression ratio per document plus the low-entropy gate
+    * (ratio < 0.3 on ≥200-byte docs flags machine-repetitive
+    * content) — the actual pipeline signal. The ratio magnitude is
+    * not SQL-recomputable, so this variant is NOT in the driver
+    * registry; `graft.Verify` dumps it under `_extras/` and
+    * tools/check.py exact-compares every row against an
+    * independent-implementation recompute (CPython zlib, raw DEFLATE
+    * level 6 — both runtimes bundle madler zlib, so the byte counts
+    * are identical; recorded in CHECKS.md).
+    */
+  def compressionRatio(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
@@ -477,6 +504,13 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // The flags are invariants of a CORRECT compressor (round-trip
+    // restores the input; size within zlib's published bound), so the
+    // oracle pins them TRUE; the exact byte counts are cross-checked
+    // by tools/check.py's independent zlib recompute (CHECKS.md).
+    "q_llm_compression" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        |  TRUE AS bound_ok, TRUE AS roundtrip_ok FROM documents""".stripMargin,
     "q_llm_lang_id" ->
       s"""SELECT doc_id, lang,
          |  ${sqlScore("en")} AS s_en, ${sqlScore("de")} AS s_de,

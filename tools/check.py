@@ -30,11 +30,11 @@ def deflate_ratio(text: str):
     return n / len(raw)
 
 
-def oracle_llm_compression(con) -> pd.DataFrame:
+def oracle_llm_compression_ratio(con) -> pd.DataFrame:
     docs = con.execute("SELECT doc_id, text FROM documents").df()
     out = pd.DataFrame({
         "doc_id": docs["doc_id"],
-        "n_bytes": docs["text"].map(lambda t: len(t.encode("utf-8"))).astype("int64"),
+        "n_bytes": docs["text"].map(lambda t: len(t.encode("utf-8"))).astype("int32"),
         "deflate_ratio": docs["text"].map(deflate_ratio),
     })
     out["is_low_entropy"] = ((out["deflate_ratio"] < 0.3)
@@ -42,9 +42,15 @@ def oracle_llm_compression(con) -> pd.DataFrame:
     return out
 
 
+# Verify's `_extras/` dumps: values no SQL engine can recompute, each
+# exact-compared against an independent Python recompute (same
+# normalize + check_exact path as the SQL oracles). The registered
+# query of the same family (q_llm_compression) carries the
+# driver-gated invariants.
+EXTRA_ORACLES = {"q_llm_compression_ratio": oracle_llm_compression_ratio}
 # Rows-only queries that get a hard signal from a Python recompute
 # instead of DuckDB SQL (exact compare, same normalize path).
-PYTHON_ORACLES = {"q_llm_compression": oracle_llm_compression}
+PYTHON_ORACLES = {}
 
 
 def dtype_kind(s: pd.Series) -> str:
@@ -108,18 +114,30 @@ def main():
         failures.append(missing)
         print(f"[FAIL] {missing}: query crashed in Verify (no output dir)")
     names = [n for n in names if n in dirs]
-    for name in names:
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    # extras ride the same loop under a path prefix; they are absent
+    # from the driver manifest by design (python-oracle-only)
+    extra_names = [n for n in sorted(EXTRA_ORACLES)
+                   if os.path.isdir(os.path.join(out_dir, "_extras", n))]
+    for missing in sorted(set(EXTRA_ORACLES) - set(extra_names)):
+        failures.append(missing)
+        print(f"[FAIL] {missing}: extra dump missing (crashed in Verify?)")
+    for name in names + extra_names:
+        prefix = f"{out_dir}/_extras" if name in EXTRA_ORACLES else out_dir
+        files = glob.glob(f"{prefix}/{name}/*.parquet")
         if not files:
             failures.append(name); print(f"[FAIL] {name}: no parquet output"); continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-        if name not in oracles and name not in PYTHON_ORACLES:
+        if name in EXTRA_ORACLES:
+            pass  # always python-checked below
+        elif name not in oracles and name not in PYTHON_ORACLES:
             print(f"[rows-only] {name}: {len(got)} rows (no oracle)")
             if len(got) == 0:
                 failures.append(name)
             continue
         try:
-            if name in PYTHON_ORACLES:
+            if name in EXTRA_ORACLES:
+                exp = EXTRA_ORACLES[name](con)
+            elif name in PYTHON_ORACLES:
                 exp = PYTHON_ORACLES[name](con)
             else:
                 exp = con.execute(oracles[name]).df()
