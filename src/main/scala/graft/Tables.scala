@@ -22,20 +22,50 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as nanos-since-epoch LONG
-    * via the legacy flag, then integer-divide to micros — identical to
-    * the truncation DuckDB applies, so both engines see the same
-    * microsecond TimestampType values (FIXTURES.md).
+  /** The driver has generated `events.ts` under three different
+    * parquet encodings across rounds: TIMESTAMP(NANOS) (Spark 4
+    * refuses it by default — read as a nanos-since-epoch LONG via the
+    * legacy flag, then integer-divide to micros, the same truncation
+    * DuckDB applies), `timestamp[us]` without timezone (Spark reads
+    * TIMESTAMP_NTZ — kept as-is: DuckDB sees the identical naive
+    * micros, and the oracle hash-matches NTZ outputs), and plain
+    * TIMESTAMP. [[normalizeTs]] dispatches on the actual type so a
+    * future regeneration changes behavior in exactly one place.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(table(s, d, "events"))
+  }
+
+  /** Normalize a `ts` column from any encoding the driver has
+    * generated: INT64 nanos (legacy nanosAsLong LONG → micros
+    * TimestampType), TIMESTAMP / TIMESTAMP_NTZ (left untouched — both
+    * carry the same microsecond values; NTZ is deliberately NOT
+    * re-typed, because every events query's output schema is
+    * oracle-hash-matched as NTZ). Works on batch and streaming frames
+    * alike (pure schema dispatch + column expression).
+    */
+  def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    df.schema(name).dataType match {
+      case LongType =>
+        df.withColumn(name, timestamp_micros(expr(s"`$name` div 1000")))
+      case _ => df
+    }
+  }
+
+  /** Epoch microseconds of a timestamp column, exact for TIMESTAMP and
+    * TIMESTAMP_NTZ inputs alike. The session timezone is pinned UTC
+    * (GraftSession / Verify / Bench), so the NTZ→LTZ cast is the
+    * identity on the underlying microsecond value and the result
+    * matches DuckDB `epoch_us(ts)` on naive timestamps. Plain
+    * `unix_micros` would crash at analysis on NTZ input — this is the
+    * one sanctioned way to get epoch micros from `ts`.
+    */
+  def epochMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -27,12 +27,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // extras: python-oracle-checked dumps, kept OUT of the driver's
-    // manifest/gate (leading "_extras/" path; tools/check.py picks
-    // them up explicitly)
+    // extras: python-oracle-checked dumps, written to a SIBLING of
+    // outDir (not inside it — the driver scans every outDir entry and
+    // would report a bogus no_oracle row); tools/check.py reads the
+    // "<outDir>-extras" path explicitly
     selected(SparkEntry.extras).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/_extras/$name")
+        .parquet(s"$outDir-extras/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] extra $name failed: ${e.getMessage}")
       }

@@ -278,9 +278,13 @@ object TextAnalysis {
         octet_length(col("text")).cast("long").as("n_bytes"),
         graft.functions.DeflateCheck.deflate_check(col("text")).as("dc"))
       .select(col("doc_id"), col("n_bytes"),
+        // fallback covers empty AND null text (null n_bytes): the
+        // oracle pins TRUE for every doc, and `isNull ||` can't
+        // collapse back to SQL null the way `=== 0L` alone would
         coalesce(col("dc.n_comp") >= 1L && col("dc.n_comp") <= bound,
-          col("n_bytes") === 0L).as("bound_ok"),
-        coalesce(col("dc.roundtrip"), col("n_bytes") === 0L).as("roundtrip_ok"))
+          col("n_bytes").isNull || col("n_bytes") === 0L).as("bound_ok"),
+        coalesce(col("dc.roundtrip"),
+          col("n_bytes").isNull || col("n_bytes") === 0L).as("roundtrip_ok"))
   }
 
   /** Compression ratio per document plus the low-entropy gate

@@ -39,11 +39,11 @@ object Advanced {
     val win = 300000000L // 5 min in micros = interval length = bin width
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"),
-        unix_micros(col("ts")).as("p_us"))
+        Tables.epochMicros(col("ts")).as("p_us"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts").as("err_ts"),
-        unix_micros(col("ts")).as("lo_us"),
-        (unix_micros(col("ts")) + win).as("hi_us"))
+        Tables.epochMicros(col("ts")).as("lo_us"),
+        (Tables.epochMicros(col("ts")) + win).as("hi_us"))
     RangeJoin.pointInInterval(purchases, errors, "user_id",
         "p_us", "lo_us", "hi_us", win)
       .select(col("user_id"), col("event_id"), col("ts"), col("err_ts"))

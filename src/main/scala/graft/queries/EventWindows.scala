@@ -88,7 +88,8 @@ object EventWindows {
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("page"))
       .withColumn("gap_us",
-        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+        Tables.epochMicros(col("ts"))
+          - lag(Tables.epochMicros(col("ts")), 1).over(byUser))
       .withColumn("brk",
         when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
           .otherwise(0L))

@@ -164,22 +164,34 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming read of the events parquet — the streaming twin of
+    * [[graft.Tables.events]], sharing its `normalizeTs` dispatch so a
+    * driver-side re-encoding of `ts` (INT64 nanos / TIMESTAMP_NTZ /
+    * TIMESTAMP — it has shipped all three) changes behavior in one
+    * place for batch AND streaming. One streaming-only extra: event
+    * time (withWatermark) requires TIMESTAMP, not TIMESTAMP_NTZ, so
+    * the normalized column is cast to LTZ — exact under the pinned
+    * UTC session. The file source needs a directory; glob-filter
+    * isolates the events file.
+    */
+  def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+      .withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+  }
+
   /** File-source streaming pipeline over the events parquet — the
     * readStream → transform → writeStream wiring. `availableNow`
     * makes it a run-to-completion incremental batch (the pattern for
     * backfill + tail-follow at scale).
     */
   def runFileStream(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    // raw parquet schema has ts as INT64 nanos (read via nanosAsLong,
-    // see graft.Tables.events); convert to micros TimestampType in-stream
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source needs a directory; glob-filter to the events file
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = hourlyCounts(stream)
+    val agg = hourlyCounts(eventsFileStream(spark, sfDir))
     val q = agg.writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")

@@ -81,13 +81,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == got)
   }
 
-  test("compression signal over the corpus: ratios in range, gate consistent") {
-    val rows = TextAnalysis.compressionSignal(spark, sf001).collect()
+  test("compression signal over the corpus: invariants TRUE, ratio gate consistent") {
+    // driver-gate form: both compressor invariants hold on every doc
+    val sig = TextAnalysis.compressionSignal(spark, sf001).collect()
+    assert(sig.nonEmpty)
+    sig.foreach { r =>
+      assert(r.getBoolean(2), s"bound_ok false: $r")
+      assert(r.getBoolean(3), s"roundtrip_ok false: $r")
+    }
+    // extras form: ratio magnitudes in range, low-entropy gate consistent
+    val rows = TextAnalysis.compressionRatio(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val ratio = r.getDouble(2)
-      assert(ratio > 0.0 && ratio < 1.2, s"ratio out of range: $r")
-      assert(r.getBoolean(3) == (ratio < 0.3 && r.getInt(1) >= 200))
+      if (r.isNullAt(2)) assert(!r.getBoolean(3), s"null ratio must not gate: $r")
+      else {
+        val ratio = r.getDouble(2)
+        assert(ratio > 0.0 && ratio < 1.2, s"ratio out of range: $r")
+        assert(r.getBoolean(3) == (ratio < 0.3 && r.getInt(1) >= 200))
+      }
     }
   }
 

@@ -27,34 +27,32 @@ class StreamBatchParitySpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
 
+  // ts arrives NTZ from the current parquet encoding; the UTC session
+  // makes the cast to LTZ exact, and Event needs java.sql.Timestamp
   private def collectEvents(): Seq[Event] =
     graft.Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
       .collect()
       .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getString(3), r.getDouble(4)))
       .toSeq
 
   test("hourly: file-stream AvailableNow (complete mode) equals batch windows") {
-    val raw = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
-    val q = hourlyCounts(raw)
+    val q = hourlyCounts(eventsFileStream(spark, sfDir))
       .writeStream.format("memory").queryName("parity_hourly")
       .outputMode(OutputMode.Complete)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val streamed = spark.table("parity_hourly").collect()
+    val streamed = spark.table("parity_hourly")
+      .withColumn("window_start", col("window_start").cast("timestamp"))
+      .collect()
       .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     val batch = EventWindows.hourly(spark, sfDir)
-      .select(col("window_start"), col("event_type"), col("n"), col("total_value"))
+      .select(col("window_start").cast("timestamp").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
       .collect()
       .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
@@ -84,7 +82,9 @@ class StreamBatchParitySpec extends SparkSpec {
         math.round(r.getDouble(3) * 100)))
       .toSet
     q.stop()
-    val batch = EventWindows.sessions(spark, sfDir).collect()
+    val batch = EventWindows.sessions(spark, sfDir)
+      .withColumn("session_start", col("session_start").cast("timestamp"))
+      .collect()
       .map(r => (r.getLong(1), r.getTimestamp(0).getTime, r.getLong(2),
         math.round(r.getDouble(3) * 100)))
       .toSet
@@ -117,7 +117,8 @@ class StreamBatchParitySpec extends SparkSpec {
         col("p_user") === col("e_user")
           && col("e_ts") <= col("p_ts")
           && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
-      .select(col("purchase_id"), col("e_ts")).collect()
+      .select(col("purchase_id"), col("e_ts").cast("timestamp").as("e_ts"))
+      .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
     assert(streamed == batch,
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
@@ -183,12 +184,7 @@ class StreamBatchParitySpec extends SparkSpec {
     import java.nio.file.Files
     val base = Files.createTempDirectory("eos").toString
     def runOnce(): Unit = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val stream = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsFileStream(spark, sfDir)
         .select(col("event_id"), col("ts"), col("user_id"))
       val q = exactlyOnceParquetSink(stream, s"$base/out", s"$base/ckpt")
       q.awaitTermination()
@@ -341,7 +337,8 @@ class StreamBatchParitySpec extends SparkSpec {
     q.stop()
     val batch = graft.operators.Compaction.latestPerKey(
         graft.Tables.events(spark, sfDir)
-          .select(col("event_id"), col("ts"), col("user_id")),
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id")),
         Seq("user_id"), Seq(col("ts"), col("event_id")))
       .collect()
       .map(r => (r.getLong(2), (r.getTimestamp(1).getTime, r.getLong(0))))

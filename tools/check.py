@@ -114,15 +114,17 @@ def main():
         failures.append(missing)
         print(f"[FAIL] {missing}: query crashed in Verify (no output dir)")
     names = [n for n in names if n in dirs]
-    # extras ride the same loop under a path prefix; they are absent
-    # from the driver manifest by design (python-oracle-only)
+    # extras ride the same loop from the sibling "<outDir>-extras"
+    # directory; they are absent from the driver manifest by design
+    # (python-oracle-only, invisible to the driver's gate)
+    extras_dir = f"{out_dir.rstrip('/')}-extras"
     extra_names = [n for n in sorted(EXTRA_ORACLES)
-                   if os.path.isdir(os.path.join(out_dir, "_extras", n))]
+                   if os.path.isdir(os.path.join(extras_dir, n))]
     for missing in sorted(set(EXTRA_ORACLES) - set(extra_names)):
         failures.append(missing)
         print(f"[FAIL] {missing}: extra dump missing (crashed in Verify?)")
     for name in names + extra_names:
-        prefix = f"{out_dir}/_extras" if name in EXTRA_ORACLES else out_dir
+        prefix = extras_dir if name in EXTRA_ORACLES else out_dir
         files = glob.glob(f"{prefix}/{name}/*.parquet")
         if not files:
             failures.append(name); print(f"[FAIL] {name}: no parquet output"); continue
@@ -170,7 +172,10 @@ def main():
             neq = (g != e) & ~(g.isna() & e.isna())
             bad = neq.any(axis=1)
             print(g[bad].head(3)); print(e[bad].head(3))
-    total = len(names) + sum(1 for f in failures if f not in names)
+    # extras count toward the total whether they pass or fail; crashed
+    # registered queries are already in `failures` but not in `names`
+    total = (len(names) + len(set(EXTRA_ORACLES))
+             + sum(1 for f in failures if f not in names and f not in EXTRA_ORACLES))
     print(f"\n{total - len(failures)}/{total} queries match")
     sys.exit(1 if failures else 0)
 
