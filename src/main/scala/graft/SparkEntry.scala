@@ -23,6 +23,9 @@ object SparkEntry {
     "mr_grep" -> ((s: SparkSession, d: String) => CanonicalJobs.grep(s, d)),
     "mr_sort" -> (CanonicalJobs.sortDocs _),
     "mr_sql_mapf" -> (CanonicalJobs.sqlWordcount _),
+    // the reference's plugin flow: a Java jar compiled + loaded at
+    // run time (JobLoader), reproducing the wordcount oracle
+    "mr_plugin_wordcount" -> (graft.jobs.PluginDemo.pluginWordcount _),
   ) ++ graft.queries.StarSchema.queries ++ graft.queries.TpchMore.queries ++
     graft.queries.EventWindows.queries ++
     graft.queries.Advanced.queries ++ graft.queries.Graph.queries ++
@@ -64,6 +67,13 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(word) > 0
         |GROUP BY doc_id, word""".stripMargin,
+    // identical semantics to mr_wordcount — the point: the runtime-
+    // loaded jar must land on the same counts as the native query
+    "mr_plugin_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word""".stripMargin,
   ) ++ graft.queries.StarSchema.oracles ++ graft.queries.TpchMore.oracles ++
     graft.queries.EventWindows.oracles ++
     graft.queries.Advanced.oracles ++ graft.queries.Graph.oracles ++
@@ -79,11 +89,11 @@ object SparkEntry {
 
   /** Non-registry extras: results whose values no SQL engine can
     * recompute (today: the raw DEFLATE byte counts). Verify dumps
-    * them under `outDir/_extras/<name>` — outside the driver's
-    * DuckDB gate — and tools/check.py exact-compares each against an
-    * independent Python recompute (recorded in CHECKS.md). The
-    * driver-gated invariants of the same computation live in the
-    * regular registry (`q_llm_compression`).
+    * them under the SIBLING directory `<outDir>-extras/<name>` —
+    * outside the driver's scan — and tools/check.py exact-compares
+    * each against an independent Python recompute (recorded in
+    * CHECKS.md). The driver-gated invariants of the same computation
+    * live in the regular registry (`q_llm_compression`).
     */
   def extras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_compression_ratio" -> (graft.llm.TextAnalysis.compressionRatio _),
