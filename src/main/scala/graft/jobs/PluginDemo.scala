@@ -84,18 +84,23 @@ object PluginDemo {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The documents table rendered as the reference's map input: text
-    * files, a handful of splits, newline-joined (newline is
-    * whitespace, so the token multiset is exactly the table's).
+    * files, newline-joined (newline is whitespace, so the token
+    * multiset is exactly the table's). Split count scales with corpus
+    * size (~500 docs per split, min 4) because one file = one map
+    * task (the reference's split model, coordinator.go:185-198) — a
+    * fixed split count would cap map parallelism as the corpus grows,
+    * which the 10× scale smoke measures.
     */
   def corpusGlob(spark: SparkSession, sfDir: String): String =
     corpusCache.computeIfAbsent(sfDir, { _ =>
       val texts = graft.Tables.documents(spark, sfDir)
         .select("text").collect().map(_.getString(0))
+      val nSplits = math.max(4, texts.length / 500)
       val dir: Path = Files.createTempDirectory("graft-plugin-corpus")
-      texts.grouped(math.max(1, (texts.length + 3) / 4)).zipWithIndex.foreach {
-        case (chunk, i) =>
+      texts.grouped(math.max(1, (texts.length + nSplits - 1) / nSplits))
+        .zipWithIndex.foreach { case (chunk, i) =>
           Files.writeString(dir.resolve(s"split-$i.txt"), chunk.mkString("\n"))
-      }
+        }
       dir.toString
     }) + "/*.txt"
 
