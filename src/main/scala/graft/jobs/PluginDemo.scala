@@ -101,6 +101,10 @@ object PluginDemo {
         .zipWithIndex.foreach { case (chunk, i) =>
           Files.writeString(dir.resolve(s"split-$i.txt"), chunk.mkString("\n"))
         }
+      // zero-row corpus: wholeTextFiles rejects a glob matching no
+      // files, so materialize one empty split (mapf of "" emits
+      // nothing — the query then returns an empty frame, as required)
+      if (texts.isEmpty) Files.writeString(dir.resolve("split-0.txt"), "")
       dir.toString
     }) + "/*.txt"
 
