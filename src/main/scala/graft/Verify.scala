@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
+    // normalize: "out/" would otherwise put the extras SIBLING dir
+    // ("$outDir-extras") back inside outDir as "out/-extras"
+    val (sfDir, outDir) = (args(0), args(1).stripSuffix("/"))
     // optional 3rd arg: comma-separated query names, for fast local
     // iteration on a subset (driver always runs the full 2-arg form)
     val only = args.lift(2).map(_.split(',').toSet)

@@ -93,8 +93,12 @@ object PluginDemo {
     */
   def corpusGlob(spark: SparkSession, sfDir: String): String =
     corpusCache.computeIfAbsent(sfDir, { _ =>
+      // NULL text must vanish here exactly like the oracle's
+      // length(word)>0 filter drops it — rendering null would mint a
+      // literal "null" token
       val texts = graft.Tables.documents(spark, sfDir)
-        .select("text").collect().map(_.getString(0))
+        .select("text").filter(col("text").isNotNull)
+        .collect().map(_.getString(0))
       val nSplits = math.max(4, texts.length / 500)
       val dir: Path = Files.createTempDirectory("graft-plugin-corpus")
       texts.grouped(math.max(1, (texts.length + nSplits - 1) / nSplits))

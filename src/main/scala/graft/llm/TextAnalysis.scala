@@ -291,7 +291,8 @@ object TextAnalysis {
     * (ratio < 0.3 on ≥200-byte docs flags machine-repetitive
     * content) — the actual pipeline signal. The ratio magnitude is
     * not SQL-recomputable, so this variant is NOT in the driver
-    * registry; `graft.Verify` dumps it under `_extras/` and
+    * registry; `graft.Verify` dumps it to the sibling
+    * `<outDir>-extras/` directory and
     * tools/check.py exact-compares every row against an
     * independent-implementation recompute (CPython zlib, raw DEFLATE
     * level 6 — both runtimes bundle madler zlib, so the byte counts

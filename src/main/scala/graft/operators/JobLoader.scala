@@ -21,7 +21,17 @@ case class KeyValue(key: String, value: String)
   * handed to [[JobLoader]] as a jar path at run time.
   */
 trait UserJob extends Serializable {
+  /** Called once per input file; may run concurrently with other
+    * calls on OTHER instances — each task thread gets its own
+    * instance (see [[JobLoader]]), so per-instance mutable state
+    * (buffers, reused matchers) is safe, like the reference's
+    * one-plugin-per-worker-process model (worker.go:51).
+    */
   def mapf(filename: String, contents: String): java.util.List[KeyValue]
+
+  /** Holistic: sees every value of a key in one call. Same
+    * per-thread instance guarantee as [[mapf]].
+    */
   def reducef(key: String, values: java.util.List[String]): String
 }
 
@@ -96,18 +106,29 @@ object JobLoader {
           "name one explicitly via run()")
     }
 
-  // ---- per-JVM instance cache ----------------------------------------
+  // ---- per-thread instance cache -------------------------------------
+  // One instance per (jar, class) per TASK THREAD, not per JVM: task
+  // threads run concurrently (and speculation doubles attempts), and
+  // a shared instance would race any per-instance state a user job
+  // keeps. The classes are still loaded once per JVM (classloaders
+  // below); only the instances are thread-local — mirroring the
+  // reference, where each worker process owns its plugin instance.
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), UserJob]()
+  private val cache = ThreadLocal.withInitial(
+    () => collection.mutable.Map.empty[(String, String), UserJob])
+
+  private val loaders =
+    new java.util.concurrent.ConcurrentHashMap[String, ClassLoader]()
 
   private def instance(jarPath: String, className: String): UserJob =
-    cache.computeIfAbsent((jarPath, className), { case (jar, cn) =>
+    cache.get().getOrElseUpdate((jarPath, className), {
       val cls =
-        try Class.forName(cn, true, taskLoader())
+        try Class.forName(className, true, taskLoader())
         catch { case _: ClassNotFoundException =>
           // local mode / driver side: load straight from the jar file
-          Class.forName(cn, true, freshLoader(jar))
+          // (one loader per jar per JVM, so all threads share classes)
+          Class.forName(className, true,
+            loaders.computeIfAbsent(jarPath, freshLoader(_)))
         }
       cls.getDeclaredConstructor().newInstance().asInstanceOf[UserJob]
     })

@@ -21,9 +21,11 @@ class TsEncodingDriftSpec extends SparkSpec {
 
   private val base = "/root/testdata/sf0.001"
 
-  // every registered query that reads Tables.events
+  // every registered query that reads Tables.events (incl. the graph
+  // family, which builds click edges from events)
   private val eventQueries: Seq[String] =
-    (SparkEntry.queries.keys.filter(_.startsWith("q_events_")).toSeq ++
+    (SparkEntry.queries.keys.filter(n =>
+        n.startsWith("q_events_") || n.startsWith("q_graph_")).toSeq ++
       Seq("q_range_join", "q_asof_join", "q_salted_count", "q_profile",
         "q_cdc_latest", "q_cdc_upsert", "q_cdc_diff", "q_partitioned_sink"))
       .distinct.sorted
@@ -65,14 +67,16 @@ class TsEncodingDriftSpec extends SparkSpec {
     dir
   }
 
-  test("every events query is identical under NTZ, LTZ, and long-nanos ts") {
-    // the on-disk fixture is NTZ today; derive the other two from it
-    val ntzDir = writeFixture(identity)
-    val ltzDir = writeFixture(df =>
-      df.withColumn("ts", col("ts").cast(TimestampType)))
-    val nanosDir = writeFixture(df =>
-      df.withColumn("ts", (Tables.epochMicros(col("ts")) * 1000L).cast(LongType)))
+  // the on-disk fixture is NTZ today; derive the other two from it.
+  // Shared across both tests (each writeFixture copies 9 sibling
+  // tables — no need to do that six times).
+  private lazy val ntzDir = writeFixture(identity)
+  private lazy val ltzDir = writeFixture(df =>
+    df.withColumn("ts", col("ts").cast(TimestampType)))
+  private lazy val nanosDir = writeFixture(df =>
+    df.withColumn("ts", (Tables.epochMicros(col("ts")) * 1000L).cast(LongType)))
 
+  test("every events query is identical under NTZ, LTZ, and long-nanos ts") {
     // sanity: the three fixtures really carry three distinct types
     assert(Tables.table(spark, ntzDir, "events").schema("ts").dataType == TimestampNTZType)
     assert(Tables.table(spark, ltzDir, "events").schema("ts").dataType == TimestampType)
@@ -103,11 +107,6 @@ class TsEncodingDriftSpec extends SparkSpec {
       q.awaitTermination()
       canon(spark.table(s"tsdrift_$tag"))
     }
-    val ntzDir = writeFixture(identity)
-    val ltzDir = writeFixture(df =>
-      df.withColumn("ts", col("ts").cast(TimestampType)))
-    val nanosDir = writeFixture(df =>
-      df.withColumn("ts", (Tables.epochMicros(col("ts")) * 1000L).cast(LongType)))
     val expected = run(ntzDir, "ntz")
     assert(expected.nonEmpty)
     assert(run(ltzDir, "ltz") == expected, "LTZ stream drifts")

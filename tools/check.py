@@ -42,7 +42,7 @@ def oracle_llm_compression_ratio(con) -> pd.DataFrame:
     return out
 
 
-# Verify's `_extras/` dumps: values no SQL engine can recompute, each
+# Verify's "<outDir>-extras/" dumps: values no SQL engine can recompute, each
 # exact-compared against an independent Python recompute (same
 # normalize + check_exact path as the SQL oracles). The registered
 # query of the same family (q_llm_compression) carries the
