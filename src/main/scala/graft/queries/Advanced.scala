@@ -28,6 +28,24 @@ object Advanced {
     AsOfJoin.asof(purchases, errors, "user_id", "ts", "err_ts")
   }
 
+  /** For every error event, the NEXT purchase of the same user
+    * at-or-after it, but only within 1 hour — the forward as-of with
+    * tolerance ([[AsOfJoin.asofForward]]; pandas `merge_asof`
+    * direction='forward' semantics). Purchases pre-aggregated to one
+    * row per (user, instant) so right-side ties are impossible (same
+    * discipline as [[asofPurchaseError]]).
+    */
+  def asofNextPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_id"))
+    AsOfJoin.asofForward(errors, purchases, "user_id", "ts", "p_ts",
+      prefix = "next_", toleranceMicros = 3600000000L)
+  }
+
   /** Every purchase inside the 5-minute window after an error of the
     * same user — a point-in-interval range join, bin-bucketed so the
     * physical plan is a SortMergeJoin on (user_id, time-bin) instead
@@ -164,6 +182,7 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofPurchaseError _,
+    "q_asof_forward" -> asofNextPurchase _,
     "q_fuzzy_join" -> fuzzyNameJoin _,
     "q_range_join" -> rangeJoinErrorWindow _,
     "q_bucketed_join" -> bucketedJoinRevenue _,
@@ -195,6 +214,22 @@ object Advanced {
         |                FROM events WHERE event_type = 'error'
         |                GROUP BY user_id, ts) e
         |  ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
+    // forward ASOF (e.ts <= p.p_ts picks the EARLIEST purchase at-or-
+    // after); the 1-hour tolerance is the same epoch_us compare the
+    // Spark side nulls out on (NULL p_ts falls through the CASE)
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts, max(event_id) AS p_id
+        |           FROM events WHERE event_type = 'purchase'
+        |           GROUP BY user_id, ts)
+        |SELECT e.user_id, e.event_id, e.ts, e.value,
+        |  CASE WHEN epoch_us(p.p_ts) - epoch_us(e.ts) <= 3600000000
+        |       THEN p.p_ts END AS next_p_ts,
+        |  CASE WHEN epoch_us(p.p_ts) - epoch_us(e.ts) <= 3600000000
+        |       THEN p.p_id END AS next_p_id
+        |FROM (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts <= p.p_ts""".stripMargin,
     "q_range_join" ->
       """SELECT p.user_id, p.event_id, p.ts, e.err_ts
         |FROM (SELECT user_id, event_id, ts FROM events
