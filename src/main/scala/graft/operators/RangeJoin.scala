@@ -45,4 +45,35 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-OVERLAP join: every (a, b) pair of the same key whose
+    * closed intervals `[aLo, aHi]` and `[bLo, bHi]` intersect
+    * (`aLo <= bHi && bLo <= aHi`) — the two-sided generalization of
+    * [[pointInInterval]], which Catalyst would likewise only run as a
+    * nested loop.
+    *
+    * Both sides explode to their bins; the equi-join on (key, bin)
+    * meets every overlapping pair in every SHARED bin, so the pair
+    * would duplicate once per shared bin — the dedup trap. The
+    * canonical-bin filter keeps exactly one copy: the bin containing
+    * `greatest(aLo, bLo)`, the overlap's start, which both intervals
+    * cover by definition. No `distinct`, so the equi-join + two
+    * map-side filters remain the whole cost: one shuffle per side on
+    * (key, bin), SortMergeJoin at scale, [[Skew]]-saltable because it
+    * IS an equi-join. Replication = len/binWidth + 1 per side —
+    * size `binWidth` ≈ the max interval length.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame, key: String,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val aB = a.withColumn("_bin",
+      explode(sequence(expr(s"$aLo div $binWidth"), expr(s"$aHi div $binWidth"))))
+    val bB = b.withColumn("_bin",
+      explode(sequence(expr(s"$bLo div $binWidth"), expr(s"$bHi div $binWidth"))))
+    aB.join(bB, Seq(key, "_bin"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(expr(s"greatest($aLo, $bLo) div $binWidth") === col("_bin"))
+      .drop("_bin")
+  }
 }

@@ -67,6 +67,30 @@ object Advanced {
       .select(col("user_id"), col("event_id"), col("ts"), col("err_ts"))
   }
 
+  /** Every (error, purchase) pair of the same user whose derived
+    * activity windows overlap — error outage window [ts, ts+10 min]
+    * vs purchase activity window [ts, ts+5 min] — via the bin-bucketed
+    * interval-overlap join ([[RangeJoin.intervalOverlap]]; oracle is
+    * the plain DuckDB inequality join). Bin width = the larger
+    * interval, so each side replicates into ≤ 2 bins.
+    */
+  def intervalOverlapWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val errWin = 600000000L  // 10 min in micros
+    val purWin = 300000000L  // 5 min
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"),
+        Tables.epochMicros(col("ts")).as("e_lo"),
+        (Tables.epochMicros(col("ts")) + errWin).as("e_hi"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        Tables.epochMicros(col("ts")).as("p_lo"),
+        (Tables.epochMicros(col("ts")) + purWin).as("p_hi"))
+    RangeJoin.intervalOverlap(errors, purchases, "user_id",
+        "e_lo", "e_hi", "p_lo", "p_hi", errWin)
+      .select(col("user_id"), col("err_ts"), col("p_ts"))
+  }
+
   /** Event counts via the two-stage salted aggregation — result
     * identical to a plain groupBy count (which IS the oracle); the
     * point is the skew-safe physical shape.
@@ -185,6 +209,7 @@ object Advanced {
     "q_asof_forward" -> asofNextPurchase _,
     "q_fuzzy_join" -> fuzzyNameJoin _,
     "q_range_join" -> rangeJoinErrorWindow _,
+    "q_interval_overlap" -> intervalOverlapWindows _,
     "q_bucketed_join" -> bucketedJoinRevenue _,
     "q_salted_count" -> saltedTypeCount _,
     "q_window_analytics" -> windowAnalytics _,
@@ -239,6 +264,17 @@ object Advanced {
         |  ON p.user_id = e.user_id
         | AND p.ts >= e.err_ts
         | AND p.ts <= e.err_ts + INTERVAL 5 MINUTE""".stripMargin,
+    // closed-interval overlap: [E, E+600s] ∩ [P, P+300s] ≠ ∅ ⇔
+    // E <= P+300s && P <= E+600s (same epoch_us micros both engines)
+    "q_interval_overlap" ->
+      """SELECT e.user_id, e.err_ts, p.p_ts
+        |FROM (SELECT user_id, ts AS err_ts FROM events
+        |      WHERE event_type = 'error') e
+        |JOIN (SELECT user_id, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id
+        | AND epoch_us(e.err_ts) <= epoch_us(p.p_ts) + 300000000
+        | AND epoch_us(p.p_ts) <= epoch_us(e.err_ts) + 600000000""".stripMargin,
     "q_bucketed_join" ->
       s"""SELECT o_orderpriority,
          |  ${graft.Exact.sqlRevenue("l_extendedprice", "l_discount")} AS revenue,

@@ -26,8 +26,8 @@ class TsEncodingDriftSpec extends SparkSpec {
   private val eventQueries: Seq[String] =
     (SparkEntry.queries.keys.filter(n =>
         n.startsWith("q_events_") || n.startsWith("q_graph_")).toSeq ++
-      Seq("q_range_join", "q_asof_join", "q_asof_forward",
-        "q_salted_count", "q_profile",
+      Seq("q_range_join", "q_interval_overlap", "q_asof_join",
+        "q_asof_forward", "q_salted_count", "q_profile",
         "q_cdc_latest", "q_cdc_upsert", "q_cdc_diff", "q_partitioned_sink"))
       .distinct.sorted
 
