@@ -19,6 +19,7 @@ object Explain {
     "q_search_bm25", "q_llm_grouped_split", "q_embed_diverse_sample",
     "q_llm_quality_calibrated", "q_skyline", "q_graph_triangles",
     "q_events_anomaly", "q_events_entry_exit", "q_range_join", "q_asof_join",
+    "q_asof_forward", "q_interval_overlap",
     "q4_order_priority", "q6_forecast_revenue", "q17_small_qty_revenue",
     "q18_large_volume", "q7_volume_shipping", "q10_returned_items",
     "q19_disjunctive_or", "q21_waiting_supplier", "q_llm_bpe_merges",
