@@ -94,7 +94,23 @@ object EventStreams {
     * watermarked so the join state is bounded — Spark retains only
     * errors young enough to still match a future purchase.
     */
-  def purchasesWithRecentErrors(purchases: DataFrame, errors: DataFrame): DataFrame = {
+  def purchasesWithRecentErrors(purchases: DataFrame, errors: DataFrame): DataFrame =
+    intervalJoin(purchases, errors, "inner")
+
+  /** LEFT OUTER stream-stream interval join: every purchase emits —
+    * matched rows as they pair up, unmatched ones with null error
+    * columns once the watermark proves no matching error can still
+    * arrive. This is the harder join mode at scale: the null row for
+    * an unmatched purchase is only correct to emit after event time
+    * passes `p_ts + delay`, so emission is watermark-driven and state
+    * eviction doubles as the completeness proof. Same bounded state
+    * as the inner variant.
+    */
+  def purchasesWithRecentErrorsOuter(purchases: DataFrame, errors: DataFrame): DataFrame =
+    intervalJoin(purchases, errors, "left_outer")
+
+  private def intervalJoin(purchases: DataFrame, errors: DataFrame,
+      mode: String): DataFrame = {
     val p = purchases.withWatermark("ts", "1 hour")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"), col("value").as("purchase_value"))
@@ -104,7 +120,8 @@ object EventStreams {
     p.join(e,
       col("p_user") === col("e_user")
         && col("e_ts") <= col("p_ts")
-        && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      mode)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("p_ts"), col("e_ts"), col("purchase_value"), col("error_value"))
   }

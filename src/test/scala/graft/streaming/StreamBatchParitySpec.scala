@@ -124,6 +124,51 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("outer interval join: unmatched purchases emit null rows once the watermark proves them") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = collectEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val pIn = MemoryStream[Event]
+    val eIn = MemoryStream[Event]
+    val q = purchasesWithRecentErrorsOuter(pIn.toDF(), eIn.toDF())
+      .writeStream.format("memory").queryName("parity_ssj_outer")
+      .outputMode("append").start()
+    pIn.addData(events.filter(_.event_type == "purchase"))
+    eIn.addData(events.filter(_.event_type == "error"))
+    q.processAllAvailable()
+    // a null row for an unmatched purchase is only provable once the
+    // watermark passes p_ts + delay: push BOTH streams a year ahead
+    val sentinel = Event(-1L, new java.sql.Timestamp(maxTs + 365L * 86400 * 1000),
+      -1L, "sentinel", 0.0)
+    pIn.addData(sentinel); eIn.addData(sentinel)
+    q.processAllAvailable()
+    val streamed = spark.table("parity_ssj_outer")
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getTimestamp(3).getTime)).toSet
+    q.stop()
+    val all = graft.Tables.events(spark, sfDir)
+    val p = all.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val e = all.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val batch = p.join(e,
+        col("p_user") === col("e_user")
+          && col("e_ts") <= col("p_ts")
+          && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("purchase_id"), col("e_ts").cast("timestamp").as("e_ts"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getTimestamp(1).getTime)).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // and the outer join strictly extends the inner result set
+    assert(batch.count(_._2 == -1L) > 0, "fixture has no unmatched purchases")
+  }
+
   test("IVF index stream: two-wave incremental build probes identical to batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
