@@ -6,8 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // normalize: "out/" would otherwise put the extras SIBLING dir
-    // ("$outDir-extras") back inside outDir as "out/-extras"
-    val (sfDir, outDir) = (args(0), args(1).stripSuffix("/"))
+    // ("$outDir-extras") back inside outDir as "out/-extras"; strip
+    // ALL trailing slashes, matching check.py's rstrip('/')
+    val (sfDir, outDir) = (args(0), args(1).replaceAll("/+$", ""))
     // optional 3rd arg: comma-separated query names, for fast local
     // iteration on a subset (driver always runs the full 2-arg form)
     val only = args.lift(2).map(_.split(',').toSet)

@@ -50,7 +50,8 @@ trait UserJob extends Serializable {
   *
   * Execution reuses [[MRJob]]'s shape: wholeTextFiles map contract,
   * holistic groupByKey reduce (the reference's sort-gather semantics,
-  * worker.go:153-169), `nReduce`-file sorted text sink.
+  * worker.go:153-169). For the reference's text-file output format,
+  * feed the returned Dataset to an `MRJob(...).writeTextOutput`.
   */
 object JobLoader {
 
