@@ -109,6 +109,15 @@ object EventStreams {
   def purchasesWithRecentErrorsOuter(purchases: DataFrame, errors: DataFrame): DataFrame =
     intervalJoin(purchases, errors, "left_outer")
 
+  /** FULL OUTER stream-stream interval join — both unmatched
+    * purchases AND unmatched errors emit null-padded rows once the
+    * watermark proves their window closed. The rarest-supported join
+    * mode; state bounds are identical to the inner case (both sides
+    * evict at the watermark).
+    */
+  def purchasesWithRecentErrorsFull(purchases: DataFrame, errors: DataFrame): DataFrame =
+    intervalJoin(purchases, errors, "full_outer")
+
   private def intervalJoin(purchases: DataFrame, errors: DataFrame,
       mode: String): DataFrame = {
     val p = purchases.withWatermark("ts", "1 hour")
@@ -122,7 +131,10 @@ object EventStreams {
         && col("e_ts") <= col("p_ts")
         && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
       mode)
-      .select(col("purchase_id"), col("p_user").as("user_id"),
+      // coalesce keeps user_id non-null for error-only rows in the
+      // full-outer mode; p_user is never null in inner/left_outer
+      .select(col("purchase_id"),
+        coalesce(col("p_user"), col("e_user")).as("user_id"),
         col("p_ts"), col("e_ts"), col("purchase_value"), col("error_value"))
   }
 

@@ -169,6 +169,52 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(batch.count(_._2 == -1L) > 0, "fixture has no unmatched purchases")
   }
 
+  test("full-outer interval join: both sides' unmatched rows drain to batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = collectEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val pIn = MemoryStream[Event]
+    val eIn = MemoryStream[Event]
+    val q = purchasesWithRecentErrorsFull(pIn.toDF(), eIn.toDF())
+      .writeStream.format("memory").queryName("parity_ssj_full")
+      .outputMode("append").start()
+    pIn.addData(events.filter(_.event_type == "purchase"))
+    eIn.addData(events.filter(_.event_type == "error"))
+    q.processAllAvailable()
+    val sentinel = Event(-1L, new java.sql.Timestamp(maxTs + 365L * 86400 * 1000),
+      -1L, "sentinel", 0.0)
+    pIn.addData(sentinel); eIn.addData(sentinel)
+    q.processAllAvailable()
+    def rowKey(pid: Any, ets: Any): (Long, Long) =
+      (if (pid == null) -1L else pid.asInstanceOf[Long],
+        if (ets == null) -1L else ets.asInstanceOf[java.sql.Timestamp].getTime)
+    val streamed = spark.table("parity_ssj_full")
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (rowKey(r.get(0), r.get(3)), r.getLong(1))).toSet
+    q.stop()
+    val all = graft.Tables.events(spark, sfDir)
+    val p = all.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val e = all.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val batch = p.join(e,
+        col("p_user") === col("e_user")
+          && col("e_ts") <= col("p_ts")
+          && col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(col("purchase_id"), col("e_ts").cast("timestamp").as("e_ts"),
+        coalesce(col("p_user"), col("e_user")).as("user_id"))
+      .collect()
+      .map(r => (rowKey(r.get(0), r.get(1)), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // the mode is only proven if BOTH unmatched populations exist
+    assert(batch.exists(_._1._1 == -1L), "fixture has no unmatched errors")
+    assert(batch.exists(_._1._2 == -1L), "fixture has no unmatched purchases")
+  }
+
   test("IVF index stream: two-wave incremental build probes identical to batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
