@@ -5,10 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // normalize: "out/" would otherwise put the extras SIBLING dir
-    // ("$outDir-extras") back inside outDir as "out/-extras"; strip
-    // ALL trailing slashes, matching check.py's rstrip('/')
-    val (sfDir, outDir) = (args(0), args(1).replaceAll("/+$", ""))
+    // normalize via java.nio: "out/" must not put the extras SIBLING
+    // dir ("$outDir-extras") back inside outDir as "out/-extras", and
+    // a degenerate outDir ("/", "") has no sibling name at all —
+    // reject it instead of writing a relative "-extras"
+    val sfDir = args(0)
+    val outPath = Paths.get(args(1).replaceAll("/+$", "")).normalize
+    require(outPath.getFileName != null &&
+      outPath.getFileName.toString.nonEmpty,
+      s"outDir '${args(1)}' has no usable directory name")
+    val outDir = outPath.toString
+    val extrasDir = outPath.resolveSibling(
+      outPath.getFileName.toString + "-extras").toString
     // optional 3rd arg: comma-separated query names, for fast local
     // iteration on a subset (driver always runs the full 2-arg form)
     val only = args.lift(2).map(_.split(',').toSet)
@@ -36,7 +44,7 @@ object Verify {
     // "<outDir>-extras" path explicitly
     selected(SparkEntry.extras).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir-extras/$name")
+        .parquet(s"$extrasDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] extra $name failed: ${e.getMessage}")
       }

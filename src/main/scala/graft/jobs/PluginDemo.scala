@@ -4,6 +4,7 @@ import graft.operators.JobLoader
 import java.nio.file.{Files, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The runtime-injection flow as a driver-gated query.
   *
@@ -52,63 +53,95 @@ object PluginDemo {
 
   val className = "graftdemo.WordCount"
 
-  /** Compile [[wordCountJava]] and package the service-manifested jar
-    * (once per JVM). */
-  lazy val jarPath: String = {
+  /** Compile a Java [[graft.operators.UserJob]] source with the JDK
+    * compiler and package it into a ServiceLoader-manifested jar —
+    * the "user ships a compiled artifact" step, reusable by specs
+    * that need a DIFFERENT user job (e.g. the crash-injecting one).
+    * Includes every class file javac emits (inner classes too).
+    */
+  def buildJar(javaSource: String, fqcn: String): String = {
     val work = Files.createTempDirectory("graft-plugin")
-    val srcFile = Files.createDirectories(work.resolve("graftdemo"))
-      .resolve("WordCount.java")
-    Files.writeString(srcFile, wordCountJava)
+    val pkgPath = fqcn.split('.').dropRight(1).mkString("/")
+    val simpleName = fqcn.split('.').last
+    val srcFile = Files.createDirectories(work.resolve(pkgPath))
+      .resolve(simpleName + ".java")
+    Files.writeString(srcFile, javaSource)
     val classesDir = Files.createDirectories(work.resolve("classes"))
     val javac = javax.tools.ToolProvider.getSystemJavaCompiler
     require(javac != null, "JDK compiler unavailable")
     val rc = javac.run(null, null, null,
       "-classpath", System.getProperty("java.class.path"),
       "-d", classesDir.toString, srcFile.toString)
-    require(rc == 0, "javac failed for the plugin demo job")
-    val jar = work.resolve("wordcount-job.jar")
+    require(rc == 0, s"javac failed for user job $fqcn")
+    val jar = work.resolve(simpleName.toLowerCase + "-job.jar")
     val out = new java.util.jar.JarOutputStream(Files.newOutputStream(jar))
     try {
-      out.putNextEntry(new java.util.jar.JarEntry("graftdemo/WordCount.class"))
-      out.write(Files.readAllBytes(classesDir.resolve("graftdemo/WordCount.class")))
-      out.closeEntry()
+      val classFiles = Files.walk(classesDir)
+      try classFiles.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".class"))
+        .foreach { p =>
+          out.putNextEntry(new java.util.jar.JarEntry(
+            classesDir.relativize(p).toString.replace('\\', '/')))
+          out.write(Files.readAllBytes(p))
+          out.closeEntry()
+        }
+      finally classFiles.close()
       out.putNextEntry(
         new java.util.jar.JarEntry("META-INF/services/graft.operators.UserJob"))
-      out.write((className + "\n").getBytes("UTF-8"))
+      out.write((fqcn + "\n").getBytes("UTF-8"))
       out.closeEntry()
     } finally out.close()
     jar.toString
   }
 
+  /** Compile [[wordCountJava]] and package the service-manifested jar
+    * (once per JVM). */
+  lazy val jarPath: String = buildJar(wordCountJava, className)
+
   private val corpusCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Target split size for the corpus render — the reference's own
+    * split-size design point is 16–64 MB per map task (README.MD:58);
+    * we take the midpoint.
+    */
+  val targetSplitBytes: Long = 32L * 1024 * 1024
+
   /** The documents table rendered as the reference's map input: text
-    * files, newline-joined (newline is whitespace, so the token
-    * multiset is exactly the table's). Split count scales with corpus
-    * size (~500 docs per split, min 4) because one file = one map
-    * task (the reference's split model, coordinator.go:185-198) — a
-    * fixed split count would cap map parallelism as the corpus grows,
-    * which the 10× scale smoke measures.
+    * files, one document per line (newline is whitespace, so the
+    * token multiset is exactly the table's). The render is fully
+    * DISTRIBUTED — `repartition(nSplits).write.text` writes every
+    * split from an executor; the driver never holds document text
+    * (the only driver-side scalar is the total byte count). Split
+    * count scales with corpus BYTES to the reference's 16–64 MB
+    * split-size design target (README.MD:58; one file = one map task,
+    * coordinator.go:185-198), so map parallelism grows with the
+    * corpus instead of capping at a fixed file count.
     */
   def corpusGlob(spark: SparkSession, sfDir: String): String =
     corpusCache.computeIfAbsent(sfDir, { _ =>
       // NULL text must vanish here exactly like the oracle's
       // length(word)>0 filter drops it — rendering null would mint a
       // literal "null" token
-      val texts = graft.Tables.documents(spark, sfDir)
-        .select("text").filter(col("text").isNotNull)
-        .collect().map(_.getString(0))
-      val nSplits = math.max(4, texts.length / 500)
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("text")).filter(col("text").isNotNull)
+      val totalBytes = docs
+        .agg(coalesce(sum(octet_length(col("text"))), lit(0L)))
+        .head.getLong(0)
+      val nSplits = math.max(4,
+        ((totalBytes + targetSplitBytes - 1) / targetSplitBytes).toInt)
       val dir: Path = Files.createTempDirectory("graft-plugin-corpus")
-      texts.grouped(math.max(1, (texts.length + nSplits - 1) / nSplits))
-        .zipWithIndex.foreach { case (chunk, i) =>
-          Files.writeString(dir.resolve(s"split-$i.txt"), chunk.mkString("\n"))
-        }
-      // zero-row corpus: wholeTextFiles rejects a glob matching no
-      // files, so materialize one empty split (mapf of "" emits
-      // nothing — the query then returns an empty frame, as required)
-      if (texts.isEmpty) Files.writeString(dir.resolve("split-0.txt"), "")
+      docs.repartition(nSplits).write.mode("overwrite").text(dir.toString)
+      // zero-row corpus: the text sink may emit no part files, and
+      // wholeTextFiles rejects a glob matching no files — materialize
+      // one empty split (mapf of "" emits nothing — the query then
+      // returns an empty frame, as required)
+      val listing = Files.list(dir)
+      val anyTxt =
+        try listing.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".txt"))
+        finally listing.close()
+      if (!anyTxt) Files.writeString(dir.resolve("split-0.txt"), "")
       dir.toString
     }) + "/*.txt"
 

@@ -11,21 +11,36 @@ import org.apache.spark.sql.functions._
   * [[asof]]: for each left row, the LATEST right row of the same key
   * with `rightTime <= leftTime` (inclusive) — DuckDB `ASOF LEFT JOIN`
   * (the test oracle), kdb `aj`. [[asofForward]]: the EARLIEST right
-  * row with `rightTime >= leftTime`, optionally bounded by a
-  * tolerance — pandas `merge_asof(direction='forward', tolerance=…)`,
-  * the shape a feature-store backfill needs so a "next event" can't
-  * leak in from arbitrarily far ahead.
+  * row with `rightTime >= leftTime`. Both accept a tolerance — a
+  * match further than `toleranceMicros` from the left time is nulled
+  * out (pandas `merge_asof(tolerance=…)`, the shape a feature-store
+  * backfill needs so a stale quote or a far-future "next event" can't
+  * leak in).
   *
   * Physical shape (both directions): one hash shuffle on the key +
   * one in-partition sort over (time, side-tag), then a running
   * `last(right_payload, ignoreNulls)` window — the textbook
   * distributed as-of algorithm. At 100 TB this is a single exchange
   * of each side, no n×m work, and the window never buffers more than
-  * one right payload per row. Skewed keys (one user with millions of
-  * events) salt-split cleanly because the window only needs per-key
-  * time order within the salt if the right side is replicated per
-  * salt. The forward tolerance is a map-side null-out after the
-  * window — no extra shuffle.
+  * one right payload per row. The tolerance is a map-side null-out
+  * after the window — no extra shuffle.
+  *
+  * Skew: `Window.partitionBy(key)` serializes a hot key (one user
+  * with millions of events) into ONE task's sort+window. [[asofSalted]]
+  * is the salted variant for that case: the left side fans out over a
+  * deterministic salt, the right side is replicated per salt, and the
+  * union-window runs within (key, salt) — per-task work drops to
+  * ~1/nSalts of the hot key at the cost of nSalts× the (usually much
+  * smaller) right side. Row-identical to [[asof]] (proven by the
+  * planted hot-key spec).
+  *
+  * Time columns: tolerance comparison goes through
+  * [[graft.Tables.epochMicros]], which casts to TimestampType first —
+  * exact for TIMESTAMP and TIMESTAMP_NTZ columns alike (UTC session),
+  * but a NUMERIC time column is interpreted as epoch SECONDS by that
+  * cast (Spark semantics). Callers with epoch-micros LONG columns
+  * must either convert to timestamps or scale the tolerance to
+  * seconds.
   */
 object AsOfJoin {
 
@@ -39,11 +54,15 @@ object AsOfJoin {
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`
     * @param prefix    prefix for right-side columns in the output
+    * @param toleranceMicros null out matches older than this (see
+    *                  object scaladoc for numeric-column caveat)
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, prefix: String = "asof_"): DataFrame =
+      leftTime: String, rightTime: String, prefix: String = "asof_",
+      toleranceMicros: Long = Long.MaxValue): DataFrame =
     unionWindow(left, right, key, leftTime, rightTime, prefix,
-      descending = false, toleranceMicros = None)
+      descending = false,
+      if (toleranceMicros == Long.MaxValue) None else Some(toleranceMicros))
 
   /** Forward as-of: earliest right row at-or-after each left row; a
     * match further ahead than `toleranceMicros` is nulled out. Same
@@ -55,11 +74,49 @@ object AsOfJoin {
     unionWindow(left, right, key, leftTime, rightTime, prefix,
       descending = true, toleranceMicros = Some(toleranceMicros))
 
+  /** Hot-key-safe backward as-of. Row-identical to [[asof]]; the
+    * difference is physical: left rows are fanned over a DETERMINISTIC
+    * salt (hash of the whole row — salt choice can never change the
+    * result, only placement, and determinism keeps task retries
+    * exact), the right side is replicated once per salt, and the
+    * union-window partitions by (key, salt). A key holding 50% of the
+    * left side becomes nSalts window partitions of ~1/nSalts each
+    * instead of one straggler task. Cost: the right side shuffles
+    * nSalts× — the right tradeoff when the left side is the big,
+    * skewed one (events vs reference data, the common as-of shape).
+    */
+  def asofSalted(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, prefix: String = "asof_",
+      toleranceMicros: Long = Long.MaxValue, nSalts: Int = 16): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val l2 = left.withColumn("_asof_salt", saltCol(left, nSalts))
+    val r2 = right.withColumn("_asof_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    def keyed(df: DataFrame): DataFrame =
+      df.withColumn("_sk", struct(col(key), col("_asof_salt")))
+        .drop(key, "_asof_salt")
+    val out = unionWindow(keyed(l2), keyed(r2), "_sk", leftTime, rightTime,
+      prefix, descending = false,
+      if (toleranceMicros == Long.MaxValue) None else Some(toleranceMicros))
+    val leftRest = left.columns.filter(_ != key).toSeq.map(col)
+    val rightPref = right.columns.filter(_ != key).toSeq
+      .map(c => col(prefix + c))
+    out.select((col("_sk").getField(key).as(key) +: leftRest) ++ rightPref: _*)
+  }
+
+  /** Deterministic per-row salt in [0, nSalts): xxhash64 over every
+    * column. Exposed for the planted-skew spec, which asserts the hot
+    * key genuinely spreads across salts.
+    */
+  def saltCol(df: DataFrame, nSalts: Int): Column =
+    pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(nSalts.toLong)).cast("int")
+
   /** Shared core: tag-union both sides, run the time-ordered window
     * (ascending = backward as-of, descending = forward), keep left
     * rows, unpack. Tag 0 sorts before tag 1 at equal times in either
     * direction, so a right row at t is visible to a left row at the
-    * same t — the inclusive bound.
+    * same t — the inclusive bound. Tolerance is direction-aware:
+    * backward measures `leftTime - matchTime`, forward the reverse.
     */
   private def unionWindow(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, prefix: String,
@@ -87,8 +144,9 @@ object AsOfJoin {
       case None => matchedRaw
       case Some(tol) =>
         // NTZ-safe micros compare; NULL match falls through to null
-        when(matchedRaw.isNotNull &&
-            us(matchedRaw.getField(rightTime)) - us(col("_t")) <= tol,
+        val mt = us(matchedRaw.getField(rightTime))
+        val gap = if (descending) mt - us(col("_t")) else us(col("_t")) - mt
+        when(matchedRaw.isNotNull && gap <= tol,
           matchedRaw).otherwise(lit(null).cast(rType))
     }
     val joined = l2.unionByName(r2)

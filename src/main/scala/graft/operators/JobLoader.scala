@@ -116,20 +116,32 @@ object JobLoader {
   // reference, where each worker process owns its plugin instance.
 
   private val cache = ThreadLocal.withInitial(
-    () => collection.mutable.Map.empty[(String, String), UserJob])
+    () => collection.mutable.Map.empty[(JarId, String), UserJob])
+
+  // loaders (and instances) key on the jar's identity, not just its
+  // path: a jar REBUILT at the same path (iterative plugin dev in one
+  // session) gets a fresh loader instead of stale classes served for
+  // the JVM lifetime
+  private case class JarId(path: String, size: Long, lastModified: Long)
+
+  private def jarId(jarPath: String): JarId = {
+    val f = new java.io.File(jarPath)
+    JarId(jarPath, f.length(), f.lastModified())
+  }
 
   private val loaders =
-    new java.util.concurrent.ConcurrentHashMap[String, ClassLoader]()
+    new java.util.concurrent.ConcurrentHashMap[JarId, ClassLoader]()
 
   private def instance(jarPath: String, className: String): UserJob =
-    cache.get().getOrElseUpdate((jarPath, className), {
+    cache.get().getOrElseUpdate((jarId(jarPath), className), {
       val cls =
         try Class.forName(className, true, taskLoader())
         catch { case _: ClassNotFoundException =>
           // local mode / driver side: load straight from the jar file
-          // (one loader per jar per JVM, so all threads share classes)
+          // (one loader per jar version per JVM, so all threads share
+          // classes)
           Class.forName(className, true,
-            loaders.computeIfAbsent(jarPath, freshLoader(_)))
+            loaders.computeIfAbsent(jarId(jarPath), _ => freshLoader(jarPath)))
         }
       cls.getDeclaredConstructor().newInstance().asInstanceOf[UserJob]
     })

@@ -46,6 +46,25 @@ object Advanced {
       prefix = "next_", toleranceMicros = 3600000000L)
   }
 
+  /** The same point-in-time join through [[AsOfJoin.asofSalted]] —
+    * result identical to [[asofPurchaseError]] (and checked against
+    * the SAME DuckDB ASOF oracle); the point is the skew-safe
+    * physical shape: the left side fans over 8 deterministic salts,
+    * the right side replicates per salt, so a hot user's events
+    * spread over 8 window partitions instead of one straggler task.
+    */
+  def asofPurchaseErrorSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts").as("err_ts"))
+      .agg(max(col("value")).as("err_value"))
+      .select(col("user_id"), col("err_ts"), col("err_value"))
+    AsOfJoin.asofSalted(purchases, errors, "user_id", "ts", "err_ts",
+      nSalts = 8)
+  }
+
   /** Every purchase inside the 5-minute window after an error of the
     * same user — a point-in-interval range join, bin-bucketed so the
     * physical plan is a SortMergeJoin on (user_id, time-bin) instead
@@ -206,6 +225,7 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> asofPurchaseError _,
+    "q_asof_salted" -> asofPurchaseErrorSalted _,
     "q_asof_forward" -> asofNextPurchase _,
     "q_fuzzy_join" -> fuzzyNameJoin _,
     "q_range_join" -> rangeJoinErrorWindow _,
@@ -231,6 +251,17 @@ object Advanced {
         |  ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4""".stripMargin,
     "q_asof_join" ->
+      """SELECT p.user_id, p.event_id, p.ts, p.value,
+        |  e.err_ts AS asof_err_ts, e.err_value AS asof_err_value
+        |FROM (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, max(value) AS err_value
+        |                FROM events WHERE event_type = 'error'
+        |                GROUP BY user_id, ts) e
+        |  ON p.user_id = e.user_id AND p.ts >= e.err_ts""".stripMargin,
+    // the salted variant must land on the IDENTICAL oracle result —
+    // salting is a physical rewrite, not a semantic one
+    "q_asof_salted" ->
       """SELECT p.user_id, p.event_id, p.ts, p.value,
         |  e.err_ts AS asof_err_ts, e.err_value AS asof_err_value
         |FROM (SELECT user_id, event_id, ts, value FROM events

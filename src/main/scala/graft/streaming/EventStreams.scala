@@ -138,6 +138,97 @@ object EventStreams {
         col("p_ts"), col("e_ts"), col("purchase_value"), col("error_value"))
   }
 
+  case class AsofTagged(user_id: Long, ts: java.sql.Timestamp,
+      isPurchase: Boolean, event_id: Long, value: Double)
+
+  case class AsofOut(purchase_id: Long, user_id: Long,
+      p_ts: java.sql.Timestamp, err_ts: Option[java.sql.Timestamp],
+      purchase_value: Double, err_value: Option[Double])
+
+  /** State: un-finalized purchases as (micros, event_id, value) and
+    * candidate errors as (micros, value), both per user. */
+  case class AsofState(purchases: List[(Long, Long, Double)],
+      errors: List[(Long, Double)])
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000L) / 1000L * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L)).toInt * 1000)
+    t
+  }
+
+  /** Stream-stream AS-OF: each purchase enriched with the LATEST
+    * error of the same user at-or-before it, within `horizonMicros` —
+    * the streaming twin of [[graft.operators.AsOfJoin.asof]] with a
+    * tolerance (the batch parity oracle in StreamBatchParitySpec).
+    *
+    * Spark has no native streaming as-of (window functions don't run
+    * on streams), so this is `flatMapGroupsWithState` over a tagged
+    * union keyed by user: a purchase can only be FINALIZED once the
+    * watermark passes its event time — before that, an older error
+    * could still arrive and change "latest preceding". Emission is
+    * therefore watermark-driven (like the outer interval join's null
+    * rows), and the same watermark bounds state: a buffered purchase
+    * lives until the watermark passes it, a candidate error until
+    * `err_ts + horizon` falls behind the watermark (it can then never
+    * match a pending or future purchase, since those all sit at or
+    * ahead of the watermark). State is O(in-flight events per user
+    * within the horizon) — the price of exact as-of semantics on an
+    * out-of-order stream, and the reason the horizon is part of the
+    * operator contract rather than an optional nicety.
+    */
+  def asofEnrichStream(purchases: DataFrame, errors: DataFrame,
+      horizonMicros: Long = 3600000000L,
+      watermarkDelay: String = "1 hour"): Dataset[AsofOut] = {
+    import purchases.sparkSession.implicits._
+    val hz = horizonMicros
+    def tag(df: DataFrame, isPurchase: Boolean): Dataset[AsofTagged] =
+      df.select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        lit(isPurchase).as("isPurchase"), col("event_id"), col("value"))
+        .as[AsofTagged]
+
+    def fn(userId: Long, batch: Iterator[AsofTagged],
+        state: GroupState[AsofState]): Iterator[AsofOut] = {
+      val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+      var pend = st.purchases
+      var errs = st.errors
+      batch.foreach { r =>
+        val us = micros(r.ts)
+        if (r.isPurchase) pend ::= ((us, r.event_id, r.value))
+        else errs ::= ((us, r.value))
+      }
+      val wmMs = state.getCurrentWatermarkMs()
+      val wmUs = wmMs * 1000L
+      // a purchase finalizes once no error at-or-before it can still
+      // arrive: strictly older than the watermark (ms granularity)
+      val (done, stillPending) = pend.partition(_._1 / 1000L < wmMs)
+      val out = done.sortBy(p => (p._1, p._2)).map { case (pUs, id, v) =>
+        val m = errs.filter(e => e._1 <= pUs && pUs - e._1 <= hz)
+        val best = if (m.isEmpty) None else Some(m.maxBy(_._1))
+        AsofOut(id, userId, tsOfMicros(pUs), best.map(b => tsOfMicros(b._1)),
+          v, best.map(_._2))
+      }
+      val keepErrs = errs.filter(e => e._1 + hz >= wmUs)
+      if (stillPending.isEmpty && keepErrs.isEmpty) state.remove()
+      else {
+        state.update(AsofState(stillPending, keepErrs))
+        val next = (stillPending.map(_._1 / 1000L) ++
+          keepErrs.map(e => (e._1 + hz) / 1000L + 1L)).min
+        state.setTimeoutTimestamp(math.max(next, wmMs + 1L))
+      }
+      out.iterator
+    }
+
+    tag(purchases, isPurchase = true)
+      .union(tag(errors, isPurchase = false))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming change-log compaction — the streaming twin of
     * [[graft.operators.Compaction.latestPerKey]]: per-key
     * latest-wins state via `flatMapGroupsWithState`, emitting a key's

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class AsOfJoinSpec extends SparkSpec {
 
@@ -44,6 +45,65 @@ class AsOfJoinSpec extends SparkSpec {
       (1, 20, "L20", 20, "R20"),         // tie at t=20 is inclusive
       (1, 25, "L25", null, null),        // nothing at or after t=25
       (2, 15, "L15", null, null)))       // right row is before
+  }
+
+  test("asof tolerance: stale matches beyond the horizon are nulled, not shifted") {
+    import spark.implicits._
+    // int times cast to timestamps as SECONDS; tolerance is micros
+    val left = Seq((1, 20, "a"), (1, 100, "b")).toDF("k", "t", "lv")
+    val right = Seq((1, 14, "old")).toDF("k", "rt", "rv")
+    val got = AsOfJoin.asof(left, right, "k", "t", "rt",
+        toleranceMicros = 10L * 1000000)  // 10 seconds
+      .collect()
+      .map(r => (r.getInt(1), if (r.isNullAt(4)) null else r.getString(4))).toSet
+    // t=20 -> rt=14 is 6s stale (inside); t=100 -> 86s stale: NULL
+    assert(got == Set((20, "old"), (100, null)))
+  }
+
+  test("asofSalted: row-identical to asof under a planted hot key, which genuinely splits") {
+    import spark.implicits._
+    val hotN = 2000
+    val nSalts = 16
+    // one key holds 50% of the left side — the skew shape that
+    // serializes the unsalted window into a single task
+    val left = ((1 to hotN).map(i => (7L, i * 10, s"hot$i")) ++
+      (1 to hotN).map(i => ((100 + i % 50).toLong, i * 10, s"cold$i")))
+      .toDF("k", "t", "lv")
+    val right = ((0 to 200).map(b => (7L, b * 97, s"r7-$b")) ++
+      (100 to 149).map(k => (k.toLong, 5000, s"r$k")))
+      .toDF("k", "rt", "rv")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) null else r.getString(4))
+    val plain = AsOfJoin.asof(left, right, "k", "t", "rt")
+      .collect().map(key).toSet
+    val salted = AsOfJoin.asofSalted(left, right, "k", "t", "rt",
+      nSalts = nSalts).collect().map(key).toSet
+    assert(salted == plain,
+      s"salted-only: ${(salted -- plain).take(3)}; plain-only: ${(plain -- salted).take(3)}")
+    // the physical claim: the hot key's left rows spread across salts,
+    // so no (key, salt) window partition holds more than ~2/nSalts of
+    // the hot key — the per-task work bound salting exists to buy
+    val buckets = left.withColumn("_s", AsOfJoin.saltCol(left, nSalts))
+      .groupBy(col("k"), col("_s")).count().collect()
+    val hotBuckets = buckets.filter(_.getLong(0) == 7L)
+    assert(hotBuckets.length >= nSalts / 2,
+      s"hot key landed in only ${hotBuckets.length} of $nSalts salts")
+    val maxHot = hotBuckets.map(_.getLong(2)).max
+    assert(maxHot <= 2L * hotN / nSalts,
+      s"largest hot (key,salt) bucket $maxHot exceeds 2x the even share ${hotN / nSalts}")
+  }
+
+  test("asofSalted: tolerance and null-match behavior survive the salted path") {
+    import spark.implicits._
+    val left = Seq((1, 5, "early"), (1, 20, "a"), (1, 100, "b")).toDF("k", "t", "lv")
+    val right = Seq((1, 14, "old"), (2, 1, "other")).toDF("k", "rt", "rv")
+    val got = AsOfJoin.asofSalted(left, right, "k", "t", "rt",
+        toleranceMicros = 10L * 1000000, nSalts = 4)
+      .collect()
+      .map(r => (r.getInt(1), if (r.isNullAt(4)) null else r.getString(4))).toSet
+    assert(got == Set((5, null), (20, "old"), (100, null)))
   }
 
   test("asofForward tolerance: matches beyond the horizon are nulled, not shifted") {

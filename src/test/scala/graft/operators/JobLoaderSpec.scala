@@ -39,6 +39,81 @@ class JobLoaderSpec extends SparkSpec {
     }
   }
 
+  test("runtime-loaded job feeds writeTextOutput: nReduce files, key-sorted 'key value' lines") {
+    // closes the reference loop for the plugin path END TO END: not
+    // just the result multiset but the mr-out-Y file shape
+    // (README.MD:43-53, worker.go:167) from a runtime-loaded jar
+    val result = JobLoader.runDiscovered(spark, PluginDemo.jarPath,
+      PluginDemo.corpusGlob(spark, sf001))
+    val sink = MRJob[String, String, String](
+      (_, _) => Nil, (_, _) => "", nReduce = 4)
+    val dir = Files.createTempDirectory("pluginout").toString
+    sink.writeTextOutput(result, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 4, s"expected nReduce=4 files, got ${parts.length}")
+    val perFile = parts.map { f =>
+      scala.io.Source.fromFile(f).getLines().map { line =>
+        val Array(k, v) = line.split(" ", 2) // "key value" (worker.go:167)
+        (k, v.toLong)
+      }.toSeq
+    }
+    perFile.foreach { kvs =>
+      assert(kvs.map(_._1) == kvs.map(_._1).sorted,
+        "keys must be sorted within each output file")
+    }
+    val expected = graft.jobs.CanonicalJobs.wordcount(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perFile.flatten.toMap == expected,
+      "the text-sink multiset must equal the wordcount oracle")
+    assert(perFile.map(_.size).sum == expected.size, "no key appears twice")
+  }
+
+  test("a user job that crashes on its first mapf call retries to the exact oracle result") {
+    // the 6.824 crash test carried to the runtime-injection surface:
+    // a FOREIGN-classloader job dies mid-map; local[4, 2] task retry
+    // must land on the exact wordcount result. The crash gate is an
+    // atomic marker-file create, not static state — classloader
+    // duplication (task loader vs fallback loader) can't re-arm it.
+    val marker = Files.createTempDirectory("plugincrash")
+      .resolve("crashed.marker").toString
+    val crashyJava =
+      s"""package graftdemo;
+         |import graft.operators.KeyValue;
+         |import graft.operators.UserJob;
+         |import java.util.ArrayList;
+         |import java.util.List;
+         |public class CrashyWordCount implements UserJob {
+         |  public List<KeyValue> mapf(String filename, String contents) {
+         |    boolean first;
+         |    try { first = new java.io.File("$marker").createNewFile(); }
+         |    catch (Exception e) { first = false; }
+         |    if (first)
+         |      throw new RuntimeException("injected plugin crash (first attempt)");
+         |    List<KeyValue> out = new ArrayList<>();
+         |    for (String w : contents.split("\\\\s+"))
+         |      if (!w.isEmpty()) out.add(new KeyValue(w, "1"));
+         |    return out;
+         |  }
+         |  public String reducef(String key, List<String> values) {
+         |    long n = 0;
+         |    for (String v : values) n += Long.parseLong(v);
+         |    return Long.toString(n);
+         |  }
+         |}
+         |""".stripMargin
+    val jar = PluginDemo.buildJar(crashyJava, "graftdemo.CrashyWordCount")
+    val got = JobLoader.run(spark, jar, "graftdemo.CrashyWordCount",
+        PluginDemo.corpusGlob(spark, sf001))
+      .collect().map { case (w, n) => (w, n.toLong) }.toMap
+    assert(new java.io.File(marker).exists(),
+      "the injected crash must have actually fired")
+    val expected = graft.jobs.CanonicalJobs.wordcount(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      "retried plugin job must reproduce the exact wordcount oracle")
+  }
+
   test("explicit class name works without discovery and across repeated runs") {
     val jar = PluginDemo.jarPath
     val glob = PluginDemo.corpusGlob(spark, sf001)

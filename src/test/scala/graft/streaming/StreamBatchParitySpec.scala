@@ -215,6 +215,68 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(batch.exists(_._1._2 == -1L), "fixture has no unmatched purchases")
   }
 
+  test("as-of stream: drained purchases carry the latest preceding error within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = collectEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    // errors pre-aggregated to one row per (user, instant) — the same
+    // tie-break discipline as the batch q_asof_join oracle
+    val errAgg = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+      .select(lit(-1L).as("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), lit("error").as("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val pIn = MemoryStream[Event]
+    val eIn = MemoryStream[Event]
+    val q = EventStreams.asofEnrichStream(pIn.toDF(), eIn.toDF())
+      .writeStream.format("memory").queryName("parity_asof")
+      .outputMode("append").start()
+    pIn.addData(events.filter(_.event_type == "purchase"))
+    eIn.addData(errAgg)
+    q.processAllAvailable()
+    // a purchase only finalizes when the watermark passes it: drain by
+    // pushing BOTH streams a year ahead
+    val sentinel = Event(-1L, new java.sql.Timestamp(maxTs + 365L * 86400 * 1000),
+      -1L, "sentinel", 0.0)
+    pIn.addData(sentinel); eIn.addData(sentinel)
+    q.processAllAvailable()
+    val streamed = spark.table("parity_asof")
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+        if (r.isNullAt(3)) -1L else r.getTimestamp(3).getTime,
+        math.round(r.getDouble(4) * 100),
+        if (r.isNullAt(5)) Long.MinValue else math.round(r.getDouble(5) * 100)))
+      .toSet
+    q.stop()
+    // batch twin: the tolerance-bounded backward as-of over the same frames
+    val ev = graft.Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val errRef = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts").as("err_ts"))
+      .agg(max(col("value")).as("err_value"))
+    val batch = graft.operators.AsOfJoin.asof(purchases, errRef,
+        "user_id", "ts", "err_ts", toleranceMicros = 3600000000L)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("asof_err_ts").cast("timestamp").as("asof_err_ts"),
+        col("value"), col("asof_err_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        if (r.isNullAt(2)) -1L else r.getTimestamp(2).getTime,
+        math.round(r.getDouble(3) * 100),
+        if (r.isNullAt(4)) Long.MinValue else math.round(r.getDouble(4) * 100)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // the fixture must exercise both populations for the test to mean
+    // anything: enriched purchases AND no-error-in-horizon purchases
+    assert(batch.exists(_._3 != -1L), "fixture has no enriched purchases")
+    assert(batch.exists(_._3 == -1L), "fixture has no horizon-missing purchases")
+  }
+
   test("IVF index stream: two-wave incremental build probes identical to batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
