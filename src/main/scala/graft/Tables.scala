@@ -19,8 +19,21 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+
+  /** `o_orderdate` / `l_shipdate` are the same hazard class as
+    * `events.ts` (driver-generated parquet timestamps, re-encodable
+    * between rounds) — route them through the SAME [[normalizeTs]]
+    * dispatch, so a nanos or NTZ regeneration changes behavior in one
+    * place. EncodingDriftSpec locks this in on the real fixtures.
+    */
+  def orders(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(table(s, d, "orders"), "o_orderdate")
+  }
+  def lineitem(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(table(s, d, "lineitem"), "l_shipdate")
+  }
 
   /** The driver has generated `events.ts` under three different
     * parquet encodings across rounds: TIMESTAMP(NANOS) (Spark 4
@@ -67,6 +80,37 @@ object Tables {
     import org.apache.spark.sql.functions._
     unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Normalize a text column that a regeneration could ship as plain
+    * parquet BYTE_ARRAY (no UTF8 annotation → Spark BinaryType): cast
+    * back to string, so `getString` collects and every string builtin
+    * keep working. No-op on today's string encoding.
+    */
+  def normalizeText(df: DataFrame, name: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    df.schema(name).dataType match {
+      case BinaryType => df.withColumn(name,
+        df.col(name).cast(StringType))
+      case _ => df
+    }
+  }
+
+  /** Normalize an embedding column a regeneration could widen to
+    * `list<double>`: cast back to `array<float>` (lossless for
+    * float-valued data widened on write), so `getSeq[Float]` collects
+    * and the float-typed similarity kernels keep working. No-op on
+    * today's float encoding.
+    */
+  def normalizeEmbedding(df: DataFrame, name: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    df.schema(name).dataType match {
+      case ArrayType(DoubleType, n) =>
+        df.withColumn(name, df.col(name).cast(ArrayType(FloatType, n)))
+      case _ => df
+    }
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    normalizeText(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    normalizeEmbedding(table(s, d, "embeddings"))
 }
