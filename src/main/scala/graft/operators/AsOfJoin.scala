@@ -74,6 +74,68 @@ object AsOfJoin {
     unionWindow(left, right, key, leftTime, rightTime, prefix,
       descending = true, toleranceMicros = Some(toleranceMicros))
 
+  /** Nearest as-of: for each left row, the right row of the same key
+    * CLOSEST in time in either direction (pandas `merge_asof`
+    * direction='nearest'). Backward wins ties (equal gaps), and the
+    * backward bound is inclusive while the forward one is strict —
+    * an exact-time right row is therefore always found, with gap 0,
+    * via the backward leg. A chosen match further than
+    * `toleranceMicros` is nulled out; because the CLOSER direction is
+    * chosen first, tolerance-after-choice equals tolerance-per-leg
+    * (if the nearer gap exceeds the tolerance, so does the farther).
+    *
+    * Physical shape: the SAME single exchange + single sort as
+    * [[asof]] — both directions come out of one window sort, as two
+    * frames (running `last` up to the row, running `first` after it)
+    * over the identical (key, time, tag) ordering, which Spark plans
+    * as ONE Window operator. Nearest costs no more than backward.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, prefix: String = "asof_",
+      toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    val lCols = left.columns.filter(_ != key).toSeq
+    val rCols = right.columns.filter(_ != key).toSeq
+    val lStruct = struct(lCols.map(col): _*)
+    val rStruct = struct(rCols.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    val l2 = left.select(col(key).as("_k"), col(leftTime).as("_t"),
+      lit(1).as("_tag"), lStruct.as("_lp"), lit(null).cast(rType).as("_rp"))
+    val r2 = right.select(col(key).as("_k"), col(rightTime).as("_t"),
+      lit(0).as("_tag"), lit(null).cast(lType).as("_lp"), rStruct.as("_rp"))
+
+    // one partitioning + ordering, two frames — a single Window exec
+    val ord = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_tag").asc)
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val us = (c: Column) => graft.Tables.epochMicros(c)
+    val back = last(col("_rp"), ignoreNulls = true).over(wBack)
+    val fwd = first(col("_rp"), ignoreNulls = true).over(wFwd)
+    val backGap = us(col("_t")) - us(back.getField(rightTime))
+    val fwdGap = us(fwd.getField(rightTime)) - us(col("_t"))
+    val nearer = when(back.isNotNull &&
+        (fwd.isNull || backGap <= fwdGap), back)
+      .otherwise(fwd)
+    val joined = l2.unionByName(r2)
+      .withColumn("_near", nearer)
+      .withColumn("_gap",
+        abs(us(col("_near").getField(rightTime)) - us(col("_t"))))
+      .filter(col("_tag") === 1)
+    val matched =
+      if (toleranceMicros == Long.MaxValue) col("_near")
+      else when(col("_near").isNotNull && col("_gap") <= toleranceMicros,
+        col("_near")).otherwise(lit(null).cast(rType))
+
+    val outLeft: Seq[Column] =
+      col("_k").as(key) +: lCols.map(c => col("_lp").getField(c).as(c))
+    val outRight: Seq[Column] =
+      rCols.map(c => matched.getField(c).as(prefix + c))
+    joined.select(outLeft ++ outRight: _*)
+  }
+
   /** Hot-key-safe backward as-of. Row-identical to [[asof]]; the
     * difference is physical: left rows are fanned over a DETERMINISTIC
     * salt (hash of the whole row — salt choice can never change the

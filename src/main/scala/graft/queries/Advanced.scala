@@ -46,6 +46,26 @@ object Advanced {
       prefix = "next_", toleranceMicros = 3600000000L)
   }
 
+  /** For every click event, the NEAREST error of the same user in
+    * EITHER direction, within 30 minutes — [[AsOfJoin.asofNearest]]
+    * (pandas `merge_asof` direction='nearest'; backward wins ties).
+    * Errors pre-aggregated per (user, instant) as in the other as-of
+    * queries. The oracle composes DuckDB's backward (`>=`) and
+    * strictly-forward (`<`) ASOF joins and picks the closer match —
+    * the same tie/inclusivity contract the operator documents.
+    */
+  def asofNearestError(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts").as("err_ts"))
+      .agg(max(col("value")).as("err_value"))
+      .select(col("user_id"), col("err_ts"), col("err_value"))
+    AsOfJoin.asofNearest(clicks, errors, "user_id", "ts", "err_ts",
+      prefix = "near_", toleranceMicros = 1800000000L)
+  }
+
   /** The same point-in-time join through [[AsOfJoin.asofSalted]] —
     * result identical to [[asofPurchaseError]] (and checked against
     * the SAME DuckDB ASOF oracle); the point is the skew-safe
@@ -227,6 +247,7 @@ object Advanced {
     "q_asof_join" -> asofPurchaseError _,
     "q_asof_salted" -> asofPurchaseErrorSalted _,
     "q_asof_forward" -> asofNextPurchase _,
+    "q_asof_nearest" -> asofNearestError _,
     "q_fuzzy_join" -> fuzzyNameJoin _,
     "q_range_join" -> rangeJoinErrorWindow _,
     "q_interval_overlap" -> intervalOverlapWindows _,
@@ -286,6 +307,40 @@ object Advanced {
         |      WHERE event_type = 'error') e
         |ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts <= p.p_ts""".stripMargin,
+    // nearest = pick the closer of the backward (inclusive >=) and
+    // strictly-forward (<) ASOF legs; backward wins gap ties; 30-min
+    // tolerance nulls the chosen match (tolerance-after-choice ==
+    // tolerance-per-leg because the nearer leg is chosen first)
+    "q_asof_nearest" ->
+      """WITH err AS (SELECT user_id, ts AS err_ts, max(value) AS err_value
+        |             FROM events WHERE event_type = 'error'
+        |             GROUP BY user_id, ts),
+        |c AS (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT c.user_id, c.event_id, c.ts,
+        |             e.err_ts AS b_ts, e.err_value AS b_val
+        |      FROM c ASOF LEFT JOIN err e
+        |        ON c.user_id = e.user_id AND c.ts >= e.err_ts),
+        |f AS (SELECT c.user_id, c.event_id,
+        |             e.err_ts AS f_ts, e.err_value AS f_val
+        |      FROM c ASOF LEFT JOIN err e
+        |        ON c.user_id = e.user_id AND c.ts < e.err_ts),
+        |n AS (SELECT b.user_id, b.event_id, b.ts,
+        |             CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+        |                    epoch_us(b.ts) - epoch_us(b.b_ts)
+        |                      <= epoch_us(f.f_ts) - epoch_us(b.ts))
+        |                  THEN b.b_ts ELSE f.f_ts END AS near_ts,
+        |             CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+        |                    epoch_us(b.ts) - epoch_us(b.b_ts)
+        |                      <= epoch_us(f.f_ts) - epoch_us(b.ts))
+        |                  THEN b.b_val ELSE f.f_val END AS near_val
+        |      FROM b JOIN f USING (user_id, event_id))
+        |SELECT user_id, event_id, ts,
+        |  CASE WHEN abs(epoch_us(near_ts) - epoch_us(ts)) <= 1800000000
+        |       THEN near_ts END AS near_err_ts,
+        |  CASE WHEN abs(epoch_us(near_ts) - epoch_us(ts)) <= 1800000000
+        |       THEN near_val END AS near_err_value
+        |FROM n""".stripMargin,
     "q_range_join" ->
       """SELECT p.user_id, p.event_id, p.ts, e.err_ts
         |FROM (SELECT user_id, event_id, ts FROM events

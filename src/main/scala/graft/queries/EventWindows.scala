@@ -257,8 +257,68 @@ object EventWindows {
       .withColumn("is_anomaly", abs(col("z")) >= 3.0)
   }
 
+  /** Max / end-of-hour CONCURRENT sessions per hour — the sweep-line
+    * interval aggregation (how many user sessions are open at once):
+    * each gap-sessionized session [first, last event] becomes a +1
+    * delta at its start and a −1 just after its end (closed
+    * interval), and concurrency at t is the running sum of deltas
+    * ≤ t. Naively that running sum is ONE global sort — a scale
+    * killer — so it is decomposed into the two-level prefix sum (the
+    * [[graft.llm.Pack]] discipline): deltas pre-aggregate per exact
+    * instant, running sums run WITHIN each hour bucket (hash-
+    * partitioned by hour), and only the per-hour delta totals — one
+    * row per hour, O(time-range), never O(events) — cross the final
+    * single-partition carry window. Max concurrency in an hour =
+    * carry-in + max(0, max within-hour running sum) because the hour
+    * starts at carry-in and concurrency only changes at boundaries.
+    * The hour is the bucket dial: a corpus with billions of
+    * boundaries per hour shrinks it to minutes, growing the spine
+    * window linearly while shrinking the partitions.
+    *
+    * All-integer arithmetic end to end (micros, counts) — exact
+    * cross-engine.
+    */
+  def concurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byUser = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val hourUs = 3600000000L
+    val sess = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        Tables.epochMicros(col("ts"))
+          - lag(Tables.epochMicros(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("brk")).over(byUser.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(Tables.epochMicros(col("ts"))).as("s_us"),
+        (max(Tables.epochMicros(col("ts"))) + lit(1L)).as("e_us"))
+    val deltas = sess.select(col("s_us").as("us"), lit(1L).as("d"))
+      .unionAll(sess.select(col("e_us").as("us"), lit(-1L).as("d")))
+      .groupBy(col("us")).agg(sum(col("d")).as("d"))
+      .withColumn("hour_us", col("us") - col("us") % lit(hourUs))
+    val inHour = W.partitionBy(col("hour_us")).orderBy(col("us"))
+      .rowsBetween(Long.MinValue, 0)
+    val perHour = deltas
+      .withColumn("run", sum(col("d")).over(inHour))
+      .groupBy(col("hour_us"))
+      .agg(sum(col("d")).as("hour_delta"), max(col("run")).as("max_run"))
+    // the only single-partition window: O(hours) rows of two longs
+    val spine = W.orderBy(col("hour_us")).rowsBetween(Long.MinValue, -1)
+    perHour
+      .withColumn("carry_in",
+        coalesce(sum(col("hour_delta")).over(spine), lit(0L)))
+      .select(timestamp_micros(col("hour_us")).as("hour_start"),
+        (col("carry_in") + greatest(col("max_run"), lit(0L)))
+          .as("max_concurrency"),
+        (col("carry_in") + col("hour_delta")).as("end_concurrency"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> hourly _,
+    "q_events_concurrency" -> concurrency _,
     "q_events_ewma" -> ewma _,
     "q_events_anomaly" -> anomalies _,
     "q_events_entry_exit" -> entryExit _,
@@ -284,6 +344,47 @@ object EventWindows {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // sweep-line concurrency: same gap sessionization as entry_exit,
+    // then +1/-1 deltas, per-instant pre-agg, within-hour running
+    // sums, and the cross-hour carry — all integer micros
+    "q_events_concurrency" ->
+      """WITH gapped AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM gapped),
+        |iv AS (
+        |  SELECT min(us) AS s_us, max(us) + 1 AS e_us
+        |  FROM sess GROUP BY user_id, sess_id),
+        |deltas AS (
+        |  SELECT us, CAST(sum(d) AS BIGINT) AS d FROM (
+        |    SELECT s_us AS us, 1 AS d FROM iv
+        |    UNION ALL SELECT e_us AS us, -1 AS d FROM iv)
+        |  GROUP BY us),
+        |hourly AS (
+        |  SELECT us - us % 3600000000 AS hour_us, us, d,
+        |    CAST(sum(d) OVER (PARTITION BY us - us % 3600000000
+        |      ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM deltas),
+        |per_hour AS (
+        |  SELECT hour_us, CAST(sum(d) AS BIGINT) AS hour_delta,
+        |         max(run) AS max_run
+        |  FROM hourly GROUP BY hour_us)
+        |SELECT make_timestamp(hour_us) AS hour_start,
+        |  CAST(COALESCE(CAST(sum(hour_delta) OVER c AS BIGINT), 0)
+        |    + greatest(max_run, 0) AS BIGINT) AS max_concurrency,
+        |  CAST(COALESCE(CAST(sum(hour_delta) OVER c AS BIGINT), 0)
+        |    + hour_delta AS BIGINT) AS end_concurrency
+        |FROM per_hour
+        |WINDOW c AS (ORDER BY hour_us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
     "q_events_entry_exit" ->
       s"""WITH ev AS (
          |  SELECT user_id, ts, event_id,

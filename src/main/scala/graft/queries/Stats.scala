@@ -133,13 +133,79 @@ object Stats {
       .select(col("doc_id"), col("q").as("quality"), col("n_chars"))
   }
 
+  /** Bottom-k (KMV) distinct-count sketch of the token vocabulary per
+    * language, checked against the exact distinct count it estimates.
+    * The sketch is the k SMALLEST [[graft.llm.PortableHash.h60]]
+    * values per group — a MERGEABLE summary (bottom-k of a union is
+    * the bottom-k of the per-partition bottom-ks), which is what makes
+    * it the 100-TB shape: only ≤ k longs per group ever cross the
+    * final shuffle, and the classic estimator n̂ = (k−1)·2⁶⁰ / h₍ₖ₎
+    * reads one number off the full sketch. A group that never fills
+    * its sketch (< k distinct hashes) reports its exact count, per
+    * the standard KMV definition.
+    *
+    * Physically the rank-≤-k is a `row_number ≤ k` window, which
+    * Catalyst rewrites to WindowGroupLimit — each map task forwards
+    * at most k rows per group BEFORE the exchange (plan-audited in
+    * PLANS.md). The estimate is deterministic cross-engine: 63·2⁶⁰ is
+    * exactly representable in a double and the single IEEE division
+    * is correctly rounded, so both engines produce identical bits.
+    * "Exact" is defined as distinct HASHES — md5-collision semantics
+    * agree by construction instead of by luck.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 64
+    val two60 = 1152921504606846976L // h60's range: [0, 2^60)
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(graft.llm.TextAnalysis.tokensCol).as("word"))
+      .select(col("lang"), graft.llm.PortableHash.h60(col("word")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"))
+    val sketch = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+    val exact = hashed.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+    sketch.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_exact"), col("n_sketch"), col("kth_hash"),
+        when(col("n_sketch") < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(two60).cast("double")
+            / col("kth_hash").cast("double"))
+          .as("est_distinct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_corr" -> corrQtyPrice _,
     "q_stats_outliers" -> tokenOutliers _,
     "q_skyline" -> skylineDocs _,
+    "q_kmv_distinct" -> kmvDistinct _,
   )
 
   val oracles: Map[String, String] = Map(
+    // same portable md5-prefix hash, same rank-<=-k sketch, same
+    // exactly-representable 63*2^60 constant — identical double bits
+    "q_kmv_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT lang, ${graft.llm.PortableHash.sqlH60("word")} AS h
+         |  FROM (SELECT lang, unnest(${graft.llm.TextAnalysis.sqlTokens}) AS word
+         |        FROM documents)),
+         |ranked AS (
+         |  SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |  FROM toks),
+         |sk AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_sketch,
+         |         max(h) AS kth_hash
+         |  FROM ranked WHERE rn <= 64 GROUP BY lang),
+         |ex AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM toks GROUP BY lang)
+         |SELECT lang, n_exact, n_sketch, kth_hash,
+         |  CASE WHEN n_sketch < 64 THEN CAST(n_exact AS DOUBLE)
+         |       ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |            / CAST(kth_hash AS DOUBLE) END AS est_distinct
+         |FROM sk JOIN ex USING (lang)""".stripMargin,
     // rank-wise mirror of skylineDocs, NOT a NOT-EXISTS pairwise scan
     // — same strict-prefix-max construction so tie semantics (equal
     // quality never dominates) agree by shape, not by accident

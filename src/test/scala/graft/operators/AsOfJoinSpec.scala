@@ -106,6 +106,43 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set((5, null), (20, "old"), (100, null)))
   }
 
+  test("asofNearest: closer direction wins, backward wins ties, exact time matches") {
+    import spark.implicits._
+    val left = Seq(
+      (1, 10, "back-closer"),   // back at 8 (gap 2) vs fwd at 15 (gap 5)
+      (1, 30, "fwd-closer"),    // back at 15 (gap 15) vs fwd at 33 (gap 3)
+      (1, 24, "tie"),           // back at 15 (gap 9) vs fwd at 33 (gap 9)
+      (1, 33, "exact"),         // right row at the same instant
+      (2, 50, "none")           // no right rows for this key
+    ).toDF("k", "t", "lv")
+    val right = Seq((1, 8, "R8"), (1, 15, "R15"), (1, 33, "R33"))
+      .toDF("k", "rt", "rv")
+    val got = AsOfJoin.asofNearest(left, right, "k", "t", "rt").collect()
+      .map(r => (r.getString(2), if (r.isNullAt(4)) null else r.getString(4)))
+      .toMap
+    assert(got == Map(
+      "back-closer" -> "R8",
+      "fwd-closer" -> "R33",
+      "tie" -> "R15",           // equal gaps: backward wins
+      "exact" -> "R33",         // gap 0 via the inclusive backward leg
+      "none" -> null))
+    assert(AsOfJoin.asofNearest(left, right, "k", "t", "rt").count() == 5)
+  }
+
+  test("asofNearest tolerance: the chosen (nearer) match beyond the horizon is nulled") {
+    import spark.implicits._
+    // int times cast to timestamps as SECONDS; tolerance is micros
+    val left = Seq((1, 10, "a"), (1, 60, "b")).toDF("k", "t", "lv")
+    val right = Seq((1, 14, "R14"), (1, 200, "R200")).toDF("k", "rt", "rv")
+    val got = AsOfJoin.asofNearest(left, right, "k", "t", "rt",
+        toleranceMicros = 5L * 1000000)
+      .collect()
+      .map(r => (r.getInt(1), if (r.isNullAt(4)) null else r.getString(4))).toSet
+    // t=10: nearest is R14 (gap 4s, inside); t=60: nearest is R14
+    // (gap 46s) — beyond 5s, so NULL, never replaced by R200
+    assert(got == Set((10, "R14"), (60, null)))
+  }
+
   test("asofForward tolerance: matches beyond the horizon are nulled, not shifted") {
     import spark.implicits._
     // int times cast to timestamps as SECONDS; tolerance is micros

@@ -58,6 +58,37 @@ class PlanAuditSpec extends SparkSpec {
       s"orders and lineitem should each scan once:\n$p")
   }
 
+  test("asofNearest: both direction frames fuse into ONE Window sort, one exchange") {
+    val p = planOf("q_asof_nearest")
+    // the whole point of the nearest construction: backward last() and
+    // forward first() share one (key, time, tag) ordering — if a
+    // refactor diverges the two orderings, a second Window (and a
+    // second sort) appears here
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"expected one fused Window operator:\n$p")
+    assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,
+      s"expected exactly one key exchange for the union-window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nearest must not fall back to a nested loop:\n$p")
+  }
+
+  test("concurrency: only the O(hours) spine window is single-partition") {
+    val p = planOf("q_events_concurrency")
+    // exactly one SinglePartition exchange (the per-hour carry); the
+    // per-instant running sums must stay hash-partitioned by hour
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"expected exactly ONE single-partition exchange (the hour spine):\n$p")
+    assert("Exchange hashpartitioning\\(hour_us".r.findFirstIn(p).isDefined
+      || "hashpartitioning\\(hour_us".r.findFirstIn(p).isDefined,
+      s"within-hour running sums should be hash-partitioned by hour:\n$p")
+  }
+
+  test("kmv: rank<=k plans the map-side WindowGroupLimit, not a full sort-rank") {
+    val p = planOf("q_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number<=k should push the per-group limit below the exchange:\n$p")
+  }
+
   test("q17: group-average compare is one window pass, not a self-join rescan") {
     val p = planOf("q17_small_qty_revenue")
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1,

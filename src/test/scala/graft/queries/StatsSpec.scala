@@ -31,6 +31,40 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("kmv sketch: kth hash, exact count and estimate match a driver-side bottom-k") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Stats.kmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val byLang = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .map(w => (r.getString(0), h60(w))))
+      .distinct.groupBy(_._1).map { case (l, ws) =>
+        (l, ws.map(_._2).distinct.sorted) }
+    assert(rows.keySet == byLang.keySet)
+    byLang.foreach { case (lang, hashes) =>
+      val (nExact, nSketch, kth, est) = rows(lang)
+      assert(nExact == hashes.length)
+      assert(nSketch == math.min(64, hashes.length))
+      assert(kth == hashes(math.min(64, hashes.length) - 1))
+      if (hashes.length < 64) assert(est == nExact.toDouble)
+      else {
+        val expect = 63.0 * 1152921504606846976.0 / kth
+        assert(est == expect, s"$lang: $est vs $expect")
+        // k=64 => relative stderr ~ 1/sqrt(62) ≈ 12.7%; 4σ bound
+        assert(math.abs(est - nExact) / nExact < 0.51,
+          s"$lang: estimate $est vs exact $nExact off by >4 sigma")
+      }
+    }
+  }
+
   test("token outliers: every reported z is extreme, recomputed from raw counts") {
     val dir = "/root/testdata/sf0.001"
     val rows = Stats.tokenOutliers(spark, dir).collect()
