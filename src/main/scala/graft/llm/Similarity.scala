@@ -70,6 +70,29 @@ object Similarity {
       when(planeDot(emb, j) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Banded LSH signatures for PAIR GENERATION (vs [[signatureCol]]'s
+    * single probe bucket): `bands` independent `r`-bit signatures,
+    * band b over hyperplanes b·r … b·r+r−1 of the same deterministic
+    * family. Emitted as an array<int> so a candidate join can both
+    * explode per band AND check earlier bands cheaply. Computed by
+    * the fused native [[graft.functions.HyperplaneSigs]] — bands·r
+    * separate HOF plane dots interpreted per row would dominate the
+    * whole near-dup query (the HOF equivalence is pinned in
+    * HyperplaneSigsSpec).
+    */
+  def bandSignatureCols(emb: Column, bands: Int, r: Int): Column =
+    graft.functions.HyperplaneSigs.hyperplane_sigs(emb, bands, r, Dim)
+
+  /** The per-plane HOF formulation [[bandSignatureCols]] fuses —
+    * retained as the equivalence oracle for HyperplaneSigsSpec.
+    */
+  private[graft] def bandSignatureColsHof(emb: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until r).map { j =>
+        when(planeDot(emb, b * r + j) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
   /** Shared top-k tail: given (neighbor_id, embedding, …) joined with
     * broadcast (query_id, q_emb, …), score with [[CosineSim]], rank
     * per query (cos desc, neighbor_id asc — total order), keep K.
@@ -402,19 +425,86 @@ object Similarity {
         col("label").cast("long").as("label"), col("rank"), col("cos"))
   }
 
+  /** Band count for [[embeddingNearDup]]'s candidate generation.
+    * Candidate cost is bands · Σ bucket² ≈ B·n²/2^r for the non-dup
+    * mass, so `r` is the LOG-N DIAL — [[nearDupPlanesFor]] sizes it
+    * from the corpus so expected band-bucket occupancy stays O(1) and
+    * total candidate mass stays O(B·n) — and `B` buys recall back (a
+    * pair is a candidate if ANY band collides). The round-8 ×100
+    * ScaleUp probe caught the prior single-band 4-bit config
+    * saturating exactly as the pigeonhole predicts (16 FIXED buckets
+    * → Θ(n²/16): 112× time at 100× data, the only superlinear query
+    * in the sweep) — and showed that ANY fixed (B, r) is quadratic
+    * with a constant, which is why r is data-sized, the same way IVF
+    * sizes its cell count. Sixteen independent shots also beat one
+    * 16-bucket shot on the real pair-cosine distribution (recalls
+    * measured in SimilaritySpec, recorded in BASELINE.md).
+    */
+  val NearDupBands = 16
+
+  /** Per-band signature width for an n-vector corpus:
+    * floor(log2 n) − 1, clamped to [4, 30] — ~2 vectors per bucket
+    * per band in expectation, integer-exact on both engines (bit
+    * length, no float log), mirrored in SQL as
+    * `length(bin(count(*))) - 2`.
+    */
+  def nearDupPlanesFor(n: Long): Int = {
+    val bitLen = if (n <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+    math.max(4, math.min(30, bitLen - 2))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
-    * candidates from the hyperplane-LSH buckets: only same-bucket
-    * pairs are scored, so cost is Σ bucket² instead of n² — the shape
-    * that survives a 100 TB corpus. Recall vs the exhaustive pair set
-    * is measured against [[embeddingNearDupBrute]] in SimilaritySpec.
+    * candidates from banded hyperplane LSH: a pair is scored iff SOME
+    * band's r-bit signature collides, so cost is Σ per-band bucket²
+    * instead of n² — the shape that survives a 100 TB corpus, with
+    * the (B, r) dial documented on [[NearDupBands]] and r sized from
+    * the corpus count (one metadata-only parquet count at plan
+    * construction — the bounded-collect discipline). A pair colliding
+    * in several bands is kept only at its FIRST colliding band (a
+    * map-side filter over the earlier bands' signatures, carried as
+    * an array — the [[graft.operators.RangeJoin]] canonical-bin
+    * discipline, no `distinct`, no second shuffle). Recall vs the
+    * exhaustive pair set is measured against [[embeddingNearDupBrute]]
+    * in SimilaritySpec.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", signatureCol(col("embedding")))
-    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, "bucket")
+    val emb = Tables.embeddings(spark, sfDir)
+    nearDupPairsOf(emb, NearDupBands, nearDupPlanesFor(emb.count()))
+  }
+
+  /** Parameterized core — SimilaritySpec measures recall/candidate
+    * trade-offs across (bands, r) configs through this entry.
+    *
+    * The signature table is STAGED ([[graft.Materialize]]) before the
+    * self-join: both join sides reference it, and without the stage
+    * Catalyst inlines the bands·r plane-dot expression into each —
+    * re-evaluated per candidate ROW on the probe side (measured 15×
+    * on this query at sf0.1, the exact failure round 2 fixed for the
+    * MinHash pair plan). Signatures are bands ints + the embedding —
+    * orders of magnitude smaller than the candidate stream.
+    */
+  def nearDupPairsOf(emb: DataFrame, bands: Int, r: Int): DataFrame = {
+    val e = graft.Materialize.stage(
+      emb.withColumn("sigs",
+        bandSignatureCols(col("embedding"), bands, r)),
+      eager = false)
+    val exploded = e.select(col("vec_id"), col("embedding"), col("sigs"),
+      posexplode(col("sigs")).as(Seq("band", "bucket")))
+    val a = exploded.select(col("band"), col("bucket"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("sigs").as("sigs_a"))
+    val b = exploded.select(col("band"), col("bucket"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("sigs").as("sigs_b"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      // canonical dedup: keep the pair only where no EARLIER band
+      // already collided (slice is 1-based; band is 0-based, so the
+      // first `band` elements are exactly the earlier bands)
+      .filter(!exists(
+        zip_with(slice(col("sigs_a"), lit(1), col("band")),
+          slice(col("sigs_b"), lit(1), col("band")), (x, y) => x === y),
+        x => x))
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))
@@ -757,6 +847,41 @@ object Similarity {
        |  * sqrt(list_reduce(list_transform($b,
        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))))""".stripMargin
 
+  /** Banded hyperplane CTEs mirroring [[bandSignatureCols]]: per-band
+    * buckets plus the per-vector ordered signature list the canonical
+    * first-colliding-band filter needs.
+    */
+  private[llm] val sqlBandSigs = {
+    // r mirrors nearDupPlanesFor: bit length of the corpus count − 2,
+    // clamped to [4, 30]; the plane range is bounded by the clamp
+    // (bands·30) and filtered down to the data-sized bands·r
+    val maxPlanes = NearDupBands * 30
+    s"""rr AS (
+       |  SELECT greatest(4, least(30,
+       |    length(bin(CAST(count(*) AS BIGINT))) - 2)) AS r
+       |  FROM embeddings),
+       |bplanes AS (
+       |  SELECT j, j // r AS band, r, list(g ORDER BY i) AS gs
+       |  FROM (
+       |    SELECT j, r, i,
+       |      (${sqlH60("'hp' || j || '_' || i")} % 2001 - 1000) / 1000.0 AS g
+       |    FROM range($maxPlanes) t(j) CROSS JOIN rr CROSS JOIN range($Dim) u(i)
+       |    WHERE j < $NearDupBands * r)
+       |  GROUP BY j, j // r, r),
+       |bandbuckets AS (
+       |  SELECT vec_id, embedding, band,
+       |    CAST(SUM(CASE WHEN list_reduce(list_transform(
+       |        list_zip(embedding, gs),
+       |        p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0
+       |      THEN (1 << (j % r)) ELSE 0 END) AS INT)
+       |      AS bucket
+       |  FROM embeddings CROSS JOIN bplanes
+       |  GROUP BY vec_id, embedding, band),
+       |vecsigs AS (
+       |  SELECT vec_id, embedding, list(bucket ORDER BY band) AS sigs
+       |  FROM bandbuckets GROUP BY vec_id, embedding)""".stripMargin
+  }
+
   /** Hyperplane CTE + per-vector bucket CTE, mirroring
     * [[signatureCol]] exactly.
     */
@@ -1073,12 +1198,19 @@ object Similarity {
         |        FROM embeddings)
         |  GROUP BY label, dim)""".stripMargin,
     "q_embed_near_dup" ->
-      s"""WITH $sqlBuckets
+      s"""WITH $sqlBandSigs,
+         |exploded AS (
+         |  SELECT vec_id, embedding, sigs, band, sigs[band + 1] AS bucket
+         |  FROM vecsigs CROSS JOIN range($NearDupBands) t(band))
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${sqlCos("a.embedding", "b.embedding")} AS cos
-         |FROM buckets a JOIN buckets b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+         |FROM exploded a JOIN exploded b
+         |  ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.vec_id < b.vec_id
+         |WHERE len(list_filter(
+         |    list_zip(a.sigs[1:a.band], b.sigs[1:b.band]),
+         |    p -> p[1] = p[2])) = 0
+         |  AND ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
     "q_embed_semantic_dedup" ->
       s"""SELECT vec_id, label, leader_id, cos FROM (
          |  SELECT b.vec_id AS vec_id, CAST(b.label AS BIGINT) AS label,

@@ -316,7 +316,162 @@ object EventWindows {
         (col("carry_in") + col("hour_delta")).as("end_concurrency"))
   }
 
+  /** First/last-touch attribution: each purchase is joined to the
+    * user's marketing touches (view/click, with the page from
+    * `props.$k`) in a 7-day lookback window ending at the purchase,
+    * and each page is credited with the purchases (and exact value)
+    * it opened (first touch) and closed (last touch). Purchases with
+    * no touch in the window drop out (nothing to credit).
+    *
+    * Scale: the touch↔purchase pairing is an equi-join on user_id —
+    * one hash exchange per side, never a time-range nested loop —
+    * with the lookback filter applied as a join residual; the
+    * first/last ranking rides a window keyed by the purchase id, so
+    * per-task state is one purchase's touch set. A user with
+    * millions of touches is the skew case: the same salting dial as
+    * [[graft.operators.AsOfJoin.asofSalted]] applies. Credited
+    * values are exact decimal sums ([[graft.Exact.dsum]]).
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val lookbackUs = 7L * 24 * 3600000000L
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        Tables.epochMicros(col("ts")).as("p_us"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"),
+        Tables.epochMicros(col("ts")).as("t_us"),
+        col("event_id").as("t_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("page"))
+    val byPurchase = W.partitionBy(col("p_id"))
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") <= col("p_us")
+        && col("t_us") > col("p_us") - lit(lookbackUs))
+      .withColumn("rn_a", row_number().over(
+        byPurchase.orderBy(col("t_us"), col("t_id"))))
+      .withColumn("rn_d", row_number().over(
+        byPurchase.orderBy(col("t_us").desc, col("t_id").desc)))
+      .groupBy(col("page"))
+      .agg(
+        sum(when(col("rn_a") === 1, 1L).otherwise(0L)).as("n_first"),
+        dsum(when(col("rn_a") === 1, col("value"))).as("first_value"),
+        sum(when(col("rn_d") === 1, 1L).otherwise(0L)).as("n_last"),
+        dsum(when(col("rn_d") === 1, col("value"))).as("last_value"))
+  }
+
+  /** Time-weighted average value per (event_type, hour) — each event's
+    * value holds from its timestamp until the type's next event (step
+    * interpolation, the kdb/QuestDB `twa` shape), and hold intervals
+    * are split across the hour buckets they span, so an hour's TWAP
+    * weights each value by exactly the microseconds it was live
+    * within that hour.
+    *
+    * The step construction needs "next event of the same type" —
+    * naively `lead() over (partitionBy type)`, which serializes a
+    * whole type into one task. Decomposed two-level instead (the
+    * [[concurrency]] / [[graft.llm.Pack]] discipline): `lead` runs
+    * within (type, hour) partitions, and the last event of each hour
+    * takes its successor from the per-hour firsts table — O(hours ×
+    * types) rows, the only single-type window in the plan. Interval
+    * splitting reuses [[graft.operators.RangeJoin]]'s bin explode:
+    * a hold spanning h hours lands h+1 rows, each with an integer
+    * microsecond overlap.
+    *
+    * Exactness: numerator terms are decimal(18,2) × integer micros —
+    * exact, order-independent sums — and the TWAP is ONE terminal
+    * IEEE division, the [[ewma]] discipline. Ties (same type, same
+    * microsecond) hold for 0 µs and drop; the tied row with the
+    * largest event_id carries the value forward, on both engines.
+    */
+  def twap(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), Tables.epochMicros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .withColumn("bucket", col("us") - col("us") % hourUs)
+    val firsts = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(min(col("us")).as("first_us"))
+    val nextFirst = firsts
+      .withColumn("next_first_us", lead(col("first_us"), 1).over(
+        W.partitionBy(col("event_type")).orderBy(col("bucket"))))
+      .select(col("event_type"), col("bucket"), col("next_first_us"))
+    ev
+      .withColumn("lead_us", lead(col("us"), 1).over(
+        W.partitionBy(col("event_type"), col("bucket"))
+          .orderBy(col("us"), col("event_id"))))
+      .join(nextFirst, Seq("event_type", "bucket"), "left")
+      .withColumn("end_us", coalesce(col("lead_us"), col("next_first_us")))
+      .filter(col("end_us").isNotNull && col("end_us") > col("us"))
+      .withColumn("b", explode(sequence(
+        col("us") - col("us") % hourUs,
+        (col("end_us") - 1) - (col("end_us") - 1) % hourUs,
+        lit(hourUs))))
+      .withColumn("ov_us",
+        least(col("end_us"), col("b") + hourUs) - greatest(col("us"), col("b")))
+      .groupBy(col("b"), col("event_type"))
+      .agg(sum(dec2(col("value")) * col("ov_us")).as("num"),
+        sum(col("ov_us")).as("held_us"))
+      .select(timestamp_micros(col("b")).as("hour_start"), col("event_type"),
+        (col("num").cast("double") / col("held_us").cast("double")).as("twap"),
+        col("held_us"))
+  }
+
+  /** Linear interpolation of the hourly per-type value series over
+    * the corpus's hour spine: hours with no events get the straight
+    * line between the neighboring OBSERVED hours (dashboards and
+    * feature series want a dense, smooth series, not zeros that a
+    * missing hour never earned); null edges (before the type's first
+    * observation / after its last) clamp to the nearest observation.
+    *
+    * Scale: the series is O(hours × types) AFTER the one hash
+    * aggregation over events, so the per-type window sort is over
+    * spine rows, never events — the same shape as [[anomalies]].
+    * Observed hours carry the exact [[graft.Exact.dsum]] value;
+    * interpolated hours are `prev + (next − prev) · frac` with
+    * `frac` one division of exact integer hour offsets — a fixed
+    * IEEE sequence, deterministic cross-engine.
+    */
+  def interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    val obs = ev.groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(dsum(col("value")).as("v"))
+    val byType = W.partitionBy(col("event_type")).orderBy(col("hour"))
+    val before = byType.rowsBetween(Long.MinValue, -1)
+    val after = byType.rowsBetween(1, Long.MaxValue)
+    val hus = Tables.epochMicros(col("hour"))
+    val known = when(col("v").isNotNull, hus)
+    val frac = (col("hus") - col("p_h")).cast("double") /
+      (col("n_h") - col("p_h")).cast("double")
+    spine.crossJoin(types)
+      .join(obs, Seq("hour", "event_type"), "left")
+      .withColumn("hus", hus)
+      .withColumn("p_v", last(when(col("v").isNotNull, col("v")), ignoreNulls = true).over(before))
+      .withColumn("p_h", last(known, ignoreNulls = true).over(before))
+      .withColumn("n_v", first(when(col("v").isNotNull, col("v")), ignoreNulls = true).over(after))
+      .withColumn("n_h", first(known, ignoreNulls = true).over(after))
+      .select(col("hour"), col("event_type"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("p_v").isNull, col("n_v"))
+          .when(col("n_v").isNull, col("p_v"))
+          .otherwise(col("p_v") + (col("n_v") - col("p_v")) * frac)
+          .as("value"),
+        col("v").isNull.as("is_interpolated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_attribution" -> attribution _,
+    "q_events_twap" -> twap _,
+    "q_events_interpolate" -> interpolate _,
     "q_events_hourly" -> hourly _,
     "q_events_concurrency" -> concurrency _,
     "q_events_ewma" -> ewma _,
@@ -344,6 +499,98 @@ object EventWindows {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // first/last-touch attribution: purchases joined to the user's
+    // view/click touches in a 7-day lookback, ranked per purchase
+    "q_events_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, event_id AS t_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS page
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |joined AS (
+        |  SELECT p.p_id, p.value, t.page,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY t.t_us, t.t_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY t.t_us DESC, t.t_id DESC) AS rn_d
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.t_us <= p.p_us AND t.t_us > p.p_us - 604800000000)
+        |SELECT page,
+        |  CAST(sum(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(SUM(CASE WHEN rn_a = 1
+        |                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS first_value,
+        |  CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(SUM(CASE WHEN rn_d = 1
+        |                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS last_value
+        |FROM joined GROUP BY page""".stripMargin,
+    // step-hold TWAP: the oracle uses the naive single-partition
+    // lead-per-type; the Spark side decomposes it two-level — same
+    // intervals, same integer overlaps, same exact sums
+    "q_events_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events),
+        |stepped AS (
+        |  SELECT event_type, us, value,
+        |    lead(us) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id) AS end_us
+        |  FROM e),
+        |held AS (
+        |  SELECT * FROM stepped WHERE end_us IS NOT NULL AND end_us > us),
+        |split AS (
+        |  SELECT event_type, us, end_us, value,
+        |    unnest(generate_series(us - us % 3600000000,
+        |      (end_us - 1) - (end_us - 1) % 3600000000, 3600000000)) AS b
+        |  FROM held)
+        |SELECT make_timestamp(b) AS hour_start, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |       * (least(end_us, b + 3600000000) - greatest(us, b))) AS DOUBLE)
+        |    / CAST(SUM(least(end_us, b + 3600000000) - greatest(us, b))
+        |           AS DOUBLE) AS twap,
+        |  CAST(SUM(least(end_us, b + 3600000000) - greatest(us, b)) AS BIGINT)
+        |    AS held_us
+        |FROM split GROUP BY b, event_type""".stripMargin,
+    "q_events_interpolate" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |         date_trunc('hour', max(ts)) AS hi FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |obs AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT h.hour, t.event_type, o.v, epoch_us(h.hour) AS hus
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN obs o ON o.hour = h.hour AND o.event_type = t.event_type),
+        |ctx AS (
+        |  SELECT hour, event_type, v, hus,
+        |    last_value(v IGNORE NULLS) OVER wb AS p_v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hus END IGNORE NULLS)
+        |      OVER wb AS p_h,
+        |    first_value(v IGNORE NULLS) OVER wa AS n_v,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hus END IGNORE NULLS)
+        |      OVER wa AS n_h
+        |  FROM filled
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wa AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT hour, event_type,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN p_v IS NULL THEN n_v
+        |       WHEN n_v IS NULL THEN p_v
+        |       ELSE p_v + (n_v - p_v)
+        |              * (CAST(hus - p_h AS DOUBLE) / CAST(n_h - p_h AS DOUBLE))
+        |  END AS value,
+        |  v IS NULL AS is_interpolated
+        |FROM ctx""".stripMargin,
     // sweep-line concurrency: same gap sessionization as entry_exit,
     // then +1/-1 deltas, per-instant pre-agg, within-hour running
     // sums, and the cross-hour carry — all integer micros

@@ -271,6 +271,37 @@ class SimilaritySpec extends SparkSpec {
     info(f"bucketed near-dup recall vs brute force at sf0.001: $recall%.3f " +
       f"(${bucketed.size}/${brute.size} pairs)")
     assert(recall > 0.0)
+
+    // the round-8 widening must not TRADE recall for its scaling fix:
+    // the registered 16×8 config has to dominate the retired
+    // single-band 4-bit config (Θ(n²/16) saturation, caught by the
+    // ×100 ScaleUp probe) on this corpus's real pair distribution
+    val retired = Similarity
+      .nearDupPairsOf(graft.Tables.embeddings(spark, sf001), 1, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldRecall = if (brute.isEmpty) 1.0
+      else retired.intersect(brute).size.toDouble / brute.size
+    info(f"retired 1-band/4-bit recall at sf0.001: $oldRecall%.3f " +
+      f"(${retired.size}/${brute.size} pairs)")
+    assert(recall >= oldRecall,
+      f"banded config lost recall: $recall%.3f < $oldRecall%.3f")
+  }
+
+  test("near-dup plane width is data-sized: floor(log2 n) - 1 in [4, 30]") {
+    val cases = Seq(0L -> 4, 1L -> 4, 16L -> 4, 63L -> 4, 64L -> 5,
+      500L -> 7, 2000L -> 9, 200000L -> 16, (1L << 40) -> 30)
+    cases.foreach { case (n, want) =>
+      assert(Similarity.nearDupPlanesFor(n) == want,
+        s"nearDupPlanesFor($n) = ${Similarity.nearDupPlanesFor(n)}, want $want")
+    }
+    // occupancy invariant: bucket count per band is within 2x of n
+    // for every corpus size in the unclamped regime, so per-band
+    // candidate mass stays O(n)
+    Seq(100L, 1000L, 10000L, 1000000L, 100000000L).foreach { n =>
+      val buckets = 1L << Similarity.nearDupPlanesFor(n)
+      assert(buckets * 2 >= n / 2 && buckets <= n,
+        s"n=$n buckets=$buckets occupancy drifted")
+    }
   }
 
   test("LSH top-k is a subset of same-bucket exact ranking; reports recall") {

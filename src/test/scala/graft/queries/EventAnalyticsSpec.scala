@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Driver-side brute-force checks of the round-8 event-analytics
+  * additions: first/last-touch attribution, step-hold TWAP (whose
+  * two-level lead decomposition must equal the naive global-order
+  * construction), and linear gap interpolation.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def cents(v: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_UP)
+
+  private lazy val events = graft.Tables.events(spark, sf001)
+    .select(col("user_id"), graft.Tables.epochMicros(col("ts")).as("us"),
+      col("event_id"), col("event_type"), col("value"),
+      get_json_object(col("props"), "$.k").cast("int").as("page"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getInt(5))))
+
+  test("attribution: first/last-touch credits match a brute-force pairing") {
+    val lookbackUs = 7L * 24 * 3600000000L
+    val first = scala.collection.mutable.Map[Option[Int], (Long, java.math.BigDecimal)]()
+    val last = scala.collection.mutable.Map[Option[Int], (Long, java.math.BigDecimal)]()
+    events.groupBy(_._1).values.foreach { rows =>
+      val touches = rows.filter(r => r._4 == "view" || r._4 == "click")
+        .sortBy(r => (r._2, r._3))
+      rows.filter(_._4 == "purchase").foreach { p =>
+        val in = touches.filter(t => t._2 <= p._2 && t._2 > p._2 - lookbackUs)
+        if (in.nonEmpty) {
+          // every touched page appears in the output, zero-credited if
+          // it never opened or closed a purchase (mid-window touches)
+          in.foreach { t =>
+            for (m <- Seq(first, last))
+              if (!m.contains(t._6)) m(t._6) = (0L, java.math.BigDecimal.ZERO)
+          }
+          for ((m, t) <- Seq((first, in.head), (last, in.last))) {
+            val (n, v) = m(t._6)
+            m(t._6) = (n + 1, v.add(cents(p._5)))
+          }
+        }
+      }
+    }
+    val got = EventWindows.attribution(spark, sf001).collect().map { r =>
+      val page = if (r.isNullAt(0)) None else Some(r.getInt(0))
+      // a page credited on only one of the two models carries a NULL
+      // sum on the other (SQL SUM over zero rows) — the brute force's 0
+      def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+      page -> ((r.getLong(1), d(2), r.getLong(3), d(4)))
+    }.toMap
+    val expect = (first.keySet ++ last.keySet).map { page =>
+      val (nf, vf) = first.getOrElse(page, (0L, java.math.BigDecimal.ZERO))
+      val (nl, vl) = last.getOrElse(page, (0L, java.math.BigDecimal.ZERO))
+      page -> ((nf, vf.doubleValue, nl, vl.doubleValue))
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == expect,
+      s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+  }
+
+  test("twap: two-level decomposition equals the naive global step construction") {
+    val hourUs = 3600000000L
+    val num = scala.collection.mutable.Map[(Long, String), java.math.BigDecimal]()
+    val held = scala.collection.mutable.Map[(Long, String), Long]().withDefaultValue(0L)
+    events.groupBy(_._4).foreach { case (tpe, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.zip(ordered.tail).foreach { case (cur, next) =>
+        val (s, e) = (cur._2, next._2)
+        var b = s - s % hourUs
+        while (b < e) {
+          val ov = math.min(e, b + hourUs) - math.max(s, b)
+          if (ov > 0) {
+            val k = (b, tpe)
+            num(k) = num.getOrElse(k, java.math.BigDecimal.ZERO)
+              .add(cents(cur._5).multiply(java.math.BigDecimal.valueOf(ov)))
+            held(k) += ov
+          }
+          b += hourUs
+        }
+      }
+    }
+    val got = EventWindows.twap(spark, sf001).collect().map { r =>
+      val i = r.getTimestamp(0).toInstant
+      ((i.getEpochSecond * 1000000L + i.getNano / 1000L, r.getString(1)),
+        (r.getDouble(2), r.getLong(3)))
+    }.toMap
+    val expect = num.keys.map { k =>
+      k -> ((num(k).doubleValue / held(k).toDouble, held(k)))
+    }.toMap
+    assert(got.nonEmpty)
+    // a type's holds within one hour never overlap: held ≤ hour
+    got.values.foreach { case (_, h) => assert(h > 0 && h <= hourUs) }
+    assert(got == expect,
+      s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+  }
+
+  test("interpolate: gaps are the straight line between observed hours; edges clamp") {
+    val hourUs = 3600000000L
+    val obs = scala.collection.mutable.Map[(Long, String), java.math.BigDecimal]()
+    events.foreach { r =>
+      val k = (r._2 - r._2 % hourUs, r._4)
+      obs(k) = obs.getOrElse(k, java.math.BigDecimal.ZERO).add(cents(r._5))
+    }
+    val lo = events.map(_._2).min / hourUs * hourUs
+    val hi = events.map(_._2).max / hourUs * hourUs
+    val types = events.map(_._4).distinct
+    val expect = types.flatMap { tpe =>
+      val series = (lo to hi by hourUs).map(h => (h, obs.get((h, tpe)).map(_.doubleValue)))
+      series.indices.map { i =>
+        val (h, v) = series(i)
+        val value = v.getOrElse {
+          val prev = series.take(i).reverse.find(_._2.isDefined)
+          val next = series.drop(i + 1).find(_._2.isDefined)
+          (prev, next) match {
+            case (None, Some((_, Some(nv)))) => nv
+            case (Some((_, Some(pv))), None) => pv
+            case (Some((ph, Some(pv))), Some((nh, Some(nv)))) =>
+              pv + (nv - pv) * ((h - ph).toDouble / (nh - ph).toDouble)
+            case _ => fail(s"type $tpe has no observations at all")
+          }
+        }
+        (h, tpe) -> ((value, v.isEmpty))
+      }
+    }.toMap
+    val got = EventWindows.interpolate(spark, sf001).collect().map { r =>
+      val i = r.getTimestamp(0).toInstant
+      ((i.getEpochSecond * 1000000L + i.getNano / 1000L, r.getString(1)),
+        (r.getDouble(2), r.getBoolean(3)))
+    }.toMap
+    assert(got.nonEmpty && got.values.exists(_._2),
+      "fixture has no empty hours — interpolation untested")
+    assert(got == expect,
+      s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+  }
+}
