@@ -273,9 +273,10 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
 
     // the round-8 widening must not TRADE recall for its scaling fix:
-    // the registered 16×8 config has to dominate the retired
-    // single-band 4-bit config (Θ(n²/16) saturation, caught by the
-    // ×100 ScaleUp probe) on this corpus's real pair distribution
+    // the registered 16-band data-sized config has to dominate the
+    // retired single-band 4-bit config (Θ(n²/16) saturation, caught
+    // by the ×100 ScaleUp probe) on this corpus's real pair
+    // distribution
     val retired = Similarity
       .nearDupPairsOf(graft.Tables.embeddings(spark, sf001), 1, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
