@@ -19,7 +19,10 @@ object Explain {
     "q_search_bm25", "q_llm_grouped_split", "q_embed_diverse_sample",
     "q_llm_quality_calibrated", "q_skyline", "q_graph_triangles",
     "q_events_anomaly", "q_events_entry_exit", "q_range_join", "q_asof_join",
-    "q_asof_forward", "q_interval_overlap",
+    "q_asof_forward", "q_interval_overlap", "q_asof_salted", "q_asof_nearest",
+    "q_events_concurrency", "q_kmv_distinct", "q_events_attribution",
+    "q_events_twap", "q_events_interpolate", "q_llm_collocations",
+    "q_events_ohlc", "q_events_transitions",
     "q4_order_priority", "q6_forecast_revenue", "q17_small_qty_revenue",
     "q18_large_volume", "q7_volume_shipping", "q10_returned_items",
     "q19_disjunctive_or", "q21_waiting_supplier", "q_llm_bpe_merges",

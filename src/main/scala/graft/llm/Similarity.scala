@@ -498,13 +498,12 @@ object Similarity {
       col("sigs").as("sigs_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      // canonical dedup: keep the pair only where no EARLIER band
-      // already collided (slice is 1-based; band is 0-based, so the
-      // first `band` elements are exactly the earlier bands)
-      .filter(!exists(
-        zip_with(slice(col("sigs_a"), lit(1), col("band")),
-          slice(col("sigs_b"), lit(1), col("band")), (x, y) => x === y),
-        x => x))
+      // canonical dedup: keep the pair only in its EARLIEST colliding
+      // band — one fused native loop per candidate (the HOF
+      // slice/zip_with form allocated three arrays per row and
+      // dominated the ×1000 probe; see FirstCollision scaladoc)
+      .filter(graft.functions.FirstCollision.first_collision(
+        col("sigs_a"), col("sigs_b")) === col("band"))
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))

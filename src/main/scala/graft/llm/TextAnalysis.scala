@@ -490,7 +490,55 @@ object TextAnalysis {
       .withColumn("q_rank", percent_rank().over(w))
   }
 
+  /** Top bigram collocations by pointwise mutual information: how
+    * much more often two tokens appear ADJACENT than their
+    * independent frequencies predict — the classic corpus-statistics
+    * pass a tokenizer/phrase-mining pipeline runs before merging
+    * multiword units. Scored as the PMI RATIO
+    * `p(ab) / (p(a)·p(b)) = n_ab·N² / (M·n_a·n_b)` rather than its
+    * log: `ln` is a libm call whose last-ulp behavior differs across
+    * engines, while the ratio is a fixed sequence of correctly-
+    * rounded double ops on exact integer counts — deterministic
+    * cross-engine, and monotone with log-PMI so the ranking is
+    * identical. Min support n_ab ≥ 5 kills the unstable singleton
+    * tail (a hapax bigram of two hapax tokens scores N²/M —
+    * spectacular and meaningless).
+    *
+    * Scale: bigrams are built map-side (zip of the token array with
+    * its own tail — no positional self-join), then ONE hash agg per
+    * granularity; the n_a/n_b lookups are equi-joins against the
+    * post-agg DISTINCT bigram set, so a stopword's join key carries
+    * one row per distinct partner, never one per instance; the
+    * one-row totals broadcast; top-k is TakeOrderedAndProject.
+    */
+  def collocations(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val toks = Tables.documents(spark, sfDir).select(tokensCol.as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bi = toks
+      // slice length must be >= 0: a doc with < 2 tokens has no bigrams
+      .filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val totals = uni.agg(sum(col("n_w")).as("n_tok")).crossJoin(
+      bi.agg(sum(col("n_ab")).as("n_bi")))
+    val nn = col("n_tok").cast("double")
+    bi.filter(col("n_ab") >= 5)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") * nn / col("n_a") / col("n_b")
+          * (nn / col("n_bi").cast("double"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_collocations" -> ((s: SparkSession, d: String) => collocations(s, d)),
     "q_llm_heavy_hitters" -> heavyHitters _,
     "q_llm_cms_counts" -> cmsCounts _,
     "q_llm_lang_id" -> langId _,
@@ -509,6 +557,32 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // PMI as a RATIO of exact counts (no ln — libm last-ulp drift);
+    // the division sequence mirrors the Spark expression op for op
+    "q_llm_collocations" ->
+      s"""WITH tk AS (SELECT $sqlTokens AS toks FROM documents),
+         |uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+         |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+         |bi AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM (
+         |    SELECT u.p.a AS w1, u.p.b AS w2
+         |    FROM tk, unnest(list_transform(
+         |      generate_series(1, len(toks) - 1),
+         |      i -> struct_pack(a := toks[i], b := toks[i + 1]))) u(p))
+         |  GROUP BY w1, w2),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n_tok,
+         |         (SELECT CAST(sum(n_ab) AS BIGINT) FROM bi) AS n_bi)
+         |SELECT w1, w2, n_ab, n_a, n_b,
+         |  CAST(n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) / n_a / n_b
+         |    * (CAST(n_tok AS DOUBLE) / CAST(n_bi AS DOUBLE)) AS pmi_ratio
+         |FROM bi
+         |JOIN (SELECT w AS w1, n_w AS n_a FROM uni) USING (w1)
+         |JOIN (SELECT w AS w2, n_w AS n_b FROM uni) USING (w2)
+         |CROSS JOIN tot
+         |WHERE n_ab >= 5
+         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 100""".stripMargin,
     // The flags are invariants of a CORRECT compressor (round-trip
     // restores the input; size within zlib's published bound), so the
     // oracle pins them TRUE; the exact byte counts are cross-checked

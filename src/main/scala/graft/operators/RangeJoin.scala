@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * SortMergeJoin at 100 TB, never n×m work. Choose `binWidth` ≈ the
   * max interval length so each interval replicates into ≤ 2 bins
   * (replication factor = len/width + 1). Skew concentrates where many
-  * intervals overlap one (key, bin) cell — the same salting dial as
-  * any equi-join ([[Skew]]) applies because the join IS an equi-join.
+  * intervals overlap one (key, bin) cell — because the join IS an
+  * equi-join the standard salting dial applies, implemented as
+  * [[pointInIntervalSalted]] (planted hot-cell proof in
+  * RangeJoinSpec) alongside [[Skew]]'s generic salted join.
   */
 object RangeJoin {
 
@@ -44,6 +46,33 @@ object RangeJoin {
       .join(binned, Seq(key, "_bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
+  }
+
+  /** Salted [[pointInInterval]] for the skew case the object scaladoc
+    * names: many points and intervals concentrated on one (key, bin)
+    * cell (one tenant's burst hour) serialize into a single join
+    * task. Points fan out over a deterministic per-row salt
+    * ([[AsOfJoin.saltCol]] — a hash of the whole row, so even a
+    * single hot VALUE spreads); the binned intervals replicate per
+    * salt; the equi-join runs on (key, bin, salt). Per-task work
+    * drops to ~1/nSalts of the hot cell at the cost of nSalts× the
+    * interval side's bin explosion. Row-identical to the unsalted
+    * join (planted hot-cell spec in RangeJoinSpec).
+    */
+  def pointInIntervalSalted(points: DataFrame, intervals: DataFrame,
+      key: String, pointCol: String, loCol: String, hiCol: String,
+      binWidth: Long, nSalts: Int = 16): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val binned = intervals
+      .withColumn("_bin",
+        explode(sequence(expr(s"$loCol div $binWidth"), expr(s"$hiCol div $binWidth"))))
+      .withColumn("_salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    points.withColumn("_salt", AsOfJoin.saltCol(points, nSalts))
+      .withColumn("_bin", expr(s"$pointCol div $binWidth"))
+      .join(binned, Seq(key, "_bin", "_salt"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin", "_salt")
   }
 
   /** Interval-OVERLAP join: every (a, b) pair of the same key whose

@@ -468,7 +468,71 @@ object EventWindows {
         col("v").isNull.as("is_interpolated"))
   }
 
+  /** OHLC bars: open/high/low/close of `value` per (event_type,
+    * hour) — the candlestick aggregation every time-series store
+    * names. Open/close are the values at the FIRST/LAST instant of
+    * the bucket under the total (time, event_id) order — the
+    * [[entryExit]] rank-1 window construction, deterministic under
+    * ties where a bare min_by/max_by is not. Both windows and the
+    * aggregation ride one hash partitioning on (type, hour); a
+    * partition is one type's single hour, bounded regardless of
+    * corpus size.
+    */
+  def ohlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val asc = W.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("us"), col("event_id"))
+    val desc = W.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), Tables.epochMicros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .withColumn("hour", col("us") - col("us") % hourUs)
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(timestamp_micros(col("hour")).as("hour_start"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+  }
+
+  /** Event-type transition matrix (first-order Markov): for each user
+    * stream ordered by (ts, event_id), count consecutive
+    * (from_type → to_type) steps and emit the per-from transition
+    * probability — the next-event model product analytics and
+    * session-simulation both start from. The probability is ONE
+    * division of exact counts ([[ewma]]'s determinism discipline).
+    *
+    * Scale: the lag rides the user_id partitioning (a partition is
+    * one user's stream); the matrix is types² rows. The final
+    * per-from total is a window over those types² rows — trivial.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byUser = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(W.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("from_total"),
+        (col("n").cast("double") / col("from_total").cast("double")).as("p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ohlc" -> ohlc _,
+    "q_events_transitions" -> transitions _,
     "q_events_attribution" -> attribution _,
     "q_events_twap" -> twap _,
     "q_events_interpolate" -> interpolate _,
@@ -499,6 +563,39 @@ object EventWindows {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_events_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type, us - us % 3600000000 AS hour, value,
+        |    row_number() OVER (PARTITION BY event_type, us - us % 3600000000
+        |      ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, us - us % 3600000000
+        |      ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT make_timestamp(hour) AS hour_start, event_type,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM ranked GROUP BY hour, event_type""".stripMargin,
+    "q_events_transitions" ->
+      """WITH steps AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM steps WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |           AS DOUBLE) AS p
+        |FROM m""".stripMargin,
     // first/last-touch attribution: purchases joined to the user's
     // view/click touches in a 7-day lookback, ranked per purchase
     "q_events_attribution" ->

@@ -191,4 +191,28 @@ class TextAnalysisSpec extends SparkSpec {
       assert(ranks.distinct.length == rs.length)
     }
   }
+
+  test("collocations: PMI ratios and top-100 ranking match a driver-side brute force") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(TextAnalysis.tokensCol.as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    docs.foreach { ts =>
+      ts.foreach(w => uni(w) += 1)
+      ts.zip(ts.drop(1)).foreach(p => bi(p) += 1)
+    }
+    val nTok = uni.values.sum.toDouble
+    val nBi = bi.values.sum.toDouble
+    val expect = bi.toSeq.collect { case ((a, b), nab) if nab >= 5 =>
+      // same op sequence as the query: ((nab·N)/na)/nb · (N/M)
+      (a, b, nab, uni(a), uni(b), nab.toDouble * nTok / uni(a) / uni(b) * (nTok / nBi))
+    }.sortBy { case (a, b, _, _, _, r) => (-r, a, b) }.take(100)
+    val got = TextAnalysis.collocations(spark, sf001).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    }.toSeq
+    assert(got.nonEmpty)
+    assert(got == expect, s"first diff: ${got.zip(expect).find(p => p._1 != p._2)}")
+  }
 }

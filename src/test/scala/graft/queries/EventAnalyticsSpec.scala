@@ -135,4 +135,48 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == expect,
       s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
   }
+
+  test("ohlc: open/close are the tie-broken first/last values; high/low exact") {
+    val hourUs = 3600000000L
+    val expect = events.groupBy(r => (r._2 - r._2 % hourUs, r._4)).map {
+      case (k, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3)).map(_._5)
+        k -> ((ordered.head, ordered.max, ordered.min, ordered.last,
+          ordered.length.toLong))
+    }
+    val got = EventWindows.ohlc(spark, sf001).collect().map { r =>
+      val i = r.getTimestamp(0).toInstant
+      ((i.getEpochSecond * 1000000L + i.getNano / 1000L, r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == expect,
+      s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+  }
+
+  test("transitions: Markov matrix rows sum to 1 and match brute-force counts") {
+    val pairs = events.groupBy(_._1).values.flatMap { rows =>
+      val o = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      o.zip(o.drop(1))
+    }.toSeq
+    val expect = pairs.groupBy(identity).map { case ((a, b), xs) =>
+      (a, b) -> xs.length.toLong }
+    val fromTotals = expect.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val got = EventWindows.transitions(spark, sf001).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got.map { case (k, v) => k -> v._1 } == expect)
+    got.foreach { case ((a, _), (n, tot, p)) =>
+      assert(tot == fromTotals(a))
+      assert(p == n.toDouble / tot.toDouble)
+    }
+    // each from-row's probabilities sum to ~1 (exact rationals n/tot)
+    got.groupBy(_._1._1).foreach { case (a, m) =>
+      val s = m.values.map(_._3).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"from=$a probabilities sum to $s")
+    }
+  }
 }

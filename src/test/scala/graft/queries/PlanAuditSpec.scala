@@ -378,8 +378,11 @@ class PlanAuditSpec extends SparkSpec {
         "q_llm_bpe_merges", // one-row learned-merge broadcast per round
         "q_llm_bpe_segments", // same one-row merge broadcasts
         "q_llm_bpe_encode", // same, under the broadcast vocab join
-        "q_llm_temperature_mix") // two one-row scalar broadcasts
+        "q_llm_temperature_mix", // two one-row scalar broadcasts
         // (weight total, floor-sum) crossed into the O(#sources) frame
+        "q_events_interpolate", // same generated spine × types cross
+        // as q_events_gapfill: O(hours × types) by construction
+        "q_llm_collocations") // one-row (n_tok, n_bi) totals broadcast
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
