@@ -149,6 +149,35 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_dups"))
 
+  /** Takedown propagation: a source is removed from the corpus
+    * (licensing/right-to-be-forgotten), and every exact-dedup group
+    * it touched must re-elect its representative — a kept doc whose
+    * `keep_doc` came from the removed source would silently vanish
+    * from the training set even though identical surviving copies
+    * exist. Reports each AFFECTED group (same content key as
+    * [[exact]]): counts before/removed, the old and re-elected
+    * representative (null when the whole group is gone), and whether
+    * the representative changed. One corpus scan, one hash shuffle —
+    * the conditional re-election rides the same aggregate as the
+    * group counts.
+    */
+  def takedown(spark: SparkSession, sfDir: String,
+      source: String = "src7"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(
+        min(col("doc_id")).as("old_rep"),
+        count(lit(1)).as("n_before"),
+        sum(when(col("source") === source, 1L).otherwise(0L)).as("n_removed"),
+        min(when(col("source") =!= source, col("doc_id"))).as("new_rep"))
+      .filter(col("n_removed") > 0)
+      .select(col("content_hash"), col("old_rep"), col("n_before"),
+        col("n_removed"), col("new_rep"),
+        (col("new_rep").isNotNull && col("new_rep") =!= col("old_rep"))
+          .as("rep_changed"))
+
   /** MinHash signatures for EVERY document, exploded flat as
     * (doc_id, i, mh) for the oracle compare.
     */
@@ -777,6 +806,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> exact _,
+    "q_dedup_takedown" -> ((sp: org.apache.spark.sql.SparkSession, d: String) => takedown(sp, d)),
     "q_dedup_novelty" -> novelty _,
     "q_dedup_minhash" -> minhashSignatures _,
     "q_dedup_minhash_pairs" -> minhashLshPairs _,
@@ -807,6 +837,18 @@ object Dedup {
          |    / CAST(count(*) AS DOUBLE) AS novelty
          |FROM ex JOIN dfc ON ex.s = dfc.s
          |GROUP BY ex.doc_id""".stripMargin,
+    "q_dedup_takedown" ->
+      """WITH g AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+        |    min(doc_id) AS old_rep,
+        |    count(*) AS n_before,
+        |    CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    min(CASE WHEN source <> 'src7' THEN doc_id END) AS new_rep
+        |  FROM documents GROUP BY 1)
+        |SELECT content_hash, old_rep, n_before, n_removed, new_rep,
+        |  (new_rep IS NOT NULL AND new_rep <> old_rep) AS rep_changed
+        |FROM g WHERE n_removed > 0""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  min(doc_id) AS keep_doc, count(*) AS n_dups

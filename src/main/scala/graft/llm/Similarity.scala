@@ -425,6 +425,80 @@ object Similarity {
         col("label").cast("long").as("label"), col("rank"), col("cos"))
   }
 
+  /** MMR (maximal marginal relevance) re-ranking dials: pool size of
+    * the relevance shortlist, number of selections, and the λ / (1−λ)
+    * relevance-vs-diversity weights — kept as two separate double
+    * LITERALS (0.7, 0.3) because `1 − 0.7` computed in binary is
+    * 0.30000000000000004, which would diverge from the oracle's
+    * parsed `0.3`.
+    */
+  val MmrPool = 20
+  val MmrK = 5
+
+  /** MMR-diversified top-k: greedy re-ranking of each query's
+    * relevance shortlist where step i picks
+    * `argmax_d 0.7·cos(q,d) − 0.3·max_{s∈S} cos(d,s)` — the classic
+    * Carbonell–Goldstein selection that stops the top of a dense
+    * cluster from crowding out every other neighborhood. The
+    * shortlist (top-[[MmrPool]] by cosine) is built by the same
+    * broadcast-queries corpus scan as [[bruteForceTopK]] and STAGED
+    * ([[graft.Materialize]]) because all [[MmrK]] greedy steps
+    * re-read it; each step is then a bounded join (≤ pool × selected
+    * rows per query) + one rank-1 window — the iteration is over K
+    * PLAN STAGES, not driver-side data. Ties break (score desc,
+    * neighbor_id asc). The oracle unrolls the K steps as CTEs, the
+    * [[ivfKmeansTopK]] discipline; scores stay bit-identical because
+    * cosine, max, and the two-literal blend are all fixed IEEE
+    * sequences on both engines.
+    */
+  def mmrTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("neighbor_id").asc)
+    val pool = graft.Materialize.stage(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= MmrPool)
+        .select(col("query_id"), col("neighbor_id"), col("embedding"),
+          col("cos")),
+      eager = false)
+    val pickW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc_nulls_last, col("neighbor_id").asc)
+    var selected: DataFrame = null
+    var remaining = pool
+    for (i <- 1 to MmrK) {
+      val scored =
+        if (selected == null)
+          remaining.withColumn("score", lit(0.7) * col("cos"))
+        else {
+          val pen = remaining
+            .join(selected.select(col("query_id"), col("sel_emb")), "query_id")
+            .withColumn("sim_sel", cosine_sim(col("embedding"), col("sel_emb")))
+            .groupBy(col("query_id"), col("neighbor_id"))
+            .agg(max(col("sim_sel")).as("pen"))
+          remaining.join(pen, Seq("query_id", "neighbor_id"))
+            .withColumn("score",
+              lit(0.7) * col("cos") - lit(0.3) * col("pen"))
+        }
+      val pick = scored
+        .withColumn("rn", row_number().over(pickW))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(i).as("sel_rank"), col("score"),
+          col("embedding").as("sel_emb"))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("neighbor_id"),
+      col("sel_rank"), col("score"))
+  }
+
   /** Band count for [[embeddingNearDup]]'s candidate generation.
     * Candidate cost is bands · Σ bucket² ≈ B·n²/2^r for the non-dup
     * mass, so `r` is the LOG-N DIAL — [[nearDupPlanesFor]] sizes it
@@ -846,6 +920,51 @@ object Similarity {
        |  * sqrt(list_reduce(list_transform($b,
        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))))""".stripMargin
 
+  /** Unrolled-CTE mirror of [[mmrTopK]]'s greedy selection — one
+    * (pen_i, sel_i, selall_i) block per step, the same K-step plan
+    * the Spark side builds.
+    */
+  private[llm] val sqlMmrTopK: String = {
+    val steps = (2 to MmrK).map { i =>
+      s"""pen_$i AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    max(${sqlCos("p.embedding", "s.embedding")}) AS pen
+         |  FROM pool p JOIN selall_${i - 1} s USING (query_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM selall_${i - 1} x
+         |    WHERE x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id)
+         |  GROUP BY p.query_id, p.neighbor_id),
+         |sel_$i AS (
+         |  SELECT query_id, neighbor_id, $i AS sel_rank, score, embedding FROM (
+         |    SELECT p.query_id, p.neighbor_id, p.embedding,
+         |      0.7 * p.cos - 0.3 * n.pen AS score
+         |    FROM pool p JOIN pen_$i n USING (query_id, neighbor_id))
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC NULLS LAST, neighbor_id) = 1),
+         |selall_$i AS (SELECT * FROM selall_${i - 1}
+         |  UNION ALL SELECT * FROM sel_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pool AS (
+       |  SELECT query_id, neighbor_id, embedding, cos FROM (
+       |    SELECT query_id, neighbor_id, embedding, cos,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |        e.embedding, ${sqlCos("q.embedding", "e.embedding")} AS cos
+       |      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |      WHERE q.vec_id < $NumQueries))
+       |  WHERE rank <= $MmrPool),
+       |sel_1 AS (
+       |  SELECT query_id, neighbor_id, 1 AS sel_rank, score, embedding FROM (
+       |    SELECT query_id, neighbor_id, embedding, 0.7 * cos AS score
+       |    FROM pool)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC NULLS LAST, neighbor_id) = 1),
+       |selall_1 AS (SELECT * FROM sel_1),
+       |$steps
+       |SELECT query_id, neighbor_id, sel_rank, score FROM selall_$MmrK""".stripMargin
+  }
+
   /** Banded hyperplane CTEs mirroring [[bandSignatureCols]]: per-band
     * buckets plus the per-vector ordered signature list the canonical
     * first-colliding-band filter needs.
@@ -1114,6 +1233,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> bruteForceTopK _,
+    "q_ann_mmr_topk" -> (mmrTopK _),
     "q_ann_recall" -> annRecall _,
     "q_ann_lsh_topk" -> lshTopK _,
     "q_ann_ivf_topk" -> ivfTopK _,
@@ -1133,6 +1253,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_ann_topk" -> sqlBruteTopK,
+    "q_ann_mmr_topk" -> sqlMmrTopK,
     "q_ann_lsh_topk" -> sqlLshTopK,
     "q_ann_ivf_topk" -> sqlIvfTopK,
     "q_ann_recall" -> sqlAnnRecall,

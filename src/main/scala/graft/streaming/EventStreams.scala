@@ -43,6 +43,30 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming OHLC bars (twin of `EventWindows.ohlc`): open/close
+    * are the MIN/MAX of the `(us, event_id, value)` struct —
+    * lexicographic struct min/max is ASSOCIATIVE, so incremental
+    * accumulation across micro-batches lands on exactly the first/
+    * last row the batch rank-1 window picks (event_id totalizes the
+    * order, so ties at the same microsecond resolve identically).
+    * high/low/count are associative already — exact parity, asserted
+    * in StreamBatchParitySpec.
+    */
+  def ohlcStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .withColumn("us", graft.Tables.epochMicros(col("ts")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value"))).as("o"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("c"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n"))
+
   /** Custom sessionization with explicit state management —
     * `flatMapGroupsWithState` with an event-time timeout. Emits a
     * session when 30 minutes pass with no further events (mirrors

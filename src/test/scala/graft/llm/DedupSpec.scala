@@ -194,4 +194,48 @@ class DedupSpec extends SparkSpec {
     assert(hist.values.sum == nPairs,
       s"histogram mass ${hist.values.sum} must equal the pair count $nPairs")
   }
+
+  test("takedown: affected groups re-elect; invariants hold against brute force") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(_._3).flatMap { case (h, rows) =>
+      val removed = rows.filter(_._2 == "src7")
+      if (removed.isEmpty) None else {
+        val survivors = rows.filter(_._2 != "src7")
+        val oldRep = rows.map(_._1).min
+        val newRep = if (survivors.isEmpty) None else Some(survivors.map(_._1).min)
+        Some(h -> ((oldRep, rows.length.toLong, removed.length.toLong,
+          newRep, newRep.exists(_ != oldRep))))
+      }
+    }
+    val got = Dedup.takedown(spark, sf001).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == expect)
+    // semantic invariants: a fully-removed group has no new rep; a
+    // partially-removed group always re-elects one
+    got.values.foreach { case (_, nBefore, nRemoved, newRep, _) =>
+      assert(nRemoved > 0 && nRemoved <= nBefore)
+      assert(newRep.isEmpty == (nRemoved == nBefore))
+    }
+  }
+
+  test("takedown: planted group re-elects the next doc when its rep's source is removed") {
+    val rows = Dedup.takedown(spark, dupDir, source = "src0").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5))))
+      .toMap
+    // exactly one affected group: {0, 1, 2} (docs 3 and 4 carry other
+    // sources); its rep 0 (src0) is removed, doc 1 takes over
+    assert(rows == Map(0L -> ((3L, 1L, Some(1L), true))))
+    // removing a source that only held a singleton kills the group
+    val gone = Dedup.takedown(spark, dupDir, source = "src4").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(gone.toSeq == Seq((4L, None)))
+  }
 }

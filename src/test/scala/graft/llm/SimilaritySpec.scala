@@ -288,6 +288,64 @@ class SimilaritySpec extends SparkSpec {
       f"banded config lost recall: $recall%.3f < $oldRecall%.3f")
   }
 
+  test("MMR: selection equals a driver-side greedy re-rank; diversity beats plain top-k") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expect = (0L until Similarity.NumQueries.toLong).flatMap { q =>
+      val pool = emb.keys.filter(_ != q).toSeq
+        .map(d => (d, cos(emb(q), emb(d))))
+        .sortBy { case (d, c) => (-c, d) }.take(Similarity.MmrPool)
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Int, Double)]()
+      val rem = scala.collection.mutable.ArrayBuffer(pool: _*)
+      (1 to Similarity.MmrK).foreach { i =>
+        if (rem.nonEmpty) {
+          val scored = rem.map { case (d, c) =>
+            val score = if (sel.isEmpty) 0.7 * c
+              else 0.7 * c - 0.3 * sel.map(s => cos(emb(d), emb(s._1))).max
+            (d, score)
+          }
+          val (d, score) = scored.minBy { case (d, s) => (-s, d) }
+          sel += ((d, i, score))
+          rem.remove(rem.indexWhere(_._1 == d))
+        }
+      }
+      sel.map { case (d, i, s) => (q, d, i) -> s }
+    }.toMap
+    val got = Similarity.mmrTopK(spark, sf001).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3)
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == expect,
+      s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+
+    // the point of MMR: the selected set is more DIVERSE than the
+    // plain top-k — strictly lower mean pairwise cosine, averaged
+    // over the query set
+    def meanPairwise(sets: Map[Long, Seq[Long]]): Double = {
+      val vals = sets.values.toSeq.flatMap { ds =>
+        for (i <- ds.indices; j <- i + 1 until ds.length)
+          yield cos(emb(ds(i)), emb(ds(j)))
+      }
+      vals.sum / vals.length
+    }
+    val mmrSets = got.keys.groupBy(_._1).map { case (q, ks) =>
+      q -> ks.toSeq.map(_._2) }
+    val topkSets = Similarity.bruteForceTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ks) => q -> ks.toSeq.map(_._2) }
+    val (dm, dt) = (meanPairwise(mmrSets), meanPairwise(topkSets))
+    info(f"mean pairwise cos — MMR: $dm%.4f, plain top-k: $dt%.4f")
+    assert(dm < dt, f"MMR selection not more diverse: $dm%.4f >= $dt%.4f")
+  }
+
   test("near-dup plane width is data-sized: floor(log2 n) - 1 in [4, 30]") {
     val cases = Seq(0L -> 4, 1L -> 4, 16L -> 4, 63L -> 4, 64L -> 5,
       500L -> 7, 2000L -> 9, 200000L -> 16, (1L << 40) -> 30)

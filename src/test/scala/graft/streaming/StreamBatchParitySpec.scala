@@ -60,6 +60,28 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("ohlc: associative struct-min open/close equals the batch rank-1 windows") {
+    val q = ohlcStream(eventsFileStream(spark, sfDir))
+      .writeStream.format("memory").queryName("parity_ohlc")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))
+    val streamed = spark.table("parity_ohlc")
+      .withColumn("hour_start", col("hour_start").cast("timestamp"))
+      .collect().map(key).toSet
+    val batch = EventWindows.ohlc(spark, sfDir)
+      .select(col("hour_start").cast("timestamp").as("hour_start"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n"))
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("sessions: drained flatMapGroupsWithState equals batch session_window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
