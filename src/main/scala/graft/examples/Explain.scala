@@ -53,7 +53,16 @@ object Explain {
           "table computed once and re-read by bands, est-joins, and the\n" +
           "doc-to-representative expansion — see Dedup.sigTable).\n")
         Headline.foreach { q =>
-          md.append(s"\n## $q\n\n```\n${planOf(q).trim}\n```\n")
+          // cap pathological dumps (the K-step MMR plan formats to
+          // ~28k lines): the operator tree at the top carries the
+          // shape evidence; the per-node detail tail is truncated
+          val full = planOf(q).trim
+          val lines = full.linesIterator.toSeq
+          val plan = if (lines.length <= 400) full
+            else (lines.take(400) :+
+              s"... [truncated: ${lines.length - 400} more detail lines]")
+              .mkString("\n")
+          md.append(s"\n## $q\n\n```\n$plan\n```\n")
         }
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           md.toString.getBytes("UTF-8"))
