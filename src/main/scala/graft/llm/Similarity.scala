@@ -425,6 +425,35 @@ object Similarity {
         col("label").cast("long").as("label"), col("rank"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (the [[NumQueries]] query vectors), the top-[[K]] most-similar
+    * vectors of a DIFFERENT label — the highest-loss negatives a
+    * triplet/InfoNCE trainer wants, where random negatives are
+    * trivially easy and same-label neighbors are false negatives.
+    * The label inequality rides the broadcast candidate join (it
+    * also implies neighbor ≠ anchor), so the corpus is scanned once
+    * and never shuffled — the [[bruteForceTopK]] shape; at 100 TB
+    * the IVF-cell pruning of [[filteredTopK]] composes the same way
+    * with `=!=` instead of `===`.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("neighbor_id").asc)
+    e.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label").as("n_label"))
+      .join(broadcast(q), col("n_label") =!= col("q_label"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        col("neighbor_id"), col("n_label").cast("long").as("n_label"),
+        col("rank"), col("cos"))
+  }
+
   /** MMR (maximal marginal relevance) re-ranking dials: pool size of
     * the relevance shortlist, number of selections, and the λ / (1−λ)
     * relevance-vs-diversity weights — kept as two separate double
@@ -484,12 +513,18 @@ object Similarity {
             .withColumn("score",
               lit(0.7) * col("cos") - lit(0.3) * col("pen"))
         }
-      val pick = scored
-        .withColumn("rn", row_number().over(pickW))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"),
-          lit(i).as("sel_rank"), col("score"),
-          col("embedding").as("sel_emb"))
+      // each pick is STAGED: selected and remaining both reference
+      // it, and unstaged the step-i plan would re-expand every prior
+      // step's subtree — ~2^K plan growth (measured 7.5 s at sf0.1
+      // for K=5 vs 1.8 s staged). A pick is ≤ NumQueries rows.
+      val pick = graft.Materialize.stage(
+        scored
+          .withColumn("rn", row_number().over(pickW))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(i).as("sel_rank"), col("score"),
+            col("embedding").as("sel_emb")),
+        eager = false)
       selected = if (selected == null) pick else selected.unionByName(pick)
       remaining = remaining.join(
         pick.select(col("query_id"), col("neighbor_id")),
@@ -1234,6 +1269,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_topk" -> bruteForceTopK _,
     "q_ann_mmr_topk" -> (mmrTopK _),
+    "q_ann_hard_negatives" -> (hardNegatives _),
     "q_ann_recall" -> annRecall _,
     "q_ann_lsh_topk" -> lshTopK _,
     "q_ann_ivf_topk" -> ivfTopK _,
@@ -1254,6 +1290,18 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_ann_topk" -> sqlBruteTopK,
     "q_ann_mmr_topk" -> sqlMmrTopK,
+    "q_ann_hard_negatives" ->
+      s"""SELECT query_id, q_label, neighbor_id, n_label, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id,
+         |    CAST(q.label AS BIGINT) AS q_label,
+         |    e.vec_id AS neighbor_id,
+         |    CAST(e.label AS BIGINT) AS n_label,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC NULLS LAST, e.vec_id ASC) AS rank,
+         |    ${sqlCos("q.embedding", "e.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings e ON e.label <> q.label
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rank <= $K""".stripMargin,
     "q_ann_lsh_topk" -> sqlLshTopK,
     "q_ann_ivf_topk" -> sqlIvfTopK,
     "q_ann_recall" -> sqlAnnRecall,

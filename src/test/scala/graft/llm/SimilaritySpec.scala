@@ -288,6 +288,38 @@ class SimilaritySpec extends SparkSpec {
       f"banded config lost recall: $recall%.3f < $oldRecall%.3f")
   }
 
+  test("hard negatives: top-k cross-label ranking matches brute force; no false negatives") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.map(e => e._1 -> e).toMap
+    val expect = emb.filter(_._1 < Similarity.NumQueries).flatMap { case (q, qe, ql) =>
+      emb.filter(_._3 != ql)
+        .map { case (d, de, dl) => (d, dl, cos(qe, de)) }
+        .sortBy { case (d, _, c) => (-c, d) }
+        .take(Similarity.K).zipWithIndex
+        .map { case ((d, dl, c), i) => (q, d) -> ((ql.toLong, dl.toLong, i + 1, c)) }
+    }.toMap
+    val got = Similarity.hardNegatives(spark, sf001).collect().map { r =>
+      (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getInt(4), r.getDouble(5)))
+    }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((q, _), (ql, nl, _, _)) =>
+      assert(ql != nl, s"query $q got a same-label (false) negative")
+      assert(byId(q)._3.toLong == ql)
+    }
+    assert(got == expect,
+      s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+  }
+
   test("MMR: selection equals a driver-side greedy re-rank; diversity beats plain top-k") {
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
