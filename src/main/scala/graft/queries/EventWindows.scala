@@ -530,7 +530,38 @@ object EventWindows {
         (col("n").cast("double") / col("from_total").cast("double")).as("p"))
   }
 
+  /** Rolling 7-day active users (WAU) beside same-day actives (DAU)
+    * per day — the product-analytics engagement pair. Sliding
+    * DISTINCT is the trap: a window frame cannot deduplicate users
+    * across days, and re-scanning 7 days per report day multiplies
+    * the corpus. Instead each distinct (user, day) pair is exploded
+    * to the ≤ 7 report days it contributes to (a map-side
+    * `sequence`), and ONE day-keyed exact distinct aggregation
+    * produces both metrics (DAU counts only the pair whose activity
+    * day IS the report day). Cost: the (user, day) distinct shuffle +
+    * one 7× exploded shuffle of (day, user) longs — never the events
+    * themselves. Report days clip to the corpus day range via a
+    * one-row bounds broadcast (the [[anomalies]] spine discipline).
+    */
+  def rollingActive(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = pairs.agg(max(col("day")).as("max_day"))
+    pairs
+      .select(col("user_id"), col("day"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("report_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("report_day") <= col("max_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        countDistinct(when(col("day") === col("report_day"),
+          col("user_id"))).as("dau"))
+      .select(col("report_day").cast("timestamp").as("report_day"),
+        col("wau"), col("dau"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_rolling_active" -> rollingActive _,
     "q_events_ohlc" -> ohlc _,
     "q_events_transitions" -> transitions _,
     "q_events_attribution" -> attribution _,
@@ -563,6 +594,21 @@ object EventWindows {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_events_rolling_active" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT max(day) AS max_day FROM pairs),
+        |contrib AS (
+        |  SELECT user_id, day,
+        |    unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS report_day
+        |  FROM pairs)
+        |SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+        |  count(DISTINCT user_id) AS wau,
+        |  count(DISTINCT CASE WHEN day = CAST(report_day AS DATE)
+        |                      THEN user_id END) AS dau
+        |FROM contrib CROSS JOIN b
+        |WHERE CAST(report_day AS DATE) <= max_day
+        |GROUP BY report_day""".stripMargin,
     "q_events_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS us, event_id, value

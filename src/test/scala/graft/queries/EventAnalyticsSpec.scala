@@ -155,6 +155,29 @@ class EventAnalyticsSpec extends SparkSpec {
       s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
   }
 
+  test("rolling active: 7-day WAU and same-day DAU match a brute-force window scan") {
+    val dayUs = 86400000000L
+    val pairs = events.map(r => (r._1, r._2 / dayUs)).distinct
+    val maxDay = pairs.map(_._2).max
+    val minDay = pairs.map(_._2).min
+    val expect = (minDay to maxDay + 0).flatMap { d =>
+      // report days start at the first activity day and end at the last
+      val wau = pairs.collect { case (u, day) if day <= d && day >= d - 6 => u }.distinct.size.toLong
+      val dau = pairs.collect { case (u, day) if day == d => u }.distinct.size.toLong
+      if (wau == 0) None else Some(d -> ((wau, dau)))
+    }.toMap
+    val got = EventWindows.rollingActive(spark, sf001).collect().map { r =>
+      val i = r.getTimestamp(0).toInstant
+      (i.getEpochSecond * 1000000L / dayUs) -> ((r.getLong(1), r.getLong(2)))
+    }.toMap
+    assert(got.nonEmpty)
+    // WAU must dominate DAU everywhere, and exceed it somewhere
+    got.values.foreach { case (w, d) => assert(w >= d) }
+    assert(got.values.exists { case (w, d) => w > d })
+    assert(got == expect,
+      s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+  }
+
   test("transitions: Markov matrix rows sum to 1 and match brute-force counts") {
     val pairs = events.groupBy(_._1).values.flatMap { rows =>
       val o = rows.sortBy(r => (r._2, r._3)).map(_._4)

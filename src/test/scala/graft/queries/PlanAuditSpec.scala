@@ -383,9 +383,10 @@ class PlanAuditSpec extends SparkSpec {
         "q_events_interpolate", // same generated spine × types cross
         // as q_events_gapfill: O(hours × types) by construction
         "q_llm_collocations", // one-row (n_tok, n_bi) totals broadcast
-        "q_ann_hard_negatives") // broadcast NumQueries anchors vs
+        "q_ann_hard_negatives", // broadcast NumQueries anchors vs
         // corpus scan with a label-inequality condition — the
         // q_ann_topk bounded-build-side shape
+        "q_events_rolling_active") // one-row max_day bounds broadcast
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
