@@ -43,6 +43,41 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  case class TransState(lastUs: Long, lastId: Long, lastType: String)
+  case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming event-type transitions (twin of
+    * `EventWindows.transitions`' step extraction): per-user state is
+    * just the LAST event seen — each arriving event emits one
+    * (from, to) step chained from it. Steps are emitted raw (Append
+    * mode); the matrix aggregation composes downstream or lands in
+    * the sink, and drained-step parity vs the batch lead() extraction
+    * is asserted in StreamBatchParitySpec. Within a micro-batch
+    * events are chained in (ts, event_id) order — the same total
+    * order the batch window uses — so an in-order feed drains to the
+    * identical step multiset.
+    */
+  def transitionsStream(events: Dataset[Event]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[TransState]): Iterator[TransOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[TransOut]
+      var last = state.getOption
+      sorted.foreach { e =>
+        last.foreach(l => out ::= TransOut(userId, l.lastType, e.event_type))
+        last = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+      }
+      last.foreach(state.update)
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming OHLC bars (twin of `EventWindows.ohlc`): open/close
     * are the MIN/MAX of the `(us, event_id, value)` struct —
     * lexicographic struct min/max is ASSOCIATIVE, so incremental

@@ -114,6 +114,32 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("transitions: drained per-user step stream equals the batch lead() matrix") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // feed in event order across several micro-batches — the chained
+    // state must stitch steps across batch boundaries
+    val events = collectEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Event]
+    val q = transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("parity_transitions")
+      .outputMode("append").start()
+    events.grouped(math.max(1, events.length / 3)).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("parity_transitions")
+      .groupBy(col("from_type"), col("to_type")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = EventWindows.transitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("interval join: drained stream-stream join equals the batch non-equi join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
