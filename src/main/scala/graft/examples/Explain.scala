@@ -24,6 +24,7 @@ object Explain {
     "q_events_twap", "q_events_interpolate", "q_llm_collocations",
     "q_events_ohlc", "q_events_transitions", "q_ann_mmr_topk",
     "q_dedup_takedown", "q_ann_hard_negatives", "q_events_rolling_active",
+    "q_events_cohort_ltv", "q_events_forecast_eval", "q_dedup_novelty",
     "q4_order_priority", "q6_forecast_revenue", "q17_small_qty_revenue",
     "q18_large_volume", "q7_volume_shipping", "q10_returned_items",
     "q19_disjunctive_or", "q21_waiting_supplier", "q_llm_bpe_merges",

@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null tokens inside the array are skipped (the upstream tokenizer
   * never produces them); a null array yields null.
   */
-case class Simhash(child: Expression) extends UnaryExpression {
+case class Simhash(child: Expression, suffix: String = "#sim")
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -41,28 +42,36 @@ case class Simhash(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    Simhash.compute(input.asInstanceOf[ArrayData])
+    Simhash.compute(input.asInstanceOf[ArrayData], suffix)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sfx = ctx.addReferenceObj("suffix", suffix, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Simhash.compute($c);")
+      s"${ev.value} = graft.functions.Simhash.compute($c, $sfx);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Simhash =
     copy(child = newChild)
 }
 
 object Simhash {
-  private val Suffix = UTF8String.fromString("#sim")
+  private val suffixes =
+    new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
 
-  /** One pass over the tokens: hash, accumulate per-bit votes, fold. */
-  def compute(tokens: ArrayData): Long = {
+  /** One pass over the tokens: hash, accumulate per-bit votes, fold.
+    * `suffix` salts the per-token bit source, giving INDEPENDENT
+    * 60-bit fingerprints of the same tokens — the 120-bit pair
+    * scheme concatenates two of them.
+    */
+  def compute(tokens: ArrayData, suffix: String): Long = {
+    val sfx = suffixes.computeIfAbsent(suffix, UTF8String.fromString _)
     val counts = new Array[Int](60)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         val w = tokens.getUTF8String(i)
-        val h = H60.hash(UTF8String.concat(w, Suffix))
+        val h = H60.hash(UTF8String.concat(w, sfx))
         var b = 0
         while (b < 60) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -83,4 +92,8 @@ object Simhash {
   /** Column API: `simhash($"tokens")`. */
   def simhash(tokens: Column): Column =
     Bridge.column(Simhash(Bridge.expression(tokens)))
+
+  /** Salted variant: an independent fingerprint family per suffix. */
+  def simhash(tokens: Column, suffix: String): Column =
+    Bridge.column(Simhash(Bridge.expression(tokens), suffix))
 }

@@ -347,40 +347,59 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs by the pigeonhole chunk trick:
-    * the 60-bit simhash splits into four 15-bit chunks, and any two
-    * hashes within Hamming distance 3 agree on at least one chunk
-    * (3 differing bits touch at most 3 of the 4), so an equi-join on
-    * (chunk_index, chunk_value) finds every such pair without an
-    * all-pairs scan — the same Σ bucket² cost shape as MinHash
-    * banding, over a 4× smaller band table. Chunk width is the
-    * scheme's saturation dial: 2¹⁵ values per chunk index, where the
-    * earlier 32-bit/8-bit layout had only 2⁸ and a 10× corpus grew
-    * candidate pairs ~quadratically (measured 14× time at 10× docs in
-    * the round-5 scale sweep — buckets had saturated). Exact-dup groups are
-    * pre-collapsed first (identical token streams share the simhash
-    * bit-for-bit, the same m² guard as [[minhashLshPairs]]). Output:
-    * (doc_a, doc_b, hamming ≤ 3) between representatives.
+    * a 120-BIT fingerprint (two independent salted 60-bit simhashes —
+    * 60 bits is all the portable md5-prefix hash carries per salt)
+    * splits into four 30-bit chunks, and any two fingerprints within
+    * Hamming distance 3 agree on at least one chunk (3 differing bits
+    * touch at most 3 of the 4), so an equi-join on (chunk_index,
+    * chunk_value) finds every such pair without an all-pairs scan —
+    * the same Σ bucket² cost shape as MinHash banding. Chunk width is
+    * the scheme's saturation dial, and it has now been widened TWICE
+    * by scale probes: 8→15 bits when the round-5 10× sweep measured
+    * ~quadratic candidates at 2⁸ buckets, and 15→30 bits when the
+    * round-8 ×1000 probe caught 2¹⁵ saturating at 5M docs (256× time
+    * at 1000× data; 2³⁰ buckets ≈ 10⁹ holds decades more headroom).
+    * A pair colliding in several chunks is kept only at its FIRST
+    * agreeing chunk — a map-side arithmetic filter, replacing the
+    * former `distinct` whose shuffle carried the entire candidate
+    * stream. Exact-dup groups are pre-collapsed first (identical
+    * token streams share both fingerprints bit-for-bit, the same m²
+    * guard as [[minhashLshPairs]]). Output: (doc_a, doc_b,
+    * hamming ≤ 3 over 120 bits) between representatives.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("th"))
+    val mask30 = (1L << 30) - 1
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokenHash.as("th"),
-        graft.functions.Simhash.simhash(TextAnalysis.tokensCol).as("simhash"))
+        graft.functions.Simhash.simhash(TextAnalysis.tokensCol).as("s0"),
+        graft.functions.Simhash.simhash(TextAnalysis.tokensCol, "#sim2").as("s1"))
       .withColumn("rep", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("simhash"))
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("s0"), col("s1"))
+    def chunk(s0: Column, s1: Column, i: Int): Column = i match {
+      case 0 => s0.bitwiseAND(lit(mask30))
+      case 1 => shiftright(s0, 30).bitwiseAND(lit(mask30))
+      case 2 => s1.bitwiseAND(lit(mask30))
+      case 3 => shiftright(s1, 30).bitwiseAND(lit(mask30))
+    }
+    val chunks = sh.select(col("doc_id"), col("s0"), col("s1"),
       explode(array((0 until 4).map(i => struct(lit(i).as("ci"),
-        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("cv"))): _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
+        chunk(col("s0"), col("s1"), i).as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("s0"), col("s1"), col("c.ci"), col("c.cv"))
+    val firstAgree = (0 until 4).reverse.foldLeft(lit(4): Column) { (acc, i) =>
+      when(chunk(col("a.s0"), col("a.s1"), i)
+        === chunk(col("b.s0"), col("b.s1"), i), lit(i)).otherwise(acc)
+    }
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv")
           && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstAgree === col("a.ci"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        (bit_count(col("a.s0").bitwiseXOR(col("b.s0")))
+          + bit_count(col("a.s1").bitwiseXOR(col("b.s1"))))
           .cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
   }
 
@@ -784,16 +803,24 @@ object Dedup {
     * containment family: containment asks "is doc A inside doc B",
     * novelty asks "how much of A is anywhere else".
     *
-    * Scale: the exploded (doc, shingle) relation is staged once and
-    * consumed twice (df aggregation, then the join back) — the
-    * vocabulary-outgrows-a-broadcast shape of
-    * [[TextAnalysis.commonness]]; both the aggregation and the join
-    * shuffle on the shingle key, never all-pairs. Shingles per doc are
-    * already distinct, so df counts documents directly.
+    * Scale: the exploded relation carries `h60(shingle)` LONGS, not
+    * the shingle strings — an 8-byte shuffle key for both the df
+    * aggregation and the join back (the vocabulary-outgrows-a-
+    * broadcast shape of [[TextAnalysis.commonness]]); a 60-bit
+    * collision conflates two shingles corpus-wide, negligible and
+    * mirrored exactly by the oracle. Deliberately NOT staged: the
+    * round-8 ×1000 probe showed the materialized exploded relation
+    * (≈ shingles × corpus rows) pinning executor storage until the
+    * df hash aggregation could not allocate
+    * ([AGGREGATE_OUT_OF_MEMORY]) — recomputing the map-side shingle
+    * explode for each consumer is two cheap corpus scans instead of
+    * a corpus-sized cache. Shingles per doc are already distinct, so
+    * df counts documents directly.
     */
   def novelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Materialize.stage(
-      shArrTable(spark, sfDir).select(col("doc_id"), explode(col("sh")).as("s")))
+    val sh = shArrTable(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("raw"))
+      .select(col("doc_id"), h60(col("raw")).as("s"))
     val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     sh.join(dfc, "s")
       .groupBy(col("doc_id"))
@@ -828,7 +855,8 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_novelty" ->
       s"""$sqlShArr,
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sharr),
+         |ex AS (SELECT doc_id, ${sqlH60("raw")} AS s FROM
+         |  (SELECT doc_id, unnest(sh) AS raw FROM sharr)),
          |dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY s)
          |SELECT ex.doc_id,
          |  CAST(count(*) AS BIGINT) AS n_shingles,
@@ -884,24 +912,39 @@ object Dedup {
       s"""$sqlGrp,
          |hs AS (
          |  SELECT doc_id,
-         |    list_transform(ws, w -> CAST('0x' || substr(md5(w || '#sim'), 1, 15) AS BIGINT)) AS hs
+         |    list_transform(ws, w -> CAST('0x' || substr(md5(w || '#sim'), 1, 15) AS BIGINT)) AS h0,
+         |    list_transform(ws, w -> CAST('0x' || substr(md5(w || '#sim2'), 1, 15) AS BIGINT)) AS h1
          |  FROM grp WHERE doc_id = rep),
          |sh AS (
          |  SELECT doc_id,
          |    CAST(list_sum(list_transform(range(0, 60), b ->
-         |      CASE WHEN list_sum(list_transform(hs,
+         |      CASE WHEN list_sum(list_transform(h0,
          |             h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS s0,
+         |    CAST(list_sum(list_transform(range(0, 60), b ->
+         |      CASE WHEN list_sum(list_transform(h1,
+         |             h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS s1
          |  FROM hs),
          |chunks AS (
-         |  SELECT doc_id, simhash, CAST(i AS INT) AS ci,
-         |    (simhash >> (CAST(i AS INT) * 15)) & 32767 AS cv
+         |  SELECT doc_id, s0, s1, CAST(i AS INT) AS ci,
+         |    CASE CAST(i AS INT)
+         |      WHEN 0 THEN s0 & 1073741823
+         |      WHEN 1 THEN (s0 >> 30) & 1073741823
+         |      WHEN 2 THEN s1 & 1073741823
+         |      ELSE (s1 >> 30) & 1073741823 END AS cv
          |  FROM sh CROSS JOIN range(0, 4) t(i))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+         |       AS BIGINT) AS hamming
          |FROM chunks a JOIN chunks b
          |  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+         |WHERE (CASE WHEN (a.s0 & 1073741823) = (b.s0 & 1073741823) THEN 0
+         |            WHEN ((a.s0 >> 30) & 1073741823) = ((b.s0 >> 30) & 1073741823) THEN 1
+         |            WHEN (a.s1 & 1073741823) = (b.s1 & 1073741823) THEN 2
+         |            WHEN ((a.s1 >> 30) & 1073741823) = ((b.s1 >> 30) & 1073741823) THEN 3
+         |            ELSE 4 END) = a.ci
+         |  AND bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= 3""".stripMargin,
     "q_dedup_band_stats" ->
       s"""$sqlGrp,
          |$sqlSigs,

@@ -560,7 +560,82 @@ object EventWindows {
         col("wau"), col("dau"))
   }
 
+  /** Cohort lifetime value: users grouped by first-active day, purchase
+    * revenue accumulated by cohort AGE (days since first activity) —
+    * the cumulative-LTV curve growth teams read. The running sum
+    * rides a window over the (cohort, age) AGGREGATE — O(cohorts ×
+    * days) rows — never the purchases; the per-user cohort day is the
+    * same one-window construction as [[retention]]. Revenue sums are
+    * exact decimal ([[graft.Exact.dsum]]); the per-user average is
+    * one terminal division.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byUser = W.partitionBy(col("user_id"))
+    val byCohort = W.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(Long.MinValue, 0)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+    val cohortSizes = ev.groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("age_days"))
+      .agg(dsum(col("value")).as("day_revenue"),
+        count(lit(1)).as("n_purchases"))
+      .withColumn("cum_revenue",
+        sum(dec2(col("day_revenue"))).over(byCohort).cast("double"))
+      .join(cohortSizes, Seq("cohort_day"))
+      .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+        col("age_days"), col("n_purchases"), col("day_revenue"),
+        col("cum_revenue"),
+        (col("cum_revenue") / col("n_users").cast("double"))
+          .as("ltv_per_user"))
+  }
+
+  /** Seasonal-naive forecast evaluation: predict each hour's event
+    * count per type as the SAME HOUR YESTERDAY (lag 24 on the
+    * gap-filled hourly series — the baseline every real forecaster
+    * must beat), and report per-type MAE and bias. Errors are exact
+    * integer differences; MAE/bias are one terminal division each —
+    * deterministic cross-engine. The lag rides the same
+    * O(hours × types) spine as [[anomalies]], never the events.
+    */
+  def forecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type")).orderBy(col("hour"))
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    spine.crossJoin(types)
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("pred", lag(col("cnt"), 24).over(byType))
+      .filter(col("pred").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("cnt") - col("pred"))).as("abs_err"),
+        sum(col("cnt") - col("pred")).as("sum_err"))
+      .select(col("event_type"), col("n_hours"),
+        (col("abs_err").cast("double") / col("n_hours").cast("double"))
+          .as("mae"),
+        (col("sum_err").cast("double") / col("n_hours").cast("double"))
+          .as("bias"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_cohort_ltv" -> cohortLtv _,
+    "q_events_forecast_eval" -> forecastEval _,
     "q_events_rolling_active" -> rollingActive _,
     "q_events_ohlc" -> ohlc _,
     "q_events_transitions" -> transitions _,
@@ -594,6 +669,57 @@ object EventWindows {
   }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_events_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+        |    min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM events),
+        |sizes AS (
+        |  SELECT cohort_day, count(DISTINCT user_id) AS n_users
+        |  FROM ev GROUP BY cohort_day),
+        |rev AS (
+        |  SELECT cohort_day, day - cohort_day AS age_days,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue,
+        |    count(*) AS n_purchases,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS day_rev_dec
+        |  FROM ev WHERE event_type = 'purchase'
+        |  GROUP BY cohort_day, day - cohort_day)
+        |SELECT CAST(r.cohort_day AS TIMESTAMP) AS cohort_day,
+        |  CAST(r.age_days AS INT) AS age_days, r.n_purchases, r.day_revenue,
+        |  CAST(SUM(r.day_rev_dec) OVER (PARTITION BY r.cohort_day
+        |    ORDER BY r.age_days ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS cum_revenue,
+        |  CAST(SUM(r.day_rev_dec) OVER (PARTITION BY r.cohort_day
+        |    ORDER BY r.age_days ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(s.n_users AS DOUBLE) AS ltv_per_user
+        |FROM rev r JOIN sizes s ON s.cohort_day = r.cohort_day""".stripMargin,
+    "q_events_forecast_eval" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |         date_trunc('hour', max(ts)) AS hi FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT h.hour, t.event_type, coalesce(c.cnt, 0) AS cnt
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type),
+        |pred AS (
+        |  SELECT event_type, cnt,
+        |    lag(cnt, 24) OVER (PARTITION BY event_type ORDER BY hour) AS p
+        |  FROM filled)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(CAST(sum(abs(cnt - p)) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mae,
+        |  CAST(CAST(sum(cnt - p) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS bias
+        |FROM pred WHERE p IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
     "q_events_rolling_active" ->
       """WITH pairs AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

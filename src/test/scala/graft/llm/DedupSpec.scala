@@ -92,20 +92,64 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (4L, false))
   }
 
-  test("simhash pigeonhole pairs = exactly the rep pairs within hamming 3") {
-    val sh = Dedup.simhash(spark, dupDir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("simhash pigeonhole pairs = exactly the rep pairs within 120-bit hamming 3") {
+    import org.apache.spark.sql.functions._
+    // both salted 60-bit halves of the 120-bit pair fingerprint
+    val sh = graft.Tables.documents(spark, dupDir)
+      .select(col("doc_id"),
+        graft.functions.Simhash.simhash(TextAnalysis.tokensCol).as("s0"),
+        graft.functions.Simhash.simhash(TextAnalysis.tokensCol, "#sim2").as("s1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // identical token streams must agree on BOTH salted halves
+    assert(sh(0L) == sh(1L))
     // representatives: doc 1 collapses into 0 (identical token stream)
     val reps = Seq(0L, 2L, 3L, 4L)
     val expected = (for {
       a <- reps; b <- reps if a < b
-      h = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      h = java.lang.Long.bitCount(sh(a)._1 ^ sh(b)._1) +
+        java.lang.Long.bitCount(sh(a)._2 ^ sh(b)._2)
       if h <= 3
     } yield (a, b, h.toLong)).toSet
     val got = Dedup.simhashPairs(spark, dupDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected, s"got $got, want $expected")
     assert(!got.exists(p => p._1 == 1L || p._2 == 1L), "doc 1 must be collapsed away")
+  }
+
+  test("simhash pigeonhole finds a planted sub-threshold pair (non-vacuous capture)") {
+    import org.apache.spark.sql.functions._
+    // a one-token edit in a LONG doc flips few fingerprint bits (the
+    // vote sums are dominated by the other tokens); pick the first
+    // replacement whose true 120-bit hamming is in (0, 3] by
+    // computing fingerprints in-process with the expression itself
+    def fp(tokens: Seq[String]): (Long, Long) = {
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        tokens.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      (graft.functions.Simhash.compute(arr, "#sim"),
+        graft.functions.Simhash.compute(arr, "#sim2"))
+    }
+    val base = (0 until 2000).map(i => s"tok$i")
+    val (b0, b1) = fp(base)
+    val cand = (0 until 200).map(i => s"swap$i").find { w =>
+      val (c0, c1) = fp(base.dropRight(1) :+ w)
+      val h = java.lang.Long.bitCount(b0 ^ c0) + java.lang.Long.bitCount(b1 ^ c1)
+      h > 0 && h <= 3
+    }
+    assert(cand.isDefined, "no replacement token within hamming 3 in 200 tries")
+    val edited = base.dropRight(1) :+ cand.get
+    val (c0, c1) = fp(edited)
+    val wantH = (java.lang.Long.bitCount(b0 ^ c0)
+      + java.lang.Long.bitCount(b1 ^ c1)).toLong
+    val dir = java.nio.file.Files.createTempDirectory("simhashpair").toString
+    import spark.implicits._
+    Seq((0L, base.mkString(" "), "en", "srcA", 1L),
+      (1L, edited.mkString(" "), "en", "srcB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, wantH)),
+      s"planted pair (hamming $wantH) not captured: $got")
   }
 
   test("band-bucket stats: per-band membership covers every representative") {

@@ -155,6 +155,63 @@ class EventAnalyticsSpec extends SparkSpec {
       s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
   }
 
+  test("cohort ltv: cumulative revenue by cohort age matches brute force; curve monotone") {
+    val dayUs = 86400000000L
+    val byUser = events.groupBy(_._1)
+    val cohortOf = byUser.map { case (u, rs) => u -> rs.map(_._2 / dayUs).min }
+    val sizes = cohortOf.groupBy(_._2).map { case (c, us) => c -> us.size.toLong }
+    val rev = scala.collection.mutable.Map[(Long, Int), (java.math.BigDecimal, Long)]()
+    events.filter(_._4 == "purchase").foreach { r =>
+      val c = cohortOf(r._1)
+      val age = (r._2 / dayUs - c).toInt
+      val (v, n) = rev.getOrElse((c, age), (java.math.BigDecimal.ZERO, 0L))
+      rev((c, age)) = (v.add(cents(r._5)), n + 1)
+    }
+    val expect = rev.keys.groupBy(_._1).flatMap { case (c, ks) =>
+      var cum = java.math.BigDecimal.ZERO
+      ks.toSeq.sorted.map { case (_, age) =>
+        val (v, n) = rev((c, age))
+        cum = cum.add(v)
+        (c, age) -> ((n, v.doubleValue, cum.doubleValue,
+          cum.doubleValue / sizes(c).toDouble))
+      }
+    }
+    val got = EventWindows.cohortLtv(spark, sf001).collect().map { r =>
+      val i = r.getTimestamp(0).toInstant
+      (i.getEpochSecond * 1000000L / dayUs, r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == expect,
+      s"sample: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+    // within a cohort, cumulative revenue never decreases with age
+    got.toSeq.groupBy(_._1._1).foreach { case (_, rows) =>
+      val curve = rows.sortBy(_._1._2).map(_._2._3)
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("forecast eval: seasonal-naive MAE/bias match a brute-force lag-24 scan") {
+    val hourUs = 3600000000L
+    val lo = events.map(_._2).min / hourUs
+    val hi = events.map(_._2).max / hourUs
+    val counts = events.groupBy(r => (r._2 / hourUs, r._4))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    val expect = events.map(_._4).distinct.map { tpe =>
+      val series = (lo to hi).map(h => counts.getOrElse((h, tpe), 0L))
+      val pairs = series.drop(24).zip(series.dropRight(24))
+      val n = pairs.length.toLong
+      tpe -> ((n,
+        pairs.map { case (a, p) => math.abs(a - p) }.sum.toDouble / n.toDouble,
+        pairs.map { case (a, p) => a - p }.sum.toDouble / n.toDouble))
+    }.toMap
+    val got = EventWindows.forecastEval(spark, sf001).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == expect, s"got $got vs $expect")
+  }
+
   test("rolling active: 7-day WAU and same-day DAU match a brute-force window scan") {
     val dayUs = 86400000000L
     val pairs = events.map(r => (r._1, r._2 / dayUs)).distinct

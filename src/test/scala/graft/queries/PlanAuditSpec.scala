@@ -386,7 +386,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_ann_hard_negatives", // broadcast NumQueries anchors vs
         // corpus scan with a label-inequality condition — the
         // q_ann_topk bounded-build-side shape
-        "q_events_rolling_active") // one-row max_day bounds broadcast
+        "q_events_rolling_active", // one-row max_day bounds broadcast
+        "q_events_forecast_eval") // same generated spine × types
+        // cross as q_events_gapfill/q_events_anomaly
     val offenders = (graft.SparkEntry.queries.keySet -- boundedBuildSide)
       .toSeq.sorted.flatMap { name =>
         val p = planOf(name)
