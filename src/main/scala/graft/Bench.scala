@@ -67,7 +67,17 @@ object Bench {
     // single-rep sampling earlier rounds reported, so the min-of-n
     // switch doesn't break round-over-round continuity
     val totalRep1 = results.collect { case (_, _, true, f) => f }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_rep1":$totalRep1,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_rep1":$totalRep1,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // durable full artifact: the driver's BENCH_r0N.json keeps only a
+    // truncated log tail, so also write the complete JSON to a file
+    // (default BENCH_FULL.json in the cwd) for committed per-query diffs
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -118,8 +118,24 @@ object PluginDemo {
     * coordinator.go:185-198), so map parallelism grows with the
     * corpus instead of capping at a fixed file count.
     */
-  def corpusGlob(spark: SparkSession, sfDir: String): String =
-    corpusCache.computeIfAbsent(sfDir, { _ =>
+  /** Base directory for corpus renders. Default is a driver-local
+    * temp dir (correct for `local[*]`, where driver and executors
+    * share a filesystem); on a real cluster set
+    * `spark.graft.plugin.corpusDir` to SHARED storage (HDFS/S3/NFS)
+    * so the distributed `write.text` lands where every executor's
+    * subsequent `wholeTextFiles` read can see it.
+    */
+  def corpusBaseDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.plugin.corpusDir")
+      .getOrElse(Files.createTempDirectory("graft-plugin-corpus").toString)
+
+  def corpusGlob(spark: SparkSession, sfDir: String): String = {
+    // cache key includes the configured base so a conf change within
+    // one JVM (tests, notebook reconfiguration) re-renders rather
+    // than returning a stale location
+    val cfgBase = spark.conf.getOption("spark.graft.plugin.corpusDir")
+      .getOrElse("")
+    corpusCache.computeIfAbsent(cfgBase + "|" + sfDir, { _ =>
       // NULL text must vanish here exactly like the oracle's
       // length(word)>0 filter drops it — rendering null would mint a
       // literal "null" token
@@ -130,20 +146,28 @@ object PluginDemo {
         .head.getLong(0)
       val nSplits = math.max(4,
         ((totalBytes + targetSplitBytes - 1) / targetSplitBytes).toInt)
-      val dir: Path = Files.createTempDirectory("graft-plugin-corpus")
-      docs.repartition(nSplits).write.mode("overwrite").text(dir.toString)
+      // render under a per-sfDir subdir so distinct corpora never
+      // collide in a shared corpusDir; all path handling goes through
+      // the Hadoop FileSystem API so hdfs://, s3a://, and plain local
+      // paths behave identically
+      val dirStr = corpusBaseDir(spark).stripSuffix("/") +
+        "/corpus-" + Integer.toHexString(sfDir.hashCode)
+      docs.repartition(nSplits).write.mode("overwrite").text(dirStr)
       // zero-row corpus: the text sink may emit no part files, and
       // wholeTextFiles rejects a glob matching no files — materialize
       // one empty split (mapf of "" emits nothing — the query then
       // returns an empty frame, as required)
-      val listing = Files.list(dir)
-      val anyTxt =
-        try listing.iterator().asScala
-          .exists(_.getFileName.toString.endsWith(".txt"))
-        finally listing.close()
-      if (!anyTxt) Files.writeString(dir.resolve("split-0.txt"), "")
-      dir.toString
+      val hPath = new org.apache.hadoop.fs.Path(dirStr)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val anyTxt = fs.listStatus(hPath)
+        .exists(_.getPath.getName.endsWith(".txt"))
+      if (!anyTxt) {
+        val out = fs.create(new org.apache.hadoop.fs.Path(hPath, "split-0.txt"))
+        out.close()
+      }
+      dirStr
     }) + "/*.txt"
+  }
 
   /** Wordcount through the runtime-loaded jar — same oracle as
     * `mr_wordcount`. */

@@ -867,7 +867,7 @@ object Dedup {
          |GROUP BY ex.doc_id""".stripMargin,
     "q_dedup_takedown" ->
       """WITH g AS (
-        |  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |    min(doc_id) AS old_rep,
         |    count(*) AS n_before,
         |    CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT)

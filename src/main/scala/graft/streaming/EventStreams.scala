@@ -62,12 +62,15 @@ object EventStreams {
 
     def fn(userId: Long, batch: Iterator[Event],
         state: GroupState[TransState]): Iterator[TransOut] = {
-      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // Exact MICROsecond order (ts is timestamp[us]; .getTime alone
+      // truncates to ms, which can invert same-ms events vs the batch
+      // window's full-precision (ts, event_id) order).
+      val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var out = List.empty[TransOut]
       var last = state.getOption
       sorted.foreach { e =>
         last.foreach(l => out ::= TransOut(userId, l.lastType, e.event_type))
-        last = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+        last = Some(TransState(micros(e.ts), e.event_id, e.event_type))
       }
       last.foreach(state.update)
       out.reverseIterator

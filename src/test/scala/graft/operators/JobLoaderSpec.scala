@@ -114,6 +114,26 @@ class JobLoaderSpec extends SparkSpec {
       "retried plugin job must reproduce the exact wordcount oracle")
   }
 
+  test("spark.graft.plugin.corpusDir redirects the render to the configured (shared) dir") {
+    // a cluster deployment points the render at shared storage; the
+    // distributed write must land under it and the query stay exact
+    val shared = Files.createTempDirectory("graft-shared-corpus").toString
+    try {
+      spark.conf.set("spark.graft.plugin.corpusDir", shared)
+      val glob = PluginDemo.corpusGlob(spark, sf001)
+      assert(glob.startsWith(shared),
+        s"render must land under the configured dir: $glob")
+      val txts = new java.io.File(glob.stripSuffix("/*.txt")).listFiles()
+        .filter(_.getName.endsWith(".txt"))
+      assert(txts.nonEmpty, "configured render produced no splits")
+      val got = PluginDemo.pluginWordcount(spark, sf001)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = graft.jobs.CanonicalJobs.wordcount(spark, sf001)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.plugin.corpusDir")
+  }
+
   test("explicit class name works without discovery and across repeated runs") {
     val jar = PluginDemo.jarPath
     val glob = PluginDemo.corpusGlob(spark, sf001)

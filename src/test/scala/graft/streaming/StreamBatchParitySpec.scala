@@ -117,15 +117,22 @@ class StreamBatchParitySpec extends SparkSpec {
   test("transitions: drained per-user step stream equals the batch lead() matrix") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // feed in event order across several micro-batches — the chained
-    // state must stitch steps across batch boundaries
-    val events = collectEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    // feed in EXACT event order (full microseconds, not ms-truncated
+    // getTime — the fixtures carry sub-ms parts, and a truncated key
+    // can invert same-ms events vs the batch (ts, event_id) order)
+    // across several micro-batches — the chained state must stitch
+    // steps across batch boundaries
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val events = collectEvents().sortBy(e => (us(e.ts), e.event_id))
     val input = MemoryStream[Event]
     val q = transitionsStream(input.toDS())
       .writeStream.format("memory").queryName("parity_transitions")
       .outputMode("append").start()
     events.grouped(math.max(1, events.length / 3)).foreach { chunk =>
-      input.addData(chunk)
+      // shuffle within the micro-batch (deterministically): the
+      // operator's own internal sort must restore exact-us order
+      input.addData(chunk.sortBy(e => e.event_id * 2654435761L % 1000003))
       q.processAllAvailable()
     }
     val streamed = spark.table("parity_transitions")
