@@ -39,8 +39,7 @@ object ScaleUp {
     def copies(base: DataFrame)(one: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => one(base, k)).reduce(_ unionAll _)
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders")) {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val p = s"$src/$t.parquet"
       if (new java.io.File(p).exists())
         spark.read.parquet(p).write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -83,8 +82,21 @@ object ScaleUp {
         rotated.as("embedding"), col("label"))
     }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // orders and lineitem scale TOGETHER with one shared orderkey
+    // shift, so the order/lineitem join relationship survives the
+    // scale-up (copying orders through unscaled would leave the
+    // lineitem copies dangling and turn every TPC-H join probe into
+    // a scan probe). Dimension keys (cust/part/supp) stay fixed —
+    // 100× orders per customer is how real traffic grows, same as
+    // events' shifted user population.
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val okShift = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val okShift = math.max(
+      li.agg(max(col("l_orderkey"))).head.getLong(0),
+      ord.agg(max(col("o_orderkey"))).head.getLong(0)) + 1L
+    copies(ord) { (o, k) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(k * okShift))
+    }.write.mode("overwrite").parquet(s"$dst/orders.parquet")
     copies(li) { (l, k) =>
       l.withColumn("l_orderkey", col("l_orderkey") + lit(k * okShift))
     }.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")

@@ -74,32 +74,59 @@ object EventWindows {
   def entryExit(spark: SparkSession, sfDir: String): DataFrame =
     entryExitOf(Tables.events(spark, sfDir))
 
-  /** Core over any (user_id, ts, event_id, props) frame. */
+  /** Core over any (user_id, ts, event_id, props) frame.
+    *
+    * Two-level construction (round-9 hot-user probe: the previous
+    * three bare per-user windows ran 14.6 s with one user holding 50%
+    * of 10M events — the family's slowest single-task sort): the gap
+    * `lag` runs within (user, day-bucket) with
+    * each bucket's first event taking its predecessor from the
+    * per-bucket LASTS table; the session-id running sum is a
+    * two-level prefix sum ([[graft.llm.Pack]]'s discipline — in-bucket
+    * running sum + the cumulative break count of the user's PRIOR
+    * buckets); and the per-session entry/exit ranks are replaced by
+    * associative `min_by`/`max_by` aggregation, which partial-aggs
+    * map-side instead of sorting a session in one task. Per-task work
+    * is bounded by a user's day at any key heat.
+    */
   def entryExitOf(events: DataFrame): DataFrame = {
-    val byUser = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val asc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("sess_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val desc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("sess_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    events
-      .select(col("user_id"), col("ts"), col("event_id"),
+    val W = org.apache.spark.sql.expressions.Window
+    val bucketUs = 86400000000L
+    val inBucket = W.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("us"), col("event_id"))
+    val byBucket = W.partitionBy(col("user_id")).orderBy(col("bucket"))
+    val base = events
+      .select(col("user_id"), Tables.epochMicros(col("ts")).as("us"),
+        col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("page"))
-      .withColumn("gap_us",
-        Tables.epochMicros(col("ts"))
-          - lag(Tables.epochMicros(col("ts")), 1).over(byUser))
+      .withColumn("bucket", col("us") - pmod(col("us"), lit(bucketUs)))
+    val prevLast = base.groupBy(col("user_id"), col("bucket"))
+      .agg(max(col("us")).as("last_us"))
+      .withColumn("prev_last_us", lag(col("last_us"), 1).over(byBucket))
+      .select(col("user_id"), col("bucket"), col("prev_last_us"))
+    val withBrk = base
+      .withColumn("prev_in", lag(col("us"), 1).over(inBucket))
+      .join(prevLast, Seq("user_id", "bucket"), "left")
+      .withColumn("prev_us", coalesce(col("prev_in"), col("prev_last_us")))
       .withColumn("brk",
-        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sess_id",
-        sum(col("brk")).over(byUser.rowsBetween(Long.MinValue, 0)))
-      .withColumn("rn_a", row_number().over(asc))
-      .withColumn("rn_d", row_number().over(desc))
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L,
+          1L).otherwise(0L))
+    val offsets = withBrk.groupBy(col("user_id"), col("bucket"))
+      .agg(sum(col("brk")).as("bucket_brks"))
+      .withColumn("off", coalesce(
+        sum(col("bucket_brks")).over(byBucket.rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+      .select(col("user_id"), col("bucket"), col("off"))
+    withBrk
+      .withColumn("run_in",
+        sum(col("brk")).over(inBucket.rowsBetween(Long.MinValue, 0)))
+      .join(offsets, Seq("user_id", "bucket"))
+      .withColumn("sess_id", col("run_in") + col("off"))
       .groupBy(col("user_id"), col("sess_id"))
-      .agg(max(when(col("rn_a") === 1, col("page"))).as("entry_page"),
-        max(when(col("rn_d") === 1, col("page"))).as("exit_page"),
+      .agg(min_by(col("page"), struct(col("us"), col("event_id")))
+          .as("entry_page"),
+        max_by(col("page"), struct(col("us"), col("event_id")))
+          .as("exit_page"),
         count(lit(1)).as("n_events"))
       .groupBy(col("entry_page"), col("exit_page"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -316,48 +343,163 @@ object EventWindows {
         (col("carry_in") + col("hour_delta")).as("end_concurrency"))
   }
 
-  /** First/last-touch attribution: each purchase is joined to the
-    * user's marketing touches (view/click, with the page from
+  /** First/last-touch attribution: each purchase finds the user's
+    * FIRST and LAST marketing touch (view/click, with the page from
     * `props.$k`) in a 7-day lookback window ending at the purchase,
     * and each page is credited with the purchases (and exact value)
     * it opened (first touch) and closed (last touch). Purchases with
-    * no touch in the window drop out (nothing to credit).
+    * no touch in the window drop out (nothing to credit), and only
+    * pages that opened or closed at least one purchase appear.
     *
-    * Scale: the touch↔purchase pairing is an equi-join on user_id —
-    * one hash exchange per side, never a time-range nested loop —
-    * with the lookback filter applied as a join residual; the
-    * first/last ranking rides a window keyed by the purchase id, so
-    * per-task state is one purchase's touch set. A user with
-    * millions of touches is the skew case: the same salting dial as
-    * [[graft.operators.AsOfJoin.asofSalted]] applies. Credited
-    * values are exact decimal sums ([[graft.Exact.dsum]]).
+    * Scale — this is the query where round 9's planted hot-user probe
+    * found the family's one QUADRATIC saturation: the previous
+    * construction (equi-join purchases×touches on user_id, then
+    * rank-1 windows per purchase) materializes every
+    * (purchase, touch-in-window) pair, so one bot user holding 50% of
+    * a 200k-event corpus took 128 s — |p|·|t| pair mass that no salt
+    * can fix (the touch side is equally hot, so salting just
+    * replicates it). Rewritten as a SINGLE-PASS AS-OF
+    * ([[attributionEnrichedOf]]): each purchase probes one
+    * time-sorted union of the touches twice — backward at the
+    * purchase for the last touch, forward at the window start for
+    * the first — so the pairing emits one row per probe, never the
+    * pair set. Measured: planted-hot corpus 128 s → 5.9 s at 200k
+    * events; at 10M events with a 5M-event hot user (old
+    * construction: infeasible) 14 s; and on UNIFORM corpora it beats
+    * the pair join at ×100 (3.5 s vs 4.8 s, sf0.1 0.8 s vs 0.5 s).
+    * The `bucketUs` dial bounds per-task work by (user, bucket) for
+    * heat beyond what one task's sort should hold. Credited values
+    * are exact decimal sums ([[graft.Exact.dsum]]).
     */
-  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+  def attribution(spark: SparkSession, sfDir: String): DataFrame =
+    attributionOf(Tables.events(spark, sfDir))
+
+  /** Core over any events frame; `bucketUs` is the as-of skew dial. */
+  def attributionOf(ev: DataFrame,
+      bucketUs: Long = Long.MaxValue): DataFrame = {
+    val enriched = attributionEnrichedOf(ev, bucketUs)
+    val firsts = enriched.groupBy(col("first_page").as("page"))
+      .agg(count(lit(1)).as("n_first"), dsum(col("value")).as("first_value"))
+    val lasts = enriched.groupBy(col("last_page").as("page"))
+      .agg(count(lit(1)).as("n_last"), dsum(col("value")).as("last_value"))
+    firsts.join(lasts, Seq("page"), "full_outer")
+      .select(col("page"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"), col("first_value"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"), col("last_value"))
+  }
+
+  /** The per-purchase enrichment the attribution aggregate rides:
+    * one row per purchase with ≥1 touch in its 7-day window —
+    * (p_id, value, first_page, last_page). Also the batch parity
+    * oracle for the streaming twin
+    * [[graft.streaming.EventStreams.attributionStream]].
+    *
+    * SINGLE-PASS as-of: each purchase contributes two probe rows to
+    * one time-sorted union with the touch instants — a BACKWARD probe
+    * at the purchase time (running `last` frame picks the latest
+    * touch ≤ it: the last touch) and a FORWARD probe at the window
+    * start (a `first`-following frame picks the earliest touch ≥ it:
+    * the first touch) — the [[graft.operators.AsOfJoin.asofNearest]]
+    * one-sort/two-frames construction. Probe tags make the window-
+    * boundary ties inclusive on both sides (a touch AT the probe
+    * instant sorts before a backward probe and after a forward one).
+    * The two picks re-pair on ONE hash aggregation by purchase id.
+    *
+    * The union window partitions by (user, `bucketUs` bucket) with
+    * carry rows stitching bucket boundaries in both directions (the
+    * [[graft.operators.AsOfJoin.asofBucketed]] mechanics inlined for
+    * the two-direction pass), so per-task work is bounded by a
+    * user's bucket at any key heat — pass `Long.MaxValue` to
+    * degenerate to one partition per user.
+    */
+  def attributionEnrichedOf(ev: DataFrame,
+      bucketUs: Long = Long.MaxValue): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val lookbackUs = 7L * 24 * 3600000000L
-    val ev = Tables.events(spark, sfDir)
+    val lb = 7L * 24 * 3600000000L
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"),
         Tables.epochMicros(col("ts")).as("p_us"), col("value"))
-    val touches = ev.filter(col("event_type").isin("view", "click"))
+    // RAW touches go into the window — ordering by (at_us, tag, t_id)
+    // makes the tie-break exact without a per-instant pre-collapse:
+    // the running `last` at a tied instant lands on the max t_id (the
+    // pair construction's last touch), the `first`-following on the
+    // min t_id (its first touch)
+    val touchRows = ev.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"),
-        Tables.epochMicros(col("ts")).as("t_us"),
-        col("event_id").as("t_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("page"))
-    val byPurchase = W.partitionBy(col("p_id"))
-    purchases.join(touches, Seq("user_id"))
-      .filter(col("t_us") <= col("p_us")
-        && col("t_us") > col("p_us") - lit(lookbackUs))
-      .withColumn("rn_a", row_number().over(
-        byPurchase.orderBy(col("t_us"), col("t_id"))))
-      .withColumn("rn_d", row_number().over(
-        byPurchase.orderBy(col("t_us").desc, col("t_id").desc)))
-      .groupBy(col("page"))
-      .agg(
-        sum(when(col("rn_a") === 1, 1L).otherwise(0L)).as("n_first"),
-        dsum(when(col("rn_a") === 1, col("value"))).as("first_value"),
-        sum(when(col("rn_d") === 1, 1L).otherwise(0L)).as("n_last"),
-        dsum(when(col("rn_d") === 1, col("value"))).as("last_value"))
+        Tables.epochMicros(col("ts")).as("at_us"),
+        lit(0).as("tag"), col("event_id").as("t_id"), lit("t").as("kind"),
+        lit(null).cast("long").as("p_id"), lit(null).cast("double").as("value"),
+        struct(Tables.epochMicros(col("ts")).as("t_us"),
+          col("event_id").as("t_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("page"))
+          .as("tpay"))
+    val nullPay = lit(null).cast(touchRows.schema("tpay").dataType)
+    // tags order boundary ties: fwd probe (-1) < touch (0) < back
+    // probe (2), so both window edges are inclusive
+    val backProbes = purchases.select(col("user_id"),
+      col("p_us").as("at_us"), lit(2).as("tag"), lit(0L).as("t_id"),
+      lit("b").as("kind"), col("p_id"), col("value"), nullPay.as("tpay"))
+    val fwdProbes = purchases.select(col("user_id"),
+      (col("p_us") - lit(lb) + 1).as("at_us"), lit(-1).as("tag"),
+      lit(0L).as("t_id"), lit("f").as("kind"), col("p_id"),
+      lit(null).cast("double").as("value"), nullPay.as("tpay"))
+    val rows = touchRows.unionAll(backProbes).unionAll(fwdProbes)
+      .withColumn("b",
+        if (bucketUs == Long.MaxValue) lit(0L)
+        else col("at_us") - pmod(col("at_us"), lit(bucketUs)))
+    // carry rows stitch bucket boundaries in both directions (only
+    // when bucketing is on): each (user, bucket) gets the latest
+    // touch of PRIOR buckets (for backward frames) and the earliest
+    // of FOLLOWING buckets (for forward frames), at their TRUE
+    // instants — they sort outside the in-bucket range, so frame
+    // membership and the tolerance math are unchanged
+    val all = if (bucketUs == Long.MaxValue) rows else {
+      val byUserB = W.partitionBy(col("user_id")).orderBy(col("b"))
+      val edges = touchRows
+        .withColumn("b", col("at_us") - pmod(col("at_us"), lit(bucketUs)))
+        .groupBy(col("user_id"), col("b"))
+        .agg(max(col("tpay")).as("lastT"), min(col("tpay")).as("firstT"))
+      val spine = rows.select(col("user_id"), col("b")).distinct()
+        .join(edges, Seq("user_id", "b"), "left")
+        .withColumn("prevLast", last(col("lastT"), ignoreNulls = true)
+          .over(byUserB.rowsBetween(Long.MinValue, -1)))
+        .withColumn("nextFirst", first(col("firstT"), ignoreNulls = true)
+          .over(byUserB.rowsBetween(1, Long.MaxValue)))
+      def carry(c: String): DataFrame = spine.filter(col(c).isNotNull)
+        .select(col("user_id"), col(c).getField("t_us").as("at_us"),
+          lit(0).as("tag"), col(c).getField("t_id").as("t_id"),
+          lit("t").as("kind"), lit(null).cast("long").as("p_id"),
+          lit(null).cast("double").as("value"), col(c).as("tpay"), col("b"))
+      rows.unionByName(carry("prevLast")).unionByName(carry("nextFirst"))
+    }
+    // BOTH picks are RUNNING frames (O(n) per partition): the forward
+    // pick runs over the REVERSED ordering — a `first over
+    // (currentRow, unboundedFollowing)` frame looks equivalent but
+    // Spark's UnboundedFollowingWindowFunctionFrame re-scans to the
+    // partition end per row, O(n²) in partition size: measured 1939 s
+    // on the planted 5M-event hot user vs 14 s with the reversed
+    // running frame
+    val wbAsc = W.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("at_us").asc, col("tag").asc, col("t_id").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val wbDesc = W.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("at_us").desc, col("tag").desc, col("t_id").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val back = last(col("tpay"), ignoreNulls = true).over(wbAsc)
+    val fwd = last(col("tpay"), ignoreNulls = true).over(wbDesc)
+    all
+      .withColumn("bp", when(col("kind") === "b" && back.isNotNull
+        && col("at_us") - back.getField("t_us") <= lb - 1, back))
+      .withColumn("fp", when(col("kind") === "f" && fwd.isNotNull
+        && fwd.getField("t_us") - col("at_us") <= lb - 1, fwd))
+      .filter(col("kind") =!= "t")
+      .groupBy(col("p_id"))
+      .agg(max(col("bp")).as("bpick"), max(col("fp")).as("fpick"),
+        max(when(col("kind") === "b", col("value"))).as("value"))
+      .filter(col("bpick").isNotNull && col("fpick").isNotNull)
+      .select(col("p_id"), col("value"),
+        col("fpick").getField("page").as("first_page"),
+        col("bpick").getField("page").as("last_page"))
   }
 
   /** Time-weighted average value per (event_type, hour) — each event's
@@ -509,17 +651,38 @@ object EventWindows {
     * session-simulation both start from. The probability is ONE
     * division of exact counts ([[ewma]]'s determinism discipline).
     *
-    * Scale: the lag rides the user_id partitioning (a partition is
-    * one user's stream); the matrix is types² rows. The final
-    * per-from total is a window over those types² rows — trivial.
+    * Scale: the per-user `lead` is decomposed TWO-LEVEL (the [[twap]]
+    * discipline) — it runs within (user_id, day-bucket) partitions,
+    * and the last event of each bucket takes its successor from the
+    * per-bucket FIRSTS table (lead over O(users × active buckets)
+    * rows). A bare `lead over (partition by user_id)` serializes a
+    * hot user into one task's sort — the round-9 planted probe (one
+    * bot user holding 50% of 10M events) measured the bare window at
+    * 7.6 s single-task-bound vs 3.1 s decomposed, a gap that grows
+    * with key heat; per-task work here is bounded by a user's DAY,
+    * not their lifetime. The matrix is types² rows; the final
+    * per-from total is a window over those — trivial.
     */
   def transitions(spark: SparkSession, sfDir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val byUser = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("from_type"))
-      .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+    val bucketUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), Tables.epochMicros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("from_type"))
+      .withColumn("bucket", col("us") - pmod(col("us"), lit(bucketUs)))
+    val inBucket = W.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("us"), col("event_id"))
+    val firsts = ev.groupBy(col("user_id"), col("bucket"))
+      .agg(min_by(col("from_type"), struct(col("us"), col("event_id")))
+        .as("first_type"))
+    val nextFirst = firsts
+      .withColumn("next_type", lead(col("first_type"), 1).over(
+        W.partitionBy(col("user_id")).orderBy(col("bucket"))))
+      .select(col("user_id"), col("bucket"), col("next_type"))
+    ev
+      .withColumn("to_in", lead(col("from_type"), 1).over(inBucket))
+      .join(nextFirst, Seq("user_id", "bucket"), "left")
+      .withColumn("to_type", coalesce(col("to_in"), col("next_type")))
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
@@ -795,7 +958,7 @@ object EventWindows {
         |  CAST(SUM(CASE WHEN rn_d = 1
         |                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
         |    AS last_value
-        |FROM joined GROUP BY page""".stripMargin,
+        |FROM joined WHERE rn_a = 1 OR rn_d = 1 GROUP BY page""".stripMargin,
     // step-hold TWAP: the oracle uses the naive single-partition
     // lead-per-type; the Spark side decomposes it two-level — same
     // intervals, same integer overlaps, same exact sums

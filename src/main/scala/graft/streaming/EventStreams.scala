@@ -291,6 +291,91 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  case class AttrTagged(user_id: Long, ts: java.sql.Timestamp,
+      isPurchase: Boolean, event_id: Long, value: Double,
+      page: Option[Int])
+
+  case class AttrOut(p_id: Long, user_id: Long, value: Double,
+      first_page: Option[Int], last_page: Option[Int])
+
+  /** State: un-finalized purchases as (micros, p_id, value) and
+    * candidate touches as (micros, t_id, page), both per user. */
+  case class AttrState(purchases: List[(Long, Long, Double)],
+      touches: List[(Long, Long, Option[Int])])
+
+  /** Streaming first/last-touch attribution — the twin of
+    * [[graft.queries.EventWindows.attributionEnrichedOf]]: each
+    * purchase, once the watermark proves no older touch can still
+    * arrive, emits its FIRST and LAST marketing touch within the
+    * 7-day lookback; purchases with no touch in the window emit
+    * nothing. The per-page credit aggregation composes downstream
+    * (the [[transitionsStream]] emission discipline).
+    *
+    * Same emission/state mechanics as [[asofEnrichStream]] (this is
+    * that operator with TWO directional picks instead of one): a
+    * purchase finalizes when the watermark passes it; a touch lives
+    * until `t_ts + lookback` falls behind the watermark — it can
+    * then never land in a pending or future purchase's window. State
+    * is O(one lookback of events per user) — the price of exact
+    * attribution on an out-of-order stream.
+    */
+  def attributionStream(purchases: DataFrame, touches: DataFrame,
+      lookbackMicros: Long = 7L * 24 * 3600000000L,
+      watermarkDelay: String = "1 hour"): Dataset[AttrOut] = {
+    import purchases.sparkSession.implicits._
+    val lb = lookbackMicros
+    def tagP(df: DataFrame): Dataset[AttrTagged] =
+      df.select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        lit(true).as("isPurchase"), col("event_id"), col("value"),
+        lit(null).cast("int").as("page")).as[AttrTagged]
+    def tagT(df: DataFrame): Dataset[AttrTagged] =
+      df.select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        lit(false).as("isPurchase"), col("event_id"),
+        lit(0.0).as("value"), col("page").cast("int").as("page"))
+        .as[AttrTagged]
+
+    def fn(userId: Long, batch: Iterator[AttrTagged],
+        state: GroupState[AttrState]): Iterator[AttrOut] = {
+      val st = state.getOption.getOrElse(AttrState(Nil, Nil))
+      var pend = st.purchases
+      var tch = st.touches
+      batch.foreach { r =>
+        val us = micros(r.ts)
+        if (r.isPurchase) pend ::= ((us, r.event_id, r.value))
+        else tch ::= ((us, r.event_id, r.page))
+      }
+      val wmMs = state.getCurrentWatermarkMs()
+      val wmUs = wmMs * 1000L
+      // a purchase finalizes once no touch at-or-before it can still
+      // arrive: strictly older than the watermark (ms granularity)
+      val (done, stillPending) = pend.partition(_._1 / 1000L < wmMs)
+      val out = done.sortBy(p => (p._1, p._2)).flatMap { case (pUs, id, v) =>
+        val m = tch.filter(t => t._1 <= pUs && pUs - t._1 < lb)
+        if (m.isEmpty) None
+        else {
+          val first = m.minBy(t => (t._1, t._2))
+          val last = m.maxBy(t => (t._1, t._2))
+          Some(AttrOut(id, userId, v, first._3, last._3))
+        }
+      }
+      val keepTch = tch.filter(t => t._1 + lb >= wmUs)
+      if (stillPending.isEmpty && keepTch.isEmpty) state.remove()
+      else {
+        state.update(AttrState(stillPending, keepTch))
+        val next = (stillPending.map(_._1 / 1000L) ++
+          keepTch.map(t => (t._1 + lb) / 1000L + 1L)).min
+        state.setTimeoutTimestamp(math.max(next, wmMs + 1L))
+      }
+      out.iterator
+    }
+
+    tagP(purchases).union(tagT(touches))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming change-log compaction — the streaming twin of
     * [[graft.operators.Compaction.latestPerKey]]: per-key
     * latest-wins state via `flatMapGroupsWithState`, emitting a key's

@@ -31,14 +31,10 @@ class EventAnalyticsSpec extends SparkSpec {
       rows.filter(_._4 == "purchase").foreach { p =>
         val in = touches.filter(t => t._2 <= p._2 && t._2 > p._2 - lookbackUs)
         if (in.nonEmpty) {
-          // every touched page appears in the output, zero-credited if
-          // it never opened or closed a purchase (mid-window touches)
-          in.foreach { t =>
-            for (m <- Seq(first, last))
-              if (!m.contains(t._6)) m(t._6) = (0L, java.math.BigDecimal.ZERO)
-          }
+          // only pages that OPENED or CLOSED a purchase appear (the
+          // round-9 as-of rewrite dropped mid-window zero-credit rows)
           for ((m, t) <- Seq((first, in.head), (last, in.last))) {
-            val (n, v) = m(t._6)
+            val (n, v) = m.getOrElse(t._6, (0L, java.math.BigDecimal.ZERO))
             m(t._6) = (n + 1, v.add(cents(p._5)))
           }
         }

@@ -58,18 +58,32 @@ class PlanAuditSpec extends SparkSpec {
       s"orders and lineitem should each scan once:\n$p")
   }
 
-  test("asofNearest: both direction frames fuse into ONE Window sort, one exchange") {
+  test("asofNearest: two RUNNING frames over one exchange, no unbounded-following frame") {
     val p = planOf("q_asof_nearest")
-    // the whole point of the nearest construction: backward last() and
-    // forward first() share one (key, time, tag) ordering — if a
-    // refactor diverges the two orderings, a second Window (and a
-    // second sort) appears here
-    assert("Window \\[".r.findAllIn(p).size == 1,
-      s"expected one fused Window operator:\n$p")
+    // the round-9 physical claim: backward and forward picks are BOTH
+    // running (unboundedpreceding, currentrow) frames — the forward
+    // one over the reversed ordering. A `first over (currentrow,
+    // unboundedfollowing)` frame would fuse into one Window but
+    // Spark evaluates it O(n²) per partition (re-scan to the end per
+    // row) — the planted-hot-key killer round 9 measured at 1939 s.
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"expected two Window operators (asc + desc running frames):\n$p")
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"no frame may extend to unboundedfollowing (O(n²) eval):\n$p")
     assert("Exchange hashpartitioning\\(_k".r.findAllIn(p).size == 1,
       s"expected exactly one key exchange for the union-window:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"nearest must not fall back to a nested loop:\n$p")
+  }
+
+  test("attribution: single-pass as-of — one event-row exchange, running frames only") {
+    val p = planOf("q_events_attribution")
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"no frame may extend to unboundedfollowing (O(n²) eval):\n$p")
+    // the pairing must be window-based, never the purchases×touches
+    // pair join the round-9 skew probe measured quadratic
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"attribution must not pair via a nested loop:\n$p")
   }
 
   test("concurrency: only the O(hours) spine window is single-partition") {

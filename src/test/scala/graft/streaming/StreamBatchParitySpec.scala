@@ -332,6 +332,54 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(batch.exists(_._3 == -1L), "fixture has no horizon-missing purchases")
   }
 
+  test("attribution stream: drained first/last touches equal the batch as-of enrichment") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("page"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        if (r.isNullAt(3)) Option.empty[Int] else Some(r.getInt(3)))).toSeq
+    val maxTs = (purchases.map(_._2.getTime) ++ touches.map(_._2.getTime)).max
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val tIn = MemoryStream[(Long, java.sql.Timestamp, Long, Option[Int])]
+    val q = EventStreams.attributionStream(
+        pIn.toDS().toDF("user_id", "ts", "event_id", "value"),
+        tIn.toDS().toDF("user_id", "ts", "event_id", "page"))
+      .writeStream.format("memory").queryName("parity_attr")
+      .outputMode("append").start()
+    pIn.addData(purchases)
+    tIn.addData(touches)
+    q.processAllAvailable()
+    // a purchase only finalizes when the watermark passes it: drain
+    // with a far-future sentinel on BOTH inputs
+    val sentinelTs = new java.sql.Timestamp(maxTs + 365L * 86400 * 1000)
+    pIn.addData((-1L, sentinelTs, -1L, 0.0))
+    tIn.addData((-1L, sentinelTs, -1L, Option.empty[Int]))
+    q.processAllAvailable()
+    def pg(x: Any): Int = if (x == null) Int.MinValue else x.asInstanceOf[Int]
+    val streamed = spark.table("parity_attr")
+      .filter(col("user_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(2) * 100),
+        pg(r.get(3)), pg(r.get(4)))).toSet
+    q.stop()
+    val batch = graft.queries.EventWindows
+      .attributionEnrichedOf(graft.Tables.events(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100),
+        pg(r.get(2)), pg(r.get(3)))).toSet
+    assert(batch.nonEmpty, "fixture has no attributable purchases")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("IVF index stream: two-wave incremental build probes identical to batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
