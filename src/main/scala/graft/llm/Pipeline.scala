@@ -53,9 +53,15 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.scrubCol(col("text")).as("clean"))
       .withColumn("toks", filter(split(col("clean"), " "), w => length(w) > 0))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_punct",
-        size(regexp_extract_all(col("clean"), lit("[^A-Za-z0-9\\s]"), lit(0)))))
+      // gate counts ride one TextCounts scan of the clean text (the
+      // token count equals size(toks): post-collapse whitespace is
+      // single spaces, so \s+ runs and ' ' splits agree); `toks`
+      // stays for consumers that need the array — column pruning
+      // drops it when nobody does
+      .withColumn("_tc", graft.functions.TextCounts.textCounts(col("clean")))
+      .withColumn("n_tokens", col("_tc.n_tokens"))
+      .withColumn("n_punct", col("_tc.n_punct"))
+      .drop("_tc"))
       .filter(barrierTrue && col("n_tokens") >= 5
         && when(length(col("clean")) > 0,
           col("n_punct").cast("double") / length(col("clean"))) <= lit(0.2))
@@ -230,9 +236,11 @@ object Pipeline {
         TextAnalysis.scrubCol(col("text")).as("clean"))
     val gated = withGateBarrier(scrubbed
       .withColumn("ws", toks(col("clean")))
-      .withColumn("n_tokens", size(col("ws")))
-      .withColumn("n_punct",
-        size(regexp_extract_all(col("clean"), lit("[^A-Za-z0-9\\s]"), lit(0)))))
+      // one TextCounts scan for both gate counts (see scrubGate)
+      .withColumn("_tc", graft.functions.TextCounts.textCounts(col("clean")))
+      .withColumn("n_tokens", col("_tc.n_tokens"))
+      .withColumn("n_punct", col("_tc.n_punct"))
+      .drop("_tc"))
       .filter(barrierTrue && col("n_tokens") >= 5
         && when(length(col("clean")) > 0,
           col("n_punct").cast("double") / length(col("clean"))) <= lit(0.2))

@@ -47,12 +47,18 @@ object TextAnalysis {
     s"len(list_filter($sqlTokens, w -> w IN ($set)))"
   }
 
-  /** Stopword-ratio language ID with deterministic tiebreak. */
+  /** Stopword-ratio language ID with deterministic tiebreak. All four
+    * scores come out of ONE [[graft.functions.TextCounts]] scan (the
+    * lambda-filter formulation walked the token array once per
+    * language).
+    */
   def langId(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        scoreCol("en").as("s_en"), scoreCol("de").as("s_de"),
-        scoreCol("es").as("s_es"), scoreCol("fr").as("s_fr"))
+        graft.functions.TextCounts.textCounts(col("text")).as("tc"))
+      .select(col("doc_id"), col("lang"),
+        col("tc.s_en").as("s_en"), col("tc.s_de").as("s_de"),
+        col("tc.s_es").as("s_es"), col("tc.s_fr").as("s_fr"))
       .withColumn("detected",
         when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
           && col("s_en") >= col("s_fr"), "en")
@@ -65,11 +71,13 @@ object TextAnalysis {
     */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        graft.functions.TextCounts.textCounts(col("text")).as("tc"))
       .select(col("doc_id"),
-        size(tokensCol).as("n_tokens"),
-        length(col("text")).as("n_chars"),
-        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"),
-        scoreCol("en").as("n_stop"))
+        col("tc.n_tokens").as("n_tokens"),
+        col("n_chars"),
+        col("tc.n_punct").as("n_punct"),
+        col("tc.s_en").as("n_stop"))
       // explicit zero-denominator guards: Spark's non-ANSI x/0 yields
       // NULL but DuckDB yields NaN/inf — empty docs would diverge
       .withColumn("stop_ratio",
@@ -88,10 +96,13 @@ object TextAnalysis {
     * consumers that need quality inline without a join (data card).
     */
   def qualityCol: Column = {
-    val nt = size(tokensCol)
+    // one TextCounts scan; the repeated `tc` references are identical
+    // subtrees, deduplicated by codegen subexpression elimination
+    val tc = graft.functions.TextCounts.textCounts(col("text"))
+    val nt = tc.getField("n_tokens")
     val nc = length(col("text"))
-    val np = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
-    val ns = scoreCol("en")
+    val np = tc.getField("n_punct")
+    val ns = tc.getField("s_en")
     when(nt > 0 && nc > 0,
       (ns.cast("double") / nt) * lit(0.5)
         + when(nt >= 10 && nt <= 1000, 0.3).otherwise(0.0)
@@ -132,11 +143,12 @@ object TextAnalysis {
     */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        graft.functions.TextCounts.textCounts(col("text")).as("tc"))
       .select(col("doc_id"),
-        size(tokensCol).as("ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"),
-        length(col("text")).as("n_chars"))
+        col("tc.n_tokens").as("ws_tokens"),
+        col("tc.n_bpe").as("bpe_tokens"),
+        col("n_chars"))
 
   /** Document fingerprint: polynomial rolling hash over the token
     * stream, `fp = fold(0, (acc, tok) -> (acc*31 + h60(tok)) % 1e9+7)`.
@@ -152,14 +164,12 @@ object TextAnalysis {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
 
   /** Scrub transform (URL/email placeholders, whitespace collapse,
-    * trim) — single source of truth shared with [[Pipeline]].
+    * trim) — single source of truth shared with [[Pipeline]]. Native
+    * one-pass-per-stage expression ([[graft.functions.ScrubText]];
+    * `ScrubTextSpec` pins it to the original 3× `regexp_replace`
+    * chain, which remains the DuckDB oracle's formulation).
     */
-  def scrubCol(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(
-        regexp_replace(c, "https?://\\S+", "<URL>"),
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      "\\s+", " "))
+  def scrubCol(c: Column): Column = graft.functions.ScrubText.scrubText(c)
 
   /** SQL mirror of [[scrubCol]]. */
   def sqlScrub(expr: String): String =
