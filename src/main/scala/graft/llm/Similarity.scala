@@ -545,21 +545,34 @@ object Similarity {
     * → Θ(n²/16): 112× time at 100× data, the only superlinear query
     * in the sweep) — and showed that ANY fixed (B, r) is quadratic
     * with a constant, which is why r is data-sized, the same way IVF
-    * sizes its cell count. Sixteen independent shots also beat one
-    * 16-bucket shot on the real pair-cosine distribution (recalls
-    * measured in SimilaritySpec, recorded in BASELINE.md).
+    * sizes its cell count.
+    *
+    * (B, r) OPERATING POINT — chosen from the round-9 measured
+    * recall/cost grid (graft.RecallProbe, table in BASELINE.md): at
+    * FIXED candidate mass, deeper r with exponentially more bands
+    * strictly dominates (collision prob per band is q^r with
+    * q = 1 − θ/π > ½ for every true pair, so recall/cost ∝ (2q)^r
+    * grows with r) — measured 0.49→0.82 (sf0.01) and 0.20→0.44
+    * (sf0.1) moving from (16, r₀) to (64, r₀+1) at ~2× mass, the
+    * knee of the curve. Recall ≥ 0.7 on the harder sf0.1
+    * distribution is one more dial-turn away — (256, r₀+2) measured
+    * 0.76 at ~4× mass — left as the dial rather than the default
+    * because candidate mass is THE 100-TB cost driver and the knee
+    * already doubles recall for 2×.
     */
-  val NearDupBands = 16
+  val NearDupBands = 64
 
   /** Per-band signature width for an n-vector corpus:
-    * floor(log2 n) − 1, clamped to [4, 30] — ~2 vectors per bucket
-    * per band in expectation, integer-exact on both engines (bit
-    * length, no float log), mirrored in SQL as
-    * `length(bin(count(*))) - 2`.
+    * floor(log2 n), clamped to [4, 30] — ~1 vector per bucket per
+    * band in expectation (one bit deeper than the round-8 config:
+    * the halved per-band mass pays for 4× the bands at 2× total,
+    * per the measured dominance law above), integer-exact on both
+    * engines (bit length, no float log), mirrored in SQL as
+    * `length(bin(count(*))) - 1`.
     */
   def nearDupPlanesFor(n: Long): Int = {
     val bitLen = if (n <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n)
-    math.max(4, math.min(30, bitLen - 2))
+    math.max(4, math.min(30, bitLen - 1))
   }
 
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
@@ -1005,13 +1018,13 @@ object Similarity {
     * first-colliding-band filter needs.
     */
   private[llm] val sqlBandSigs = {
-    // r mirrors nearDupPlanesFor: bit length of the corpus count − 2,
+    // r mirrors nearDupPlanesFor: bit length of the corpus count − 1,
     // clamped to [4, 30]; the plane range is bounded by the clamp
     // (bands·30) and filtered down to the data-sized bands·r
     val maxPlanes = NearDupBands * 30
     s"""rr AS (
        |  SELECT greatest(4, least(30,
-       |    length(bin(CAST(count(*) AS BIGINT))) - 2)) AS r
+       |    length(bin(CAST(count(*) AS BIGINT))) - 1)) AS r
        |  FROM embeddings),
        |bplanes AS (
        |  SELECT j, j // r AS band, r, list(g ORDER BY i) AS gs

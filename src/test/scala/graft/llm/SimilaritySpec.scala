@@ -378,9 +378,9 @@ class SimilaritySpec extends SparkSpec {
     assert(dm < dt, f"MMR selection not more diverse: $dm%.4f >= $dt%.4f")
   }
 
-  test("near-dup plane width is data-sized: floor(log2 n) - 1 in [4, 30]") {
-    val cases = Seq(0L -> 4, 1L -> 4, 16L -> 4, 63L -> 4, 64L -> 5,
-      500L -> 7, 2000L -> 9, 200000L -> 16, (1L << 40) -> 30)
+  test("near-dup plane width is data-sized: floor(log2 n) in [4, 30]") {
+    val cases = Seq(0L -> 4, 1L -> 4, 16L -> 4, 63L -> 5, 64L -> 6,
+      500L -> 8, 2000L -> 10, 200000L -> 17, (1L << 40) -> 30)
     cases.foreach { case (n, want) =>
       assert(Similarity.nearDupPlanesFor(n) == want,
         s"nearDupPlanesFor($n) = ${Similarity.nearDupPlanesFor(n)}, want $want")
