@@ -853,17 +853,17 @@ object Similarity {
     * compress to 8 byte-sized codes.
     */
   private[llm] def pqEncode(e: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame = {
-    // zero codewords (empty corpus): array() of distances types as
-    // array<null> and argmin fails ANALYSIS — same guard as
-    // [[assignWith]]; there are no rows to encode anyway
+    // zero codewords (empty corpus): nothing to encode — same guard
+    // shape as [[assignWith]]
     if (cb(0).isEmpty)
       return e.withColumn("codes", lit(null).cast("array<int>"))
-    e.withColumn("codes", array((0 until NumSub).map { m =>
-      val dists = array(cb(m).toIndexedSeq.map(cw =>
-        sqDist(slice(col("embedding"), m * SubDim + 1, SubDim), cw)): _*)
-      (PortableHash.bind(dists)(a => array_position(a, array_min(a))) - 1)
-        .cast("int")
-    }: _*))
+    // one fused native loop per row (graft.functions.PqCodes) — the
+    // HOF formulation (slice+zip_with+aggregate per codeword) is
+    // retained as the reference in PqCodesSpec and as the DuckDB
+    // oracle; arithmetic parity (sequential double fold, first-min
+    // argmin) is pinned there
+    e.withColumn("codes",
+      graft.functions.PqCodes.pqCodes(col("embedding"), cb))
   }
 
   /** PQ-ADC approximate top-k: the canonical billion-scale memory
