@@ -382,8 +382,13 @@ object EventWindows {
       .agg(count(lit(1)).as("n_first"), dsum(col("value")).as("first_value"))
     val lasts = enriched.groupBy(col("last_page").as("page"))
       .agg(count(lit(1)).as("n_last"), dsum(col("value")).as("last_value"))
-    firsts.join(lasts, Seq("page"), "full_outer")
-      .select(col("page"),
+    // null-safe re-pair: `page` can be NULL (touch props without $.k,
+    // or a non-numeric k cast to null) and SQL GROUP BY keeps one
+    // NULL group — an equi-join would never match the two NULL rows
+    val f = firsts.withColumnRenamed("page", "f_page")
+    val l = lasts.withColumnRenamed("page", "l_page")
+    f.join(l, f("f_page") <=> l("l_page"), "full_outer")
+      .select(coalesce(col("f_page"), col("l_page")).as("page"),
         coalesce(col("n_first"), lit(0L)).as("n_first"), col("first_value"),
         coalesce(col("n_last"), lit(0L)).as("n_last"), col("last_value"))
   }

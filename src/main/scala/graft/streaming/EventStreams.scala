@@ -19,7 +19,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * O(stream length). `flatMapGroupsWithState` sessions use explicit
   * timeouts for the same bound.
   */
-object EventStreams {
+// Serializable: stateless, but its helper methods (micros/tsOfMicros)
+// are referenced from flatMapGroupsWithState closures, which capture
+// the module instance
+object EventStreams extends Serializable {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -112,35 +115,43 @@ object EventStreams {
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
+    val gapUs = 30L * 60 * 1000000L
 
     def fn(userId: Long, batch: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      // full-microsecond ordering and gap arithmetic (state holds
+      // micros): `ts.getTime` (ms) truncates, so a true gap in
+      // [30 min, 30 min + 1 ms) would merge sessions the batch
+      // session_window splits — the exact bug class fixed in
+      // transitionsStream
+      val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var out = List.empty[SessionOut]
       var cur = state.getOption
       if (sorted.isEmpty) {
         if (state.hasTimedOut && cur.isDefined) {
           val s = cur.get
-          out ::= SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total)
+          out ::= SessionOut(userId, tsOfMicros(s.start), s.n, s.total)
           state.remove()
         }
       } else {
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = micros(e.ts)
           cur match {
-            case Some(s) if t < s.lastTs + gapMs =>
+            case Some(s) if t < s.lastTs + gapUs =>
               cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
                 total = s.total + e.value))
             case Some(s) =>
-              out ::= SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total)
+              out ::= SessionOut(userId, tsOfMicros(s.start), s.n, s.total)
               cur = Some(SessionState(t, t, 1, e.value))
             case None =>
               cur = Some(SessionState(t, t, 1, e.value))
           }
         }
         state.update(cur.get)
-        state.setTimeoutTimestamp(cur.get.lastTs + gapMs)
+        // timeout API is ms-granular: round UP so the timeout never
+        // fires before the true micro-second gap has elapsed
+        state.setTimeoutTimestamp(
+          math.floorDiv(cur.get.lastTs + gapUs + 999L, 1000L))
       }
       out.reverseIterator
     }
@@ -386,7 +397,11 @@ object EventStreams {
     */
   def compactStream(events: Dataset[Event]): Dataset[Event] = {
     import events.sparkSession.implicits._
-    def key(e: Event): (Long, Long) = (e.ts.getTime, e.event_id)
+    // latest-wins on FULL-precision micros (batch latestPerKey orders
+    // by the microsecond ts): ms truncation would let same-ms events
+    // whose event_id order opposes their micros order pick a
+    // different "latest"
+    def key(e: Event): (Long, Long) = (micros(e.ts), e.event_id)
     def fn(userId: Long, batch: Iterator[Event],
         state: GroupState[Event]): Iterator[Event] = {
       val candidates = state.getOption.toSeq ++ batch

@@ -94,6 +94,37 @@ class HotUserSkewSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  /** The retired pair-join construction — the identity oracle for
+    * every attribution rewrite (and for the null-page / bucketed
+    * variants below). Its single `groupBy(page)` keeps ONE NULL-page
+    * group, exactly like SQL GROUP BY.
+    */
+  private def naiveAttribution(ev: DataFrame): DataFrame = {
+    import graft.Exact.dsum
+    val lookbackUs = 7L * 24 * 3600000000L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        Tables.epochMicros(col("ts")).as("p_us"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), Tables.epochMicros(col("ts")).as("t_us"),
+        col("event_id").as("t_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("page"))
+    val byPurchase = Window.partitionBy(col("p_id"))
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") <= col("p_us")
+        && col("t_us") > col("p_us") - lit(lookbackUs))
+      .withColumn("rn_a", row_number().over(
+        byPurchase.orderBy(col("t_us"), col("t_id"))))
+      .withColumn("rn_d", row_number().over(
+        byPurchase.orderBy(col("t_us").desc, col("t_id").desc)))
+      .filter(col("rn_a") === 1 || col("rn_d") === 1)
+      .groupBy(col("page"))
+      .agg(sum(when(col("rn_a") === 1, 1L).otherwise(0L)).as("n_first"),
+        dsum(when(col("rn_a") === 1, col("value"))).as("first_value"),
+        sum(when(col("rn_d") === 1, 1L).otherwise(0L)).as("n_last"),
+        dsum(when(col("rn_d") === 1, col("value"))).as("last_value"))
+  }
+
   test("attribution: as-of legs equal the naive pair join, hot user included") {
     import graft.Exact.dsum
     val naive = {
@@ -132,6 +163,46 @@ class HotUserSkewSpec extends SparkSpec {
     val totalFirst = got.agg(sum(col("n_first"))).head.getLong(0)
     assert(totalFirst >= hotPurchases / 2,
       "hot user's purchases are missing from the credit totals")
+  }
+
+  test("attribution: NULL pages collapse to ONE row, matching the naive single groupBy") {
+    import spark.implicits._
+    // touches whose props lack $.k carry a NULL page; a NULL page
+    // that both OPENS and CLOSES purchases must yield one page-NULL
+    // row (SQL GROUP BY semantics), not two — the equi-join
+    // full_outer re-pair would split it
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: lone NULL-page touch → first = last = NULL
+      (1L, ts(1000), 1L, "view", 0.0, """{"x":1}"""),
+      (2L, ts(2000), 1L, "purchase", 10.0, "{}"),
+      // user 2: missing k (NULL) then page 5 → first NULL, last 5
+      (3L, ts(1000), 2L, "click", 0.0, """{"x":2}"""),
+      (4L, ts(1500), 2L, "view", 0.0, """{"k":5}"""),
+      (5L, ts(2000), 2L, "purchase", 20.0, "{}"),
+      // user 3: page 7 then NULL → first 7, last NULL
+      (6L, ts(1000), 3L, "view", 0.0, """{"k":7}"""),
+      (7L, ts(1200), 3L, "click", 0.0, "{}"),
+      (8L, ts(2000), 3L, "purchase", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventWindows.attributionOf(ev)
+    assert(rows(got) == rows(naiveAttribution(ev)))
+    val nullRows = got.filter(col("page").isNull).collect()
+    assert(nullRows.length == 1, s"NULL-page group split: ${nullRows.length} rows")
+    val r = nullRows.head
+    assert(r.getAs[Long]("n_first") == 2L && r.getAs[Long]("n_last") == 2L)
+    assert(r.getAs[Double]("first_value") == 30.0)
+    assert(r.getAs[Double]("last_value") == 40.0)
+  }
+
+  test("attribution: the bucketed dial (1-day buckets) is row-identical to the pair join") {
+    // exercises the finite-bucketUs branch of attributionEnrichedOf —
+    // the prevLast/nextFirst carry spine — under planted heat, the
+    // same identity discipline as AsOfJoinSpec's asofBucketed test
+    val ev = Tables.events(spark, hotDir)
+    val got = EventWindows.attributionOf(ev, bucketUs = 24L * 3600000000L)
+    assert(rows(got) == rows(naiveAttribution(ev)))
+    assert(got.count() > 0)
   }
 
   test("the hot corpus genuinely has the skew shape the rewires target") {

@@ -603,6 +603,102 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  /** Timestamp at exact micro-second precision (sub-ms resolution is
+    * what `ts.getTime` truncates). */
+  private def tsUs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+  private val subMsBase = 1700000000000000L // fixed epoch µs, ms-aligned
+
+  test("sessions sub-ms: gaps straddling 30 min by ±400µs match session_window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000L
+    // user 1: true gap = gap − 400µs → ONE session; the retired
+    //   ms-truncated compare saw exactly 30 min and split it
+    // user 2: true gap = gap + 400µs → TWO sessions (both sides agree;
+    //   guards the other side of the boundary)
+    // user 3: same-ms events whose id order opposes their µs order —
+    //   the session start must carry the true earliest MICRO instant
+    val events = Seq(
+      Event(1L, tsUs(subMsBase + 600), 1L, "view", 1.0),
+      Event(2L, tsUs(subMsBase + 600 + gapUs - 400), 1L, "view", 2.0),
+      Event(3L, tsUs(subMsBase), 2L, "view", 3.0),
+      Event(4L, tsUs(subMsBase + gapUs + 400), 2L, "view", 4.0),
+      Event(6L, tsUs(subMsBase + 900), 3L, "view", 5.0),
+      Event(5L, tsUs(subMsBase + 100), 3L, "view", 6.0))
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("parity_sessions_subms")
+      .outputMode("append").start()
+    input.addData(events)
+    q.processAllAvailable()
+    input.addData(Event(-1L,
+      tsUs(subMsBase + 365L * 86400 * 1000000L), -1L, "sentinel", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("parity_sessions_subms")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        col("n_events"), col("session_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    q.stop()
+    val batch = events.toDS().toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("user_id"), unix_micros(col("session_window.start")),
+        col("n"), col("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt,
+        math.round(r.getDouble(3) * 100)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    // the adversarial rows really exercised both boundary sides
+    assert(batch.count(_._1 == 1L) == 1, "user 1 must merge to one session")
+    assert(batch.count(_._1 == 2L) == 2, "user 2 must split into two sessions")
+    assert(batch.exists(t => t._1 == 3L && t._2 == subMsBase + 100),
+      "user 3's session start must keep its sub-ms micros")
+  }
+
+  test("compaction sub-ms: same-ms events with opposing id order pick the µs-latest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: the µs-LATER event has the SMALLER id — an ms-truncated
+    //   latest-wins key ties on ms and wrongly lets id 20 win
+    // user 2: ids agree with micros (control)
+    val events = Seq(
+      Event(10L, tsUs(subMsBase + 800), 1L, "view", 1.0),
+      Event(20L, tsUs(subMsBase + 200), 1L, "view", 2.0),
+      Event(30L, tsUs(subMsBase + 100), 2L, "view", 3.0),
+      Event(40L, tsUs(subMsBase + 900), 2L, "view", 4.0))
+    val input = MemoryStream[Event]
+    val q = compactStream(input.toDS())
+      .writeStream.format("memory").queryName("parity_compact_subms")
+      .outputMode("update").start()
+    // one event per micro-batch, in id order: the bogus ms key would
+    // emit id 20 as an "improvement" over id 10
+    events.foreach { e => input.addData(e); q.processAllAvailable() }
+    val streamed = spark.table("parity_compact_subms")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (u, rows) => (u, rows.map(_._2).max._2) }
+      .toSet
+    q.stop()
+    val batch = graft.operators.Compaction.latestPerKey(
+        events.toDS().toDF().select(col("event_id"), col("ts"), col("user_id")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .collect().map(r => (r.getLong(2), r.getLong(0))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    assert(batch == Set((1L, 10L), (2L, 40L)))
+  }
+
   test("heavy hitters: drained Misra-Gries stream equals exact batch counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
