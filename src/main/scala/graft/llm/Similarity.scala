@@ -631,6 +631,50 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** MULTI-PROBE variant of [[nearDupPairsOf]] — the IVF-multiprobe
+    * discipline applied to LSH: besides its exact bucket, each vector
+    * PROBES the r one-bit-flip neighbor buckets of every band, so a
+    * pair is a candidate if some band's signatures are within Hamming
+    * distance 1 (collision prob per band q^r + r·q^(r−1)(1−q) vs q^r
+    * — the recall lift that otherwise costs exponentially more
+    * bands).
+    *
+    * Cost shape: index entries stay n·B; probe entries are
+    * n·B·(r+1) — a LOG-N factor (r = ⌊log₂ n⌋), vs the 4× BANDS
+    * (and 4× signature/index mass) of the (256, r+2) dial that
+    * reaches similar recall. Probing is ASYMMETRIC (only the a-side
+    * explodes flips): a dist-1 pair meets exactly once per band —
+    * via the a<b probe's flipped bucket — so no within-band dedup is
+    * needed; cross-band dedup keeps a pair only at its FIRST
+    * within-distance-1 band ([[graft.functions.FirstNearCollision]],
+    * the same fused-loop discipline as FirstCollision).
+    */
+  def nearDupPairsMultiProbe(emb: DataFrame, bands: Int, r: Int): DataFrame = {
+    val e = graft.Materialize.stage(
+      emb.withColumn("sigs",
+        bandSignatureCols(col("embedding"), bands, r)),
+      eager = false)
+    val idx = e.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("sigs").as("sigs_b"),
+      posexplode(col("sigs")).as(Seq("band", "bucket")))
+    // flip masks: 0 (the exact bucket) plus each of the r signature
+    // bits — bucket ^ mask enumerates the probed neighbor buckets
+    val masks = array((lit(0) +: (0 until r).map(j => lit(1 << j))): _*)
+    val probes = e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("sigs").as("sigs_a"),
+        posexplode(col("sigs")).as(Seq("band", "bucket0")))
+      .select(col("vec_a"), col("emb_a"), col("sigs_a"), col("band"),
+        explode(transform(masks, m => col("bucket0").bitwiseXOR(m)))
+          .as("bucket"))
+    probes.join(idx, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(graft.functions.FirstNearCollision.first_near_collision(
+        col("sigs_a"), col("sigs_b"), 1) === col("band"))
+      .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Exhaustive O(n²) pair scoring — recall baseline ONLY (used by
     * SimilaritySpec to measure [[embeddingNearDup]]'s bucket recall);
     * deliberately not a registered query: the non-equi self-join is a

@@ -374,6 +374,45 @@ object EventWindows {
   def attribution(spark: SparkSession, sfDir: String): DataFrame =
     attributionOf(Tables.events(spark, sfDir))
 
+  /** Sizes the [[attributionOf]] / [[graft.operators.AsOfJoin.asofBucketed]]
+    * `bucketUs` dial from the corpus — the operating rule the
+    * factor-50 measurements back, made executable. The as-of union
+    * window sorts one (user, bucket) per task, so the dial's job is
+    * to bound the HOTTEST user's per-bucket row count by a task
+    * budget:
+    *
+    *  - hottest user ≤ `maxRowsPerTask` → `Long.MaxValue` (one
+    *    partition per user — no spine/carry overhead; the sandbox
+    *    default, and the right call for every corpus whose per-key
+    *    heat fits a task: the factor-1 planted-hot corpus sorts 100k
+    *    rows in one task faster than the bucketed plan's extra
+    *    aggregation + spine window).
+    *  - otherwise `bucketUs ≈ span · maxRowsPerTask / hottest`
+    *    (uniform-spread estimate), clamped to ≥ 1 h — at 50%-skew
+    *    factor 50 (5M hot-user events) the 1-day dial measured 14 s
+    *    where the unbucketed sort was task-bound; finer than ~1 h
+    *    buys nothing and multiplies carry rows.
+    *
+    * Two planning aggregations (global span + per-user max count),
+    * each one scan with a one-row result — the bounded-collect
+    * discipline of the CC dispatch (`Dedup.driverCCMaxEdges`). At
+    * 100 TB both are cheap map-side-combine jobs; run once per
+    * corpus, not per query.
+    */
+  def attributionBucketUsFor(ev: DataFrame,
+      maxRowsPerTask: Long = 4000000L): Long = {
+    val us = Tables.epochMicros(col("ts"))
+    val span = ev.agg((max(us) - min(us)).as("span")).head
+    if (span.isNullAt(0)) return Long.MaxValue
+    val hottest = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    if (hottest <= maxRowsPerTask) Long.MaxValue
+    else {
+      val b = span.getLong(0) / hottest * maxRowsPerTask
+      math.max(b, 3600000000L)
+    }
+  }
+
   /** Core over any events frame; `bucketUs` is the as-of skew dial. */
   def attributionOf(ev: DataFrame,
       bucketUs: Long = Long.MaxValue): DataFrame = {

@@ -387,6 +387,82 @@ object EventStreams extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** One hour-bucket share of a finalized step-hold interval:
+    * `value` held for `ov_us` microseconds inside hour `hour_us`.
+    * Summing `value·ov_us / Σ ov_us` per (hour_us, event_type)
+    * downstream reproduces the batch [[graft.queries.EventWindows.twap]]
+    * — the [[transitionsStream]] emission discipline (append-mode
+    * facts; the terminal aggregation composes at the consumer).
+    */
+  case class TwapOut(event_type: String, hour_us: Long,
+      value: Double, ov_us: Long)
+
+  /** Un-finalized events of one type: (micros, event_id, value). */
+  case class TwapState(events: List[(Long, Long, Double)])
+
+  /** Streaming TWAP — the stateful twin of the batch step-hold
+    * time-weighted average ([[graft.queries.EventWindows.twap]]):
+    * each event's value holds until the SAME TYPE's next event, and
+    * holds are split across the hour buckets they span.
+    *
+    * A hold (a → b) finalizes when the watermark passes b (ms-strict,
+    * the [[attributionStream]] finality rule): any late arrival that
+    * could still land inside (a, b) would be behind the watermark and
+    * is dropped by Spark's stateful late-row filter, so the successor
+    * relationship can never be revised once emitted. The last event
+    * of a type stays pending (the batch side drops the null-end hold
+    * for the same reason — its successor is unknown). State is the
+    * un-finalized suffix per type: O(events within one watermark
+    * delay), the same bound as [[asofEnrichStream]]. Ties (same type,
+    * same microsecond) hold 0 µs and drop; the tied row with the
+    * largest event_id carries forward — both matching batch.
+    */
+  def twapStream(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[TwapOut] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600000000L
+
+    def fn(etype: String, batch: Iterator[Event],
+        state: GroupState[TwapState]): Iterator[TwapOut] = {
+      var pend = state.getOption.map(_.events).getOrElse(Nil)
+      batch.foreach { e => pend ::= ((micros(e.ts), e.event_id, e.value)) }
+      val wmMs = state.getCurrentWatermarkMs()
+      var rest = pend.sortBy(p => (p._1, p._2))
+      val out = scala.collection.mutable.ListBuffer.empty[TwapOut]
+      while (rest.lengthCompare(2) >= 0 && rest.tail.head._1 / 1000L < wmMs) {
+        val a = rest.head
+        val b = rest.tail.head
+        if (b._1 > a._1) {
+          var bkt = a._1 - a._1 % hourUs
+          val lastBkt = (b._1 - 1) - (b._1 - 1) % hourUs
+          while (bkt <= lastBkt) {
+            val ov = math.min(b._1, bkt + hourUs) - math.max(a._1, bkt)
+            out += TwapOut(etype, bkt, a._3, ov)
+            bkt += hourUs
+          }
+        }
+        rest = rest.tail
+      }
+      if (rest.isEmpty) state.remove()
+      else {
+        state.update(TwapState(rest))
+        // re-wake when the earliest pending successor can finalize; a
+        // lone open hold has no successor and needs no timeout (the
+        // next arrival for this type reactivates the group)
+        if (rest.lengthCompare(2) >= 0)
+          state.setTimeoutTimestamp(
+            math.max(math.floorDiv(rest.tail.head._1, 1000L) + 1L, wmMs + 1L))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Streaming change-log compaction — the streaming twin of
     * [[graft.operators.Compaction.latestPerKey]]: per-key
     * latest-wins state via `flatMapGroupsWithState`, emitting a key's

@@ -288,6 +288,34 @@ class SimilaritySpec extends SparkSpec {
       f"banded config lost recall: $recall%.3f < $oldRecall%.3f")
   }
 
+  test("multiprobe near-dup: superset of exact-bucket pairs, subset of brute; recall lifts") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val (bands, r) = (16, Similarity.nearDupPlanesFor(emb.count()))
+    val brute = Similarity.embeddingNearDupBrute(spark, sf001).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = Similarity.nearDupPairsOf(emb, bands, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val multi = Similarity.nearDupPairsMultiProbe(emb, bands, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // a band-exact collision is a distance-0 near collision, so the
+    // one-bit probe can only ADD pairs; the cosine gate keeps every
+    // emitted pair a true >= 0.35 pair
+    assert(exact.subsetOf(multi),
+      s"multiprobe lost exact pairs: ${(exact -- multi).take(5)}")
+    assert(multi.subsetOf(brute),
+      s"multiprobe produced non-brute pairs: ${(multi -- brute).take(5)}")
+    val rE = if (brute.isEmpty) 1.0 else exact.intersect(brute).size.toDouble / brute.size
+    val rM = if (brute.isEmpty) 1.0 else multi.intersect(brute).size.toDouble / brute.size
+    info(f"recall at (B=$bands, r=$r): exact $rE%.3f -> multiprobe $rM%.3f")
+    assert(rM >= rE)
+    // multiprobe emits each pair exactly once (the asymmetric-probe +
+    // first-near-band dedup argument, asserted not argued)
+    val dup = Similarity.nearDupPairsMultiProbe(emb, bands, r)
+      .groupBy(col("vec_a"), col("vec_b")).count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0, s"$dup pairs emitted more than once")
+  }
+
   test("hard negatives: top-k cross-label ranking matches brute force; no false negatives") {
     val emb = graft.Tables.embeddings(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))

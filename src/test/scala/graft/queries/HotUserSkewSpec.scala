@@ -205,6 +205,18 @@ class HotUserSkewSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("attribution: the auto-sized dial keeps identity and picks sane buckets") {
+    val ev = Tables.events(spark, hotDir)
+    // default budget: even the hot user fits one task → degenerate dial
+    assert(EventWindows.attributionBucketUsFor(ev) == Long.MaxValue)
+    // a budget below the hot user's count must turn the dial on —
+    // finite, ≥ the 1-hour floor, and still row-identical
+    val b = EventWindows.attributionBucketUsFor(ev, maxRowsPerTask = 100L)
+    assert(b != Long.MaxValue && b >= 3600000000L, s"dial $b")
+    val got = EventWindows.attributionOf(ev, bucketUs = b)
+    assert(rows(got) == rows(naiveAttribution(ev)))
+  }
+
   test("the hot corpus genuinely has the skew shape the rewires target") {
     val ev = Tables.events(spark, hotDir)
     val hot = ev.filter(col("user_id") === graft.SkewProbe.HotUser).count()

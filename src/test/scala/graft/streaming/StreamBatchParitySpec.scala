@@ -603,6 +603,48 @@ class StreamBatchParitySpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("twap: drained step-hold stream equals the batch two-level decomposition") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = collectEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val input = MemoryStream[Event]
+    val q = twapStream(input.toDS())
+      .writeStream.format("memory").queryName("parity_twap")
+      .outputMode("append").start()
+    // waves in arrival order unrelated to event time, so holds must
+    // genuinely wait for the watermark before pairing successors
+    val waves = events.sortBy(_.event_id).grouped((events.size + 2) / 3).toSeq
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    // sentinel a year ahead: the global watermark passes every real
+    // hold's successor; each type's LAST event stays pending, exactly
+    // the null-end hold the batch side drops
+    input.addData(Event(-1L, new java.sql.Timestamp(maxTs + 365L * 86400 * 1000),
+      -1L, "sentinel", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("parity_twap")
+      .filter(col("event_type") =!= "sentinel")
+      .groupBy(col("hour_us"), col("event_type"))
+      .agg(sum(graft.Exact.dec2(col("value")) * col("ov_us")).as("num"),
+        sum(col("ov_us")).as("held_us"))
+      .select(col("hour_us"), col("event_type"),
+        (col("num").cast("double") / col("held_us").cast("double")).as("twap"),
+        col("held_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    val batch = EventWindows.twap(spark, sfDir)
+      .select(unix_micros(col("hour_start").cast("timestamp")).as("hour_us"),
+        col("event_type"), col("twap"), col("held_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   /** Timestamp at exact micro-second precision (sub-ms resolution is
     * what `ts.getTime` truncates). */
   private def tsUs(us: Long): java.sql.Timestamp = {
