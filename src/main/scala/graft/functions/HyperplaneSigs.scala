@@ -63,7 +63,7 @@ object HyperplaneSigs {
     * per JVM — identical values to Similarity.planeCol / the oracle's
     * bplanes CTE by construction (same h60 of the same plane names).
     */
-  private def coeffs(planes: Int, dim: Int): Array[Double] =
+  private[functions] def coeffs(planes: Int, dim: Int): Array[Double] =
     tables.computeIfAbsent((planes, dim), { case (p, d) =>
       val g = new Array[Double](p * d)
       var j = 0

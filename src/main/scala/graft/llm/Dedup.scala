@@ -585,8 +585,16 @@ object Dedup {
     * Scale: the inverted index is one shingle-level shuffle (the
     * wordcount shape) over REPRESENTATIVES; each doc contributes ONE
     * probe, and min-hashes spread uniformly, so posting lists hit by
-    * probes are not df-skewed the way common-shingle lists are. Only
-    * candidate pairs ever see the shingle arrays.
+    * probes are not df-skewed the way common-shingle lists are.
+    *
+    * The rescore intersects the 60-BIT HASH arrays, never the shingle
+    * strings (the r10 ×1000 probe caught the string-array rescore
+    * spilling past 60 GB at 5M docs — 8-byte longs cut the staged
+    * table and both rescore shuffles ~4×). Identical on both engines:
+    * the oracle applies the same md5-prefix h60, so even the ~2⁻⁶⁰
+    * within-doc collision would be mirrored, and the simhash-family
+    * precedent (120-bit fingerprints over the same hash) documents
+    * the negligible-collision argument.
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val st = sigTable(spark, sfDir)
@@ -596,9 +604,8 @@ object Dedup {
     val hsh = Materialize.stage(shArrTable(spark, sfDir)
       .join(st.filter(col("doc_id") === col("rep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         transform(col("sh"), s => h60(s)).as("hs")), eager = false)
-    val sh = hsh.select(col("doc_id"), col("sh"))
     val probes = hsh.select(col("doc_id").as("doc_a"),
       array_min(col("hs")).as("mh"))
     val idx = hsh.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
@@ -607,12 +614,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
-        size(col("sh_a")).cast("long").as("n_a"),
-        size(col("sh_b")).cast("long").as("n_b"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_inter"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / col("n_a")).as("containment"),
         (col("n_inter").cast("double")
@@ -1006,9 +1013,12 @@ object Dedup {
         |  SELECT min(doc_id) FROM documents
         |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
     "q_dedup_containment" ->
+      // rescore over the SAME h60 hash arrays the Spark side
+      // intersects (not the shingle strings) — one hash function,
+      // two engines, so even a collision would be mirrored
       s"""$sqlGrp,
          |hsh AS (
-         |  SELECT doc_id, sh,
+         |  SELECT doc_id,
          |    list_transform(sh, s -> ${sqlH60("s")}) AS hs
          |  FROM sharr),
          |probes AS (SELECT doc_id AS doc_a, list_min(hs) AS mh FROM hsh),
@@ -1018,12 +1028,12 @@ object Dedup {
          |  JOIN idx ON mh = h AND doc_a <> doc_b)
          |SELECT doc_a, doc_b, containment, jaccard FROM (
          |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(a.hs) AS containment,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
          |  FROM cand
-         |  JOIN sharr a ON a.doc_id = doc_a
-         |  JOIN sharr b ON b.doc_id = doc_b)
+         |  JOIN hsh a ON a.doc_id = doc_a
+         |  JOIN hsh b ON b.doc_id = doc_b)
          |WHERE containment >= 0.9""".stripMargin,
     "q_dedup_containment_stats" ->
       s"""$sqlGrp,

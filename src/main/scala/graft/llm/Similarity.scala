@@ -547,20 +547,29 @@ object Similarity {
     * with a constant, which is why r is data-sized, the same way IVF
     * sizes its cell count.
     *
-    * (B, r) OPERATING POINT — chosen from the round-9 measured
-    * recall/cost grid (graft.RecallProbe, table in BASELINE.md): at
-    * FIXED candidate mass, deeper r with exponentially more bands
-    * strictly dominates (collision prob per band is q^r with
-    * q = 1 − θ/π > ½ for every true pair, so recall/cost ∝ (2q)^r
-    * grows with r) — measured 0.49→0.82 (sf0.01) and 0.20→0.44
-    * (sf0.1) moving from (16, r₀) to (64, r₀+1) at ~2× mass, the
-    * knee of the curve. Recall ≥ 0.7 on the harder sf0.1
-    * distribution is one more dial-turn away — (256, r₀+2) measured
-    * 0.76 at ~4× mass — left as the dial rather than the default
-    * because candidate mass is THE 100-TB cost driver and the knee
-    * already doubles recall for 2×.
+    * (B, r, t) OPERATING POINT — re-chosen from the ROUND-10
+    * measured recall/cost grid (graft.RecallProbe, tables in
+    * BASELINE.md), which added MARGIN-AWARE MULTIPROBE rows
+    * ([[nearDupPairsMultiProbe]] /
+    * [[graft.functions.HyperplaneProbes]]): probing each band's `t`
+    * lowest-|margin| one-bit-flip buckets recovers most
+    * Hamming-distance-1 collisions — the recall that exponential
+    * band escalation buys, at probe factor t+1 instead. At sf0.1 the
+    * default (64, r₀+1, t=2) measured recall 0.786 at 1.2 s where
+    * the r9 exact default (64, r₀) sat at 0.436 at 0.94 s and the
+    * escalation dial (256, r₀+2) managed 0.598 at 4.2 s and 4×
+    * signature mass; candidate pairs rise 2.2× (336k vs 154k), the
+    * recorded price of the recall. The t dial keeps going: t=3 →
+    * 0.855, (128, r₀+2, t=3) → 0.910 at ~2.9× mass. (ALL-bit
+    * probing — t=r — was measured first and REJECTED: recall 0.939
+    * but n·B·(r+1) ≈ 1.4B probe rows at the ×1000 corpus, spill
+    * death; margins are the whole trick.)
     */
   val NearDupBands = 64
+
+  /** Lowest-margin flip probes per band for the registered default
+    * — the t in (B, r, t) above. */
+  val NearDupProbes = 2
 
   /** Per-band signature width for an n-vector corpus:
     * floor(log2 n), clamped to [4, 30] — ~1 vector per bucket per
@@ -575,23 +584,79 @@ object Similarity {
     math.max(4, math.min(30, bitLen - 1))
   }
 
+  /** Signature width for the MULTIPROBE default: one bit deeper than
+    * [[nearDupPlanesFor]] (flips recover what the halved per-bucket
+    * occupancy costs), same [5, 30] clamp, mirrored in SQL as
+    * `greatest(5, least(30, length(bin(count(*)))))`.
+    */
+  def nearDupMultiProbePlanesFor(n: Long): Int =
+    math.min(30, nearDupPlanesFor(n) + 1)
+
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
-    * candidates from banded hyperplane LSH: a pair is scored iff SOME
-    * band's r-bit signature collides, so cost is Σ per-band bucket²
-    * instead of n² — the shape that survives a 100 TB corpus, with
-    * the (B, r) dial documented on [[NearDupBands]] and r sized from
-    * the corpus count (one metadata-only parquet count at plan
-    * construction — the bounded-collect discipline). A pair colliding
-    * in several bands is kept only at its FIRST colliding band (a
-    * map-side filter over the earlier bands' signatures, carried as
-    * an array — the [[graft.operators.RangeJoin]] canonical-bin
-    * discipline, no `distinct`, no second shuffle). Recall vs the
+    * candidates from banded hyperplane LSH with ONE-BIT MULTIPROBE
+    * ([[nearDupPairsMultiProbe]]): a pair is scored iff some band's
+    * r-bit signatures are within Hamming distance 1, so cost is Σ
+    * per-band bucket² (× the r+1 probe factor) instead of n² — the
+    * shape that survives a 100 TB corpus, with the (B, r) operating
+    * point documented on [[NearDupBands]] and r sized from the
+    * corpus count (one metadata-only parquet count at plan
+    * construction — the bounded-collect discipline). Recall vs the
     * exhaustive pair set is measured against [[embeddingNearDupBrute]]
-    * in SimilaritySpec.
+    * in SimilaritySpec and recorded per-config by graft.RecallProbe.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    nearDupPairsOf(emb, NearDupBands, nearDupPlanesFor(emb.count()))
+    nearDupWithDupCollapse(emb, NearDupBands,
+      nearDupMultiProbePlanesFor(emb.count()), NearDupProbes)
+  }
+
+  /** [[nearDupPairsMultiProbe]] behind an EXACT-DUPLICATE collapse —
+    * the [[graft.llm.Dedup]] sigTable rep discipline carried to
+    * embeddings, and the fix the ×1000 probe demanded: a corpus with
+    * heavy identical-vector mass (web-scale reality, and literally
+    * the ScaleUp corpus, whose rotations repeat mod 16) makes every
+    * duplicate pair collide in EVERY band, so the candidate multiset
+    * entering the pair-dedup grows as dup-pairs × bands (measured:
+    * spill death at 2M vectors / ~60M dup pairs where the collapsed
+    * run completes). Identical vectors have identical signatures,
+    * probes, and cosines, so LSH over one representative per
+    * distinct embedding plus an exact expansion afterward returns
+    * EXACTLY the same pair set — no approximation, no oracle change:
+    *
+    *  - cross-group: every member combination of a colliding rep
+    *    pair is a pair in the direct construction too (same sigs →
+    *    same collision; same embeddings → same cos);
+    *  - within-group: identical vectors always collide (band 0) and
+    *    pass the cos gate at ≈1.0, on both constructions.
+    *
+    * `EmbedDupCollapseSpec` asserts the row-set identity on a
+    * planted duplicated corpus.
+    */
+  def nearDupWithDupCollapse(emb: DataFrame, bands: Int, r: Int,
+      t: Int = NearDupProbes): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // one hash shuffle keyed by the embedding itself; rep = min id
+    val members = graft.Materialize.stage(
+      emb.select(col("vec_id"), col("embedding"))
+        .withColumn("rep",
+          min(col("vec_id")).over(W.partitionBy(col("embedding")))),
+      eager = false)
+    val reps = members.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val repPairs = nearDupPairsMultiProbe(reps, bands, r, t)
+    val m = members.select(col("rep"), col("vec_id").as("member"))
+    val cross = repPairs
+      .join(m.select(col("rep").as("vec_a"), col("member").as("ma")), "vec_a")
+      .join(m.select(col("rep").as("vec_b"), col("member").as("mb")), "vec_b")
+      .select(least(col("ma"), col("mb")).as("vec_a"),
+        greatest(col("ma"), col("mb")).as("vec_b"), col("cos"))
+    val within = members
+      .join(members.select(col("rep"), col("vec_id").as("mb")), "rep")
+      .filter(col("vec_id") < col("mb"))
+      .select(col("vec_id").as("vec_a"), col("mb").as("vec_b"),
+        cosine_sim(col("embedding"), col("embedding")).as("cos"))
+      .filter(col("cos") >= 0.35)
+    cross.unionByName(within)
   }
 
   /** Parameterized core — SimilaritySpec measures recall/candidate
@@ -633,43 +698,50 @@ object Similarity {
 
   /** MULTI-PROBE variant of [[nearDupPairsOf]] — the IVF-multiprobe
     * discipline applied to LSH: besides its exact bucket, each vector
-    * PROBES the r one-bit-flip neighbor buckets of every band, so a
-    * pair is a candidate if some band's signatures are within Hamming
-    * distance 1 (collision prob per band q^r + r·q^(r−1)(1−q) vs q^r
-    * — the recall lift that otherwise costs exponentially more
-    * bands).
+    * PROBES the `t` one-bit-flip neighbor buckets at its SMALLEST
+    * sign margins per band ([[graft.functions.HyperplaneProbes]],
+    * the Panigrahy/Lv probe sequence): a near-dup's differing bit
+    * has a near-zero margin on both sides, so the few lowest-margin
+    * flips capture most Hamming-distance-1 collisions (collision
+    * prob per band ≈ q^r + r·q^(r−1)(1−q) at t = r) at probe factor
+    * t+1 instead of r+1 — all-bit probing measured 1.4B probe rows
+    * (spill death) at the ×1000 corpus where t = 1 is 2× the index.
     *
-    * Cost shape: index entries stay n·B; probe entries are
-    * n·B·(r+1) — a LOG-N factor (r = ⌊log₂ n⌋), vs the 4× BANDS
-    * (and 4× signature/index mass) of the (256, r+2) dial that
-    * reaches similar recall. Probing is ASYMMETRIC (only the a-side
-    * explodes flips): a dist-1 pair meets exactly once per band —
-    * via the a<b probe's flipped bucket — so no within-band dedup is
-    * needed; cross-band dedup keeps a pair only at its FIRST
-    * within-distance-1 band ([[graft.functions.FirstNearCollision]],
-    * the same fused-loop discipline as FirstCollision).
+    * BOTH exploded sides are SLIM (vec_id, band, bucket — no
+    * embedding, no signature arrays): carrying the 64-float
+    * embedding through the probe explode would multiply the dominant
+    * shuffle by t+1. Candidates are normalized (least, greatest) —
+    * margin probing is per-vector, so the pair is found whichever
+    * side's probe lands — then `distinct`-deduped, and the
+    * embeddings come back in one rescore join per side: the
+    * [[graft.llm.Dedup.containmentPairs]] slim-index / rescore
+    * discipline, traded against the exact variant's carry-arrays /
+    * first-collision design ([[graft.functions.FirstCollision]])
+    * which wins only at multiplicity 1.
     */
-  def nearDupPairsMultiProbe(emb: DataFrame, bands: Int, r: Int): DataFrame = {
+  def nearDupPairsMultiProbe(emb: DataFrame, bands: Int, r: Int,
+      t: Int = 1): DataFrame = {
     val e = graft.Materialize.stage(
       emb.withColumn("sigs",
         bandSignatureCols(col("embedding"), bands, r)),
       eager = false)
-    val idx = e.select(col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("sigs").as("sigs_b"),
+    val idx = e.select(col("vec_id").as("i_vec"),
       posexplode(col("sigs")).as(Seq("band", "bucket")))
-    // flip masks: 0 (the exact bucket) plus each of the r signature
-    // bits — bucket ^ mask enumerates the probed neighbor buckets
-    val masks = array((lit(0) +: (0 until r).map(j => lit(1 << j))): _*)
-    val probes = e.select(col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a"), col("sigs").as("sigs_a"),
-        posexplode(col("sigs")).as(Seq("band", "bucket0")))
-      .select(col("vec_a"), col("emb_a"), col("sigs_a"), col("band"),
-        explode(transform(masks, m => col("bucket0").bitwiseXOR(m)))
-          .as("bucket"))
-    probes.join(idx, Seq("band", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(graft.functions.FirstNearCollision.first_near_collision(
-        col("sigs_a"), col("sigs_b"), 1) === col("band"))
+    val probes = e.select(col("vec_id").as("p_vec"),
+        posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
+          col("embedding"), bands, r, Dim, t)).as(Seq("pos", "bucket")))
+      .select(col("p_vec"), (col("pos") / (t + 1)).cast("int").as("band"),
+        col("bucket"))
+    val cand = probes.join(idx, Seq("band", "bucket"))
+      .filter(col("p_vec") =!= col("i_vec"))
+      .select(least(col("p_vec"), col("i_vec")).as("vec_a"),
+        greatest(col("p_vec"), col("i_vec")).as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), "vec_b")
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))
@@ -1062,13 +1134,13 @@ object Similarity {
     * first-colliding-band filter needs.
     */
   private[llm] val sqlBandSigs = {
-    // r mirrors nearDupPlanesFor: bit length of the corpus count − 1,
-    // clamped to [4, 30]; the plane range is bounded by the clamp
-    // (bands·30) and filtered down to the data-sized bands·r
+    // r mirrors nearDupMultiProbePlanesFor: bit length of the corpus
+    // count, clamped to [5, 30]; the plane range is bounded by the
+    // clamp (bands·30) and filtered down to the data-sized bands·r
     val maxPlanes = NearDupBands * 30
     s"""rr AS (
-       |  SELECT greatest(4, least(30,
-       |    length(bin(CAST(count(*) AS BIGINT))) - 1)) AS r
+       |  SELECT greatest(5, least(30,
+       |    length(bin(CAST(count(*) AS BIGINT))))) AS r
        |  FROM embeddings),
        |bplanes AS (
        |  SELECT j, j // r AS band, r, list(g ORDER BY i) AS gs
@@ -1078,14 +1150,17 @@ object Similarity {
        |    FROM range($maxPlanes) t(j) CROSS JOIN rr CROSS JOIN range($Dim) u(i)
        |    WHERE j < $NearDupBands * r)
        |  GROUP BY j, j // r, r),
+       |pdots AS (
+       |  SELECT vec_id, embedding, band, j % r AS bit,
+       |    list_reduce(list_transform(
+       |      list_zip(embedding, gs),
+       |      p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) AS dot
+       |  FROM embeddings CROSS JOIN bplanes),
        |bandbuckets AS (
        |  SELECT vec_id, embedding, band,
-       |    CAST(SUM(CASE WHEN list_reduce(list_transform(
-       |        list_zip(embedding, gs),
-       |        p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0
-       |      THEN (1 << (j % r)) ELSE 0 END) AS INT)
-       |      AS bucket
-       |  FROM embeddings CROSS JOIN bplanes
+       |    CAST(SUM(CASE WHEN dot >= 0
+       |      THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
+       |  FROM pdots
        |  GROUP BY vec_id, embedding, band),
        |vecsigs AS (
        |  SELECT vec_id, embedding, list(bucket ORDER BY band) AS sigs
@@ -1423,19 +1498,36 @@ object Similarity {
         |        FROM embeddings)
         |  GROUP BY label, dim)""".stripMargin,
     "q_embed_near_dup" ->
+      // margin-aware multiprobe (t = NearDupProbes): each vector
+      // probes, per band, its exact bucket plus the one-bit flips at
+      // the t smallest |dot| margins (ties by bit — the same
+      // (abs(dot), bit) order the native HyperplaneProbes selection
+      // loop uses, on bitwise-identical sequential-fold dots);
+      // candidates are (least, greatest)-normalized and
+      // DISTINCT-deduped, mirroring the engine's slim-explode
+      // construction
       s"""WITH $sqlBandSigs,
-         |exploded AS (
-         |  SELECT vec_id, embedding, sigs, band, sigs[band + 1] AS bucket
-         |  FROM vecsigs CROSS JOIN range($NearDupBands) t(band))
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |flips AS (
+         |  SELECT vec_id, band, bit,
+         |    row_number() OVER (PARTITION BY vec_id, band
+         |                       ORDER BY abs(dot) ASC, bit ASC) AS rk
+         |  FROM pdots),
+         |probes AS (
+         |  SELECT vec_id, embedding, band, bucket FROM bandbuckets
+         |  UNION ALL
+         |  SELECT b.vec_id, b.embedding, b.band,
+         |    CAST(xor(b.bucket, CAST((1 << f.bit) AS INT)) AS INT) AS bucket
+         |  FROM bandbuckets b JOIN flips f
+         |    ON f.vec_id = b.vec_id AND f.band = b.band
+         |    AND f.rk <= $NearDupProbes)
+         |SELECT DISTINCT
+         |  least(a.vec_id, b.vec_id) AS vec_a,
+         |  greatest(a.vec_id, b.vec_id) AS vec_b,
          |  ${sqlCos("a.embedding", "b.embedding")} AS cos
-         |FROM exploded a JOIN exploded b
+         |FROM probes a JOIN bandbuckets b
          |  ON a.band = b.band AND a.bucket = b.bucket
-         |  AND a.vec_id < b.vec_id
-         |WHERE len(list_filter(
-         |    list_zip(a.sigs[1:a.band], b.sigs[1:b.band]),
-         |    p -> p[1] = p[2])) = 0
-         |  AND ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+         |  AND a.vec_id <> b.vec_id
+         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
     "q_embed_semantic_dedup" ->
       s"""SELECT vec_id, label, leader_id, cos FROM (
          |  SELECT b.vec_id AS vec_id, CAST(b.label AS BIGINT) AS label,

@@ -308,8 +308,8 @@ class SimilaritySpec extends SparkSpec {
     val rM = if (brute.isEmpty) 1.0 else multi.intersect(brute).size.toDouble / brute.size
     info(f"recall at (B=$bands, r=$r): exact $rE%.3f -> multiprobe $rM%.3f")
     assert(rM >= rE)
-    // multiprobe emits each pair exactly once (the asymmetric-probe +
-    // first-near-band dedup argument, asserted not argued)
+    // multiprobe emits each pair exactly once (the slim-explode +
+    // distinct construction, asserted not argued)
     val dup = Similarity.nearDupPairsMultiProbe(emb, bands, r)
       .groupBy(col("vec_a"), col("vec_b")).count()
       .filter(col("count") > 1).count()
