@@ -96,4 +96,25 @@ object CosineSim {
   /** Column API: `cosine_sim($"emb_a", $"emb_b")`. */
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** The exact IEEE sequence of the expression's eval/codegen, for
+    * driver/state-function callers that hold plain arrays (the
+    * streaming near-dup twin scores inside flatMapGroupsWithState) —
+    * any drift here would break its drained parity with the batch
+    * [[cosine_sim]] scores. NaN on zero norms / length mismatch
+    * (callers on the ≥-threshold path drop NaN like SQL drops null).
+    */
+  def score(a: Array[Float], b: Array[Float]): Double = {
+    if (a.length != b.length) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Double.NaN else dot / denom
+  }
 }

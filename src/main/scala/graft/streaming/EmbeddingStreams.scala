@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.llm.Similarity
 
 /** Incremental maintenance of the on-disk IVF index — how a 100 TB
@@ -51,4 +52,74 @@ object EmbeddingStreams {
     */
   def centroidStream(embs: DataFrame): DataFrame =
     Similarity.centroidsOf(embs)
+
+  case class NearDupPair(vec_a: Long, vec_b: Long, cos: Double)
+  // public: Dataset encoders codegen `new ProbeRow(...)` from
+  // generated classes, which cannot touch private members
+  case class ProbeRow(band_bucket: Long, vec_id: Long,
+      exact: Boolean, embedding: Array[Float])
+  case class BucketState(members: List[(Long, Boolean, Array[Float])])
+
+  /** Streaming near-duplicate pairs — the incremental twin of
+    * [[Similarity.nearDupPairsMultiProbe]]: each arriving vector is
+    * REGISTERED under its t+1 margin-probe buckets per band
+    * ([[graft.functions.HyperplaneProbes]], position 0 = the exact
+    * bucket) and PAIRED against the bucket's existing members. A
+    * pair emits iff at least one side's registration in the shared
+    * bucket is exact — precisely the batch candidate condition
+    * `e(y) ∈ P(x) ∨ e(x) ∈ P(y)` (probe-probe contacts are NOT batch
+    * candidates and are skipped) — scored inline with the bitwise
+    * batch cosine ([[graft.functions.CosineSim.score]]) and gated at
+    * ≥ 0.35, so a drained stream's pair SET equals the batch query's
+    * (StreamBatchParitySpec).
+    *
+    * Emission is AT-LEAST-ONCE per pair (a pair meeting in several
+    * bands emits per meeting — the [[graft.streaming.EventStreams]]
+    * fact-emission discipline; consumers dedup by (vec_a, vec_b),
+    * and the parity spec compares sets). Within a micro-batch,
+    * arrivals process in vec_id order, so replayed batches emit
+    * deterministically. State is the bucket membership itself —
+    * (t+1)·n registrations of (id, flag, vector) — the same
+    * O(corpus) bound the batch index materializes; the TTL-eviction
+    * dial of [[DocStreams.minhashDedupStreamTtl]] applies unchanged
+    * if "recent near-dups only" is acceptable.
+    */
+  def nearDupPairsStream(embs: DataFrame, bands: Int, r: Int,
+      t: Int = Similarity.NearDupProbes): Dataset[NearDupPair] = {
+    import embs.sparkSession.implicits._
+    val probed = embs
+      .select(col("vec_id"), col("embedding"),
+        posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
+          col("embedding"), bands, r, Similarity.Dim, t))
+          .as(Seq("pos", "bucket")))
+      // pack (band, bucket) into one grouping key: band = pos/(t+1),
+      // bucket is a non-negative r-bit int
+      .select(
+        ((col("pos") / (t + 1)).cast("long") * lit(4294967296L)
+          + col("bucket")).as("band_bucket"),
+        col("vec_id"),
+        (pmod(col("pos"), lit(t + 1)) === 0).as("exact"),
+        col("embedding"))
+      .as[ProbeRow]
+    probed
+      .groupByKey(_.band_bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[ProbeRow], state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = List.newBuilder[NearDupPair]
+          rows.toSeq.sortBy(_.vec_id).foreach { row =>
+            members.foreach { case (mid, mexact, memb) =>
+              if (mid != row.vec_id && (row.exact || mexact)) {
+                val cos = graft.functions.CosineSim.score(row.embedding, memb)
+                if (cos >= 0.35)
+                  out += NearDupPair(math.min(mid, row.vec_id),
+                    math.max(mid, row.vec_id), cos)
+              }
+            }
+            members ::= ((row.vec_id, row.exact, row.embedding))
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
 }

@@ -407,6 +407,37 @@ class StreamBatchParitySpec extends SparkSpec {
       s"probe-only: ${(probed -- batch).take(3)}; batch-only: ${(batch -- probed).take(3)}")
   }
 
+  test("near-dup pairs stream: drained incremental LSH equals the batch multiprobe set") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/testdata/sf0.001"
+    val ebatch = graft.Tables.embeddings(spark, base)
+    val (bands, r, t) = (16,
+      graft.llm.Similarity.nearDupPlanesFor(ebatch.count()) + 1, 2)
+    val vecs = ebatch.select(col("vec_id"), col("embedding")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).toArray)).toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EmbeddingStreams.nearDupPairsStream(
+        input.toDS().toDF("vec_id", "embedding"), bands, r, t)
+      .writeStream.format("memory").queryName("parity_neardup")
+      .outputMode("append").start()
+    // three waves in REVERSED id order: later-arriving smaller ids
+    // must still pair against already-registered larger ids
+    val waves = vecs.sortBy(-_._1).grouped((vecs.size + 2) / 3).toSeq
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    val streamed = spark.table("parity_neardup").collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet // at-least-once emission: set-compare is the contract
+    q.stop()
+    val batch = graft.llm.Similarity
+      .nearDupPairsMultiProbe(ebatch, bands, r, t).collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("centroid stream: drained running means are bit-identical to batch pooling") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
