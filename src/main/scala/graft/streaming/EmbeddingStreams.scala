@@ -84,6 +84,76 @@ object EmbeddingStreams {
     * dial of [[DocStreams.minhashDedupStreamTtl]] applies unchanged
     * if "recent near-dups only" is acceptable.
     */
+  case class TimedProbeRow(band_bucket: Long, vec_id: Long, exact: Boolean,
+      embedding: Array[Float], ts: java.sql.Timestamp)
+  case class TimedBucketState(
+      members: List[(Long, Boolean, Array[Float], Long)])
+
+  /** Bounded-state variant of [[nearDupPairsStream]] — the
+    * [[DocStreams.minhashDedupStreamTtl]] recall/storage dial for
+    * pairs: vectors pair only when their EVENT-TIME gap is ≤ `ttl`
+    * (a deterministic rule — it does not depend on watermark lag or
+    * batch boundaries), and bucket members garbage-collect once the
+    * watermark proves no future non-late arrival can still sit
+    * within `ttl` of them (`member_ts + ttl < watermark` — any
+    * surviving future row has `ts ≥ watermark`, so its gap would
+    * exceed `ttl` anyway; eviction is pure GC, never a semantics
+    * change). State per bucket is the members of one sliding `ttl`
+    * window, the 100-TB-stream bound the unbounded twin lacks.
+    */
+  def nearDupPairsStreamTtl(embs: DataFrame, bands: Int, r: Int,
+      t: Int, ttl: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): Dataset[NearDupPair] = {
+    import embs.sparkSession.implicits._
+    val ttlMs = ttl.toMillis
+    val probed = embs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("vec_id"), col("embedding"), col("ts"),
+        posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
+          col("embedding"), bands, r, Similarity.Dim, t))
+          .as(Seq("pos", "bucket")))
+      .select(
+        ((col("pos") / (t + 1)).cast("long") * lit(4294967296L)
+          + col("bucket")).as("band_bucket"),
+        col("vec_id"),
+        (pmod(col("pos"), lit(t + 1)) === 0).as("exact"),
+        col("embedding"), col("ts"))
+      .as[TimedProbeRow]
+    probed
+      .groupByKey(_.band_bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[TimedProbeRow],
+            state: GroupState[TimedBucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+            .filter(m => m._4 + ttlMs >= wm)
+          val out = List.newBuilder[NearDupPair]
+          rows.toSeq.sortBy(_.vec_id).foreach { row =>
+            val rowMs = row.ts.getTime
+            members.foreach { case (mid, mexact, memb, mts) =>
+              if (mid != row.vec_id && (row.exact || mexact)
+                  && math.abs(rowMs - mts) <= ttlMs) {
+                val cos = graft.functions.CosineSim.score(row.embedding, memb)
+                if (cos >= 0.35)
+                  out += NearDupPair(math.min(mid, row.vec_id),
+                    math.max(mid, row.vec_id), cos)
+              }
+            }
+            members ::= ((row.vec_id, row.exact, row.embedding, rowMs))
+          }
+          if (members.isEmpty) state.remove()
+          else {
+            state.update(TimedBucketState(members))
+            // wake at the earliest member expiry to GC (timeout must
+            // sit past the current watermark)
+            state.setTimeoutTimestamp(
+              math.max(members.map(_._4 + ttlMs).min + 1, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   def nearDupPairsStream(embs: DataFrame, bands: Int, r: Int,
       t: Int = Similarity.NearDupProbes): Dataset[NearDupPair] = {
     import embs.sparkSession.implicits._

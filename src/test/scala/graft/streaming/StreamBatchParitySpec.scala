@@ -438,6 +438,56 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("near-dup TTL stream: pairs gate on event-time gap; evicted members re-admit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/testdata/sf0.001"
+    val ebatch = graft.Tables.embeddings(spark, base)
+    val (bands, r, t) = (16,
+      graft.llm.Similarity.nearDupPlanesFor(ebatch.count()) + 1, 2)
+    // plant event times 1 s apart by vec_id: the deterministic
+    // pairing rule becomes |vec_a − vec_b| ≤ ttlSec
+    val t0 = 1700000000000L
+    val ttlSec = 100L
+    val vecs = ebatch.select(col("vec_id"), col("embedding")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).toArray,
+        new java.sql.Timestamp(t0 + x.getLong(0) * 1000L))).toSeq
+    val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val q = graft.streaming.EmbeddingStreams.nearDupPairsStreamTtl(
+        input.toDS().toDF("vec_id", "embedding", "ts"), bands, r, t,
+        java.time.Duration.ofSeconds(ttlSec))
+      .writeStream.format("memory").queryName("parity_neardup_ttl")
+      .outputMode("append").start()
+    val waves = vecs.sortBy(_._1).grouped((vecs.size + 2) / 3).toSeq
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    // advance the watermark a year: every member's ttl expires
+    val farTs = new java.sql.Timestamp(t0 + 365L * 86400 * 1000)
+    input.addData((-1L, vecs.head._2, farTs))
+    q.processAllAvailable()
+    // a re-arrival of vector 0's embedding, ttl-close to the sentinel:
+    // old members are evicted (no pair with 0), but it pairs with the
+    // sentinel clone — eviction re-admits, it does not blacklist
+    input.addData((-2L, vecs.head._2, new java.sql.Timestamp(farTs.getTime + 1000L)))
+    q.processAllAvailable()
+    val streamed = spark.table("parity_neardup_ttl").collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    q.stop()
+    val lateOnly = streamed.filter(p => p._1 < 0 || p._2 < 0)
+    assert(lateOnly.map(p => (p._1, p._2)) == Set((-2L, -1L)),
+      s"late arrivals must pair only with each other, got $lateOnly")
+    val batch = graft.llm.Similarity
+      .nearDupPairsMultiProbe(ebatch, bands, r, t)
+      .filter(abs(col("vec_a") - col("vec_b")) <= ttlSec)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    assert(streamed -- lateOnly == batch,
+      s"stream-only: ${(streamed -- lateOnly -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("centroid stream: drained running means are bit-identical to batch pooling") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
