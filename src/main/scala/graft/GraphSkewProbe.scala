@@ -35,17 +35,11 @@ object GraphSkewProbe {
   def plant(spark: SparkSession, src: String, workDir: String,
       factor: Int): Unit = {
     val ev = Tables.events(spark, src)
-    val uShift = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
-    val eShift = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
-    val scaled = (0 until factor).map { k =>
-      ev.withColumn("user_id", col("user_id") + lit(k * uShift))
-        .withColumn("event_id", col("event_id") + lit(k * eShift))
-    }.reduce(_ unionAll _)
+    val (uShift, eShift) = ScaleUp.eventShifts(ev)
+    val scaled = ScaleUp.shiftedCopies(ev, uShift, eShift, 0 until factor)
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val hubbed = (0 until factor).map { k =>
-      ev.withColumn("user_id", col("user_id") + lit((factor + k) * uShift))
-        .withColumn("event_id", col("event_id") + lit((factor + k) * eShift))
-    }.reduce(_ unionAll _)
+    val hubbed = ScaleUp
+      .shiftedCopies(ev, uShift, eShift, factor until 2 * factor)
       .withColumn("rn", row_number().over(byUser))
       .withColumn("props",
         when(pmod(col("rn"), lit(2)) === 0, lit(s"""{"k":$HubPage}"""))

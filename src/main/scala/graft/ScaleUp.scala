@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
+  /** (uShift, eShift) for [[shiftedCopies]]: one past the max ids. */
+  def eventShifts(ev: DataFrame): (Long, Long) = (
+    ev.agg(max(col("user_id"))).head.getLong(0) + 1L,
+    ev.agg(max(col("event_id"))).head.getLong(0) + 1L)
+
+  /** Copy k of the events frame for every k in `ks`, with user_id and
+    * event_id shifted by k·shift so keys stay globally unique and the
+    * time range is preserved — the one id-shift scale-up block shared
+    * by this corpus builder and both skew probes ([[SkewProbe]],
+    * [[GraphSkewProbe]]); pass `uShift = 0` to hold user_id fixed
+    * (the planted-hot-user shape).
+    */
+  def shiftedCopies(ev: DataFrame, uShift: Long, eShift: Long,
+      ks: Range): DataFrame =
+    ks.map { k =>
+      ev.withColumn("user_id", col("user_id") + lit(k * uShift))
+        .withColumn("event_id", col("event_id") + lit(k * eShift))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val (src, dst, factor) = (args(0), args(1), args(2).toInt)
     require(factor >= 1)
@@ -51,12 +70,9 @@ object ScaleUp {
     // traffic grows; shifting ts instead would just stretch the hour
     // spine), preserving each user's session/transition structure.
     val ev = Tables.events(spark, src)
-    val uShift = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
-    val eShift = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
-    copies(ev) { (e, k) =>
-      e.withColumn("user_id", col("user_id") + lit(k * uShift))
-        .withColumn("event_id", col("event_id") + lit(k * eShift))
-    }.write.mode("overwrite").parquet(s"$dst/events.parquet")
+    val (uShift, eShift) = eventShifts(ev)
+    shiftedCopies(ev, uShift, eShift, 0 until factor)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docShift = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L

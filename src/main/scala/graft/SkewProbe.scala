@@ -32,16 +32,11 @@ object SkewProbe {
   def plant(spark: SparkSession, src: String, workDir: String,
       factor: Int): Unit = {
     val ev = Tables.events(spark, src)
-    val uShift = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
-    val eShift = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
-    val scaled = (0 until factor).map { k =>
-      ev.withColumn("user_id", col("user_id") + lit(k * uShift))
-        .withColumn("event_id", col("event_id") + lit(k * eShift))
-    }.reduce(_ unionAll _)
-    val hot = (0 until factor).map { k =>
-      ev.withColumn("user_id", lit(HotUser))
-        .withColumn("event_id", col("event_id") + lit((factor + k) * eShift))
-    }.reduce(_ unionAll _)
+    val (uShift, eShift) = ScaleUp.eventShifts(ev)
+    val scaled = ScaleUp.shiftedCopies(ev, uShift, eShift, 0 until factor)
+    val hot = ScaleUp.shiftedCopies(
+      ev.withColumn("user_id", lit(HotUser)), 0L, eShift,
+      factor until 2 * factor)
     scaled.unionAll(hot).write.mode("overwrite")
       .parquet(s"$workDir/events.parquet")
   }

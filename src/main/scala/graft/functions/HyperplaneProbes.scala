@@ -94,7 +94,11 @@ object HyperplaneProbes {
         var best = -1
         var j2 = 0
         while (j2 < r) {
-          if (!taken(j2) && (best < 0 || margins(j2) < margins(best))) best = j2
+          // NaN margins sort LAST (matching SQL ORDER BY, where NaN
+          // is greatest): a plain `<` would keep a NaN seed forever
+          if (!taken(j2) && (best < 0
+              || margins(j2) < margins(best)
+              || (margins(best).isNaN && !margins(j2).isNaN))) best = j2
           j2 += 1
         }
         taken(best) = true

@@ -1129,9 +1129,10 @@ object Similarity {
        |SELECT query_id, neighbor_id, sel_rank, score FROM selall_$MmrK""".stripMargin
   }
 
-  /** Banded hyperplane CTEs mirroring [[bandSignatureCols]]: per-band
-    * buckets plus the per-vector ordered signature list the canonical
-    * first-colliding-band filter needs.
+  /** Banded hyperplane CTEs mirroring [[bandSignatureCols]] /
+    * [[graft.functions.HyperplaneProbes]]: per-plane dots (`pdots`,
+    * which the multiprobe oracle's margin ranking reads) and per-band
+    * buckets (`bandbuckets`).
     */
   private[llm] val sqlBandSigs = {
     // r mirrors nearDupMultiProbePlanesFor: bit length of the corpus
@@ -1161,10 +1162,7 @@ object Similarity {
        |    CAST(SUM(CASE WHEN dot >= 0
        |      THEN (1 << bit) ELSE 0 END) AS INT) AS bucket
        |  FROM pdots
-       |  GROUP BY vec_id, embedding, band),
-       |vecsigs AS (
-       |  SELECT vec_id, embedding, list(bucket ORDER BY band) AS sigs
-       |  FROM bandbuckets GROUP BY vec_id, embedding)""".stripMargin
+       |  GROUP BY vec_id, embedding, band)""".stripMargin
   }
 
   /** Hyperplane CTE + per-vector bucket CTE, mirroring

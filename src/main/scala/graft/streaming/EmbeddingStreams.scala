@@ -54,52 +54,56 @@ object EmbeddingStreams {
     Similarity.centroidsOf(embs)
 
   case class NearDupPair(vec_a: Long, vec_b: Long, cos: Double)
-  // public: Dataset encoders codegen `new ProbeRow(...)` from
+  // public: Dataset encoders codegen `new TimedProbeRow(...)` from
   // generated classes, which cannot touch private members
-  case class ProbeRow(band_bucket: Long, vec_id: Long,
-      exact: Boolean, embedding: Array[Float])
-  case class BucketState(members: List[(Long, Boolean, Array[Float])])
+  case class TimedProbeRow(band_bucket: Long, vec_id: Long, exact: Boolean,
+      embedding: Array[Float], ts: java.sql.Timestamp)
+  case class TimedBucketState(
+      members: List[(Long, Boolean, Array[Float], Long)])
 
-  /** Streaming near-duplicate pairs — the incremental twin of
-    * [[Similarity.nearDupPairsMultiProbe]]: each arriving vector is
-    * REGISTERED under its t+1 margin-probe buckets per band
+  /** Streaming near-duplicate pairs with a sliding event-time TTL —
+    * the incremental twin of [[Similarity.nearDupPairsMultiProbe]]
+    * and the [[DocStreams.minhashDedupStreamTtl]] recall/storage
+    * dial applied to pairs. Each arriving vector is REGISTERED under
+    * its t+1 margin-probe buckets per band
     * ([[graft.functions.HyperplaneProbes]], position 0 = the exact
-    * bucket) and PAIRED against the bucket's existing members. A
-    * pair emits iff at least one side's registration in the shared
-    * bucket is exact — precisely the batch candidate condition
-    * `e(y) ∈ P(x) ∨ e(x) ∈ P(y)` (probe-probe contacts are NOT batch
-    * candidates and are skipped) — scored inline with the bitwise
-    * batch cosine ([[graft.functions.CosineSim.score]]) and gated at
-    * ≥ 0.35, so a drained stream's pair SET equals the batch query's
-    * (StreamBatchParitySpec).
+    * bucket) and PAIRED against the bucket's existing members within
+    * `ttl`. A pair emits iff at least one side's registration in the
+    * shared bucket is exact — precisely the batch candidate
+    * condition `e(y) ∈ P(x) ∨ e(x) ∈ P(y)` (probe-probe contacts are
+    * NOT batch candidates and are skipped) — scored inline with the
+    * bitwise batch cosine ([[graft.functions.CosineSim.score]]) and
+    * gated at ≥ 0.35, so a drained stream's pair set equals the
+    * batch query's over gap-≤-ttl pairs (StreamBatchParitySpec).
+    *
+    * Pairing gates on the EVENT-TIME gap ≤ `ttl` — a deterministic
+    * rule, independent of watermark lag and batch boundaries — and
+    * bucket members garbage-collect once the watermark proves no
+    * future non-late arrival can still pair with them
+    * (`member_ts + ttl < watermark`: a surviving future row has
+    * `ts ≥ watermark`, so its gap would exceed `ttl` anyway;
+    * eviction is pure GC, never a semantics change).
     *
     * Emission is AT-LEAST-ONCE per pair (a pair meeting in several
     * bands emits per meeting — the [[graft.streaming.EventStreams]]
     * fact-emission discipline; consumers dedup by (vec_a, vec_b),
     * and the parity spec compares sets). Within a micro-batch,
     * arrivals process in vec_id order, so replayed batches emit
-    * deterministically. State is the bucket membership itself —
-    * (t+1)·n registrations of (id, flag, vector) — the same
-    * O(corpus) bound the batch index materializes; the TTL-eviction
-    * dial of [[DocStreams.minhashDedupStreamTtl]] applies unchanged
-    * if "recent near-dups only" is acceptable.
-    */
-  case class TimedProbeRow(band_bucket: Long, vec_id: Long, exact: Boolean,
-      embedding: Array[Float], ts: java.sql.Timestamp)
-  case class TimedBucketState(
-      members: List[(Long, Boolean, Array[Float], Long)])
-
-  /** Bounded-state variant of [[nearDupPairsStream]] — the
-    * [[DocStreams.minhashDedupStreamTtl]] recall/storage dial for
-    * pairs: vectors pair only when their EVENT-TIME gap is ≤ `ttl`
-    * (a deterministic rule — it does not depend on watermark lag or
-    * batch boundaries), and bucket members garbage-collect once the
-    * watermark proves no future non-late arrival can still sit
-    * within `ttl` of them (`member_ts + ttl < watermark` — any
-    * surviving future row has `ts ≥ watermark`, so its gap would
-    * exceed `ttl` anyway; eviction is pure GC, never a semantics
-    * change). State per bucket is the members of one sliding `ttl`
-    * window, the 100-TB-stream bound the unbounded twin lacks.
+    * deterministically.
+    *
+    * STATE COST, stated honestly: each live vector is registered in
+    * bands·(t+1) bucket groups and each registration carries the
+    * full vector for inline scoring — ≈ bands·(t+1)·dim·4 bytes per
+    * vector per ttl window (64·3·256 B ≈ 49 KB at the defaults), NOT
+    * the slim id-only mass the batch side shuffles. That is the
+    * price of single-operator scoring: the batch discipline (slim
+    * candidates, then rescore joins) needs the pair stream joined
+    * back to a vector store — two chained stateful stages, which
+    * Structured Streaming does not compose in one append query — so
+    * at 100-TB stream rates, run THIS operator for the candidate
+    * signal on a short ttl, or compose candidates + foreachBatch
+    * rescore against the accumulating vector table
+    * ([[ivfIndexStream]]'s on-disk layout) at the consumer.
     */
   def nearDupPairsStreamTtl(embs: DataFrame, bands: Int, r: Int,
       t: Int, ttl: java.time.Duration,
@@ -112,6 +116,8 @@ object EmbeddingStreams {
         posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
           col("embedding"), bands, r, Similarity.Dim, t))
           .as(Seq("pos", "bucket")))
+      // pack (band, bucket) into one grouping key: band = pos/(t+1),
+      // bucket is a non-negative r-bit int
       .select(
         ((col("pos") / (t + 1)).cast("long") * lit(4294967296L)
           + col("bucket")).as("band_bucket"),
@@ -154,42 +160,20 @@ object EmbeddingStreams {
       }
   }
 
+  /** Unbounded variant over a (vec_id, embedding) stream: the TTL
+    * machinery with a constant event time and an effectively
+    * infinite ttl — every pair gap is 0, nothing ever evicts, and
+    * the drained pair set equals the batch multiprobe query over the
+    * WHOLE corpus (StreamBatchParitySpec). One implementation, two
+    * bounds: the TTL variant above is the only stateful core.
+    *
+    * The constant instant sits far in the future with a delay larger
+    * still, pinning the watermark at zero STRICTLY BELOW every row —
+    * a constant AT the watermark would be dropped as late data.
+    */
   def nearDupPairsStream(embs: DataFrame, bands: Int, r: Int,
-      t: Int = Similarity.NearDupProbes): Dataset[NearDupPair] = {
-    import embs.sparkSession.implicits._
-    val probed = embs
-      .select(col("vec_id"), col("embedding"),
-        posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
-          col("embedding"), bands, r, Similarity.Dim, t))
-          .as(Seq("pos", "bucket")))
-      // pack (band, bucket) into one grouping key: band = pos/(t+1),
-      // bucket is a non-negative r-bit int
-      .select(
-        ((col("pos") / (t + 1)).cast("long") * lit(4294967296L)
-          + col("bucket")).as("band_bucket"),
-        col("vec_id"),
-        (pmod(col("pos"), lit(t + 1)) === 0).as("exact"),
-        col("embedding"))
-      .as[ProbeRow]
-    probed
-      .groupByKey(_.band_bucket)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[ProbeRow], state: GroupState[BucketState]) =>
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = List.newBuilder[NearDupPair]
-          rows.toSeq.sortBy(_.vec_id).foreach { row =>
-            members.foreach { case (mid, mexact, memb) =>
-              if (mid != row.vec_id && (row.exact || mexact)) {
-                val cos = graft.functions.CosineSim.score(row.embedding, memb)
-                if (cos >= 0.35)
-                  out += NearDupPair(math.min(mid, row.vec_id),
-                    math.max(mid, row.vec_id), cos)
-              }
-            }
-            members ::= ((row.vec_id, row.exact, row.embedding))
-          }
-          state.update(BucketState(members))
-          out.result().iterator
-      }
-  }
+      t: Int = Similarity.NearDupProbes): Dataset[NearDupPair] =
+    nearDupPairsStreamTtl(
+      embs.withColumn("ts", timestamp_seconds(lit(7258118400L))),
+      bands, r, t, java.time.Duration.ofDays(3650000L), "3650000 days")
 }

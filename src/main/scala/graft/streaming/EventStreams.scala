@@ -223,11 +223,14 @@ object EventStreams extends Serializable {
   case class AsofState(purchases: List[(Long, Long, Double)],
       errors: List[(Long, Double)])
 
-  private def micros(t: java.sql.Timestamp): Long =
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
-  private def tsOfMicros(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(math.floorDiv(us, 1000L) / 1000L * 1000L)
+  private[streaming] def tsOfMicros(us: Long): java.sql.Timestamp = {
+    // floor to the SECOND with floorDiv throughout: the former
+    // truncating `/ 1000` rounded pre-epoch instants toward zero,
+    // reconstructing them one second late
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((math.floorMod(us, 1000000L)).toInt * 1000)
     t
   }

@@ -67,6 +67,23 @@ class HyperplaneProbesSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("NaN margins sort last, matching SQL ORDER BY: flips stay deterministic") {
+    // one NaN component poisons every dot: all margins NaN, so the
+    // (abs(dot), bit) order degenerates to the bit order — flips must
+    // be bits 0..t-1, the same rows DuckDB's NaN-last sort ranks first
+    val v = Array.fill(dim)(0.5f)
+    v(3) = Float.NaN
+    val probes = HyperplaneProbes.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+      bands, r, dim, t).toIntArray()
+    (0 until bands).foreach { b =>
+      val exact = probes(b * (t + 1))
+      val gotBits = (1 to t).map(k =>
+        Integer.numberOfTrailingZeros(probes(b * (t + 1) + k) ^ exact))
+      assert(gotBits == (0 until t), s"band $b NaN flip order $gotBits")
+    }
+  }
+
   test("interpreted eval agrees with codegen; wrong-length vectors yield null") {
     import spark.implicits._
     val real = graft.Tables.embeddings(spark, sf001).limit(50)

@@ -12,6 +12,20 @@ class EventStreamsSpec extends SparkSpec {
   private val Base = 99960L  // hour-aligned: 99960 = 1666 * 60
   private def ts(min: Long): Timestamp = new Timestamp((Base + min) * 60000L)
 
+  test("micros/tsOfMicros round-trip exactly, pre-epoch included") {
+    // the floor-to-second reconstruction: truncating division shifted
+    // pre-1970 instants one second late (caught in round-10 review);
+    // every µs value must survive ts -> micros -> ts bit-exactly
+    val us = Seq(-1000001L, -1000000L, -999999L, -500000L, -1L, 0L,
+      1L, 999L, 1000L, 999999L, 1000000L, 1000001L,
+      1700000000000600L, Long.MaxValue / 4096)
+    us.foreach { u =>
+      val t = EventStreams.tsOfMicros(u)
+      assert(EventStreams.micros(t) == u,
+        s"round-trip broke at $u -> $t -> ${EventStreams.micros(t)}")
+    }
+  }
+
   test("watermarked hourly counts over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
