@@ -38,8 +38,22 @@ case class HyperplaneProbes(child: Expression, bands: Int, r: Int,
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  // config validated here, NOT inside compute(): a bad (bands, r, t)
+  // must fail at analysis time as one plan error, not as per-row
+  // executor task failures at eval time (ADVICE r10)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      if (bands < 1) TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_probes: bands must be >= 1, got $bands")
+      // r <= 31 keeps the r-bit bucket a non-negative Int (bit r-1 is
+      // the highest set); the engine's dials clamp to 30
+      else if (r < 1 || r > 31) TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_probes: r must be in [1, 31], got $r")
+      else if (dim < 1) TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_probes: dim must be >= 1, got $dim")
+      else if (t < 0 || t > r) TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_probes: probe count $t outside [0, $r]")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"hyperplane_probes requires array<float>, got ${other.catalogString}")
   }

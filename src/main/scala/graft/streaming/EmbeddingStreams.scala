@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.llm.Similarity
@@ -58,8 +58,84 @@ object EmbeddingStreams {
   // generated classes, which cannot touch private members
   case class TimedProbeRow(band_bucket: Long, vec_id: Long, exact: Boolean,
       embedding: Array[Float], ts: java.sql.Timestamp)
-  case class TimedBucketState(
-      members: List[(Long, Boolean, Array[Float], Long)])
+  /** One DISTINCT embedding registered in a bucket: the representative
+    * vector ONCE, plus every (vec_id, micros) copy of it — the
+    * [[Similarity.nearDupWithDupCollapse]] rep discipline carried into
+    * streaming state.
+    */
+  case class DistinctGroup(exact: Boolean, emb: Array[Float],
+      entries: List[(Long, Long)])
+  case class TimedBucketState(groups: List[DistinctGroup])
+
+  /** `ttl` as event-time MICROSECONDS (the precision events carry),
+    * saturated for effectively-infinite ttls: `Duration.toNanos`
+    * overflows past ~292 years, and the unbounded wrapper passes
+    * 10k years. The saturation value keeps `memberUs + ttlUs` far
+    * from Long overflow for any epoch-scale member instant.
+    */
+  private def ttlMicrosOf(ttl: java.time.Duration): Long =
+    if (ttl.getSeconds > 9000000000L) Long.MaxValue / 4
+    else math.floorDiv(ttl.toNanos, 1000L)
+
+  /** Watermark ms → a conservative µs bound: the true event-time
+    * watermark is ≥ `wmMs·1000`, so evicting only below this bound
+    * never evicts a member a future non-late row could still pair
+    * with (eviction stays pure GC at full precision).
+    */
+  private def wmMicros(wmMs: Long): Long = wmMs * 1000L
+
+  /** The collapsed-state transition for ONE bucket and one batch of
+    * arrivals — a pure function, unit-tested directly
+    * (EmbedDupStreamSpec) so the O(distinct-vectors) state bound is
+    * asserted on the data structure, not inferred from timings.
+    *
+    * Arrivals process in vec_id order (deterministic replay); each
+    * row scores ONCE per distinct group (not once per member) and
+    * pairs with every in-ttl entry of a gate-passing group; identical
+    * vectors (bit-equal float arrays) collapse into one group whose
+    * representative array is stored once. The gate and the gap are
+    * both full-microseconds (`EventStreams.micros`): sub-ms gaps
+    * straddling the ttl boundary classify exactly, not on truncated
+    * `getTime` ms (the r10 sessionize/compactStream bug class).
+    */
+  private[streaming] def collapsedStep(rows: Seq[TimedProbeRow],
+      prior: List[DistinctGroup], wmMs: Long, ttlUs: Long)
+      : (List[DistinctGroup], List[NearDupPair]) = {
+    val wmUs = wmMicros(wmMs)
+    var groups = prior
+      .map(g => g.copy(entries = g.entries.filter(_._2 + ttlUs >= wmUs)))
+      .filter(_.entries.nonEmpty)
+    val out = List.newBuilder[NearDupPair]
+    rows.sortBy(_.vec_id).foreach { row =>
+      val rowUs = EventStreams.micros(row.ts)
+      var own: DistinctGroup = null
+      groups.foreach { g =>
+        if (own == null && java.util.Arrays.equals(g.emb, row.embedding))
+          own = g
+        // identical embeddings have identical probe sets, so a
+        // group's exact flag holds for every copy — the batch
+        // candidate rule `e(y) ∈ P(x) ∨ e(x) ∈ P(y)` evaluates once
+        // per group (probe-probe contacts skipped, as in batch)
+        if (row.exact || g.exact) {
+          val cos = graft.functions.CosineSim.score(row.embedding, g.emb)
+          if (cos >= 0.35) {
+            g.entries.foreach { case (mid, mts) =>
+              if (mid != row.vec_id && math.abs(rowUs - mts) <= ttlUs)
+                out += NearDupPair(math.min(mid, row.vec_id),
+                  math.max(mid, row.vec_id), cos)
+            }
+          }
+        }
+      }
+      if (own != null) {
+        val grown = own.copy(entries = (row.vec_id, rowUs) :: own.entries)
+        groups = groups.map(g => if (g eq own) grown else g)
+      } else
+        groups ::= DistinctGroup(row.exact, row.embedding,
+          (row.vec_id, rowUs) :: Nil)
+    }
+    (groups, out.result())
+  }
 
   /** Streaming near-duplicate pairs with a sliding event-time TTL —
     * the incremental twin of [[Similarity.nearDupPairsMultiProbe]]
@@ -76,13 +152,17 @@ object EmbeddingStreams {
     * gated at ≥ 0.35, so a drained stream's pair set equals the
     * batch query's over gap-≤-ttl pairs (StreamBatchParitySpec).
     *
-    * Pairing gates on the EVENT-TIME gap ≤ `ttl` — a deterministic
-    * rule, independent of watermark lag and batch boundaries — and
-    * bucket members garbage-collect once the watermark proves no
+    * Pairing gates on the EVENT-TIME gap ≤ `ttl` at FULL MICROSECOND
+    * precision ([[EventStreams.micros]], not ms-truncated `getTime`)
+    * — a deterministic rule, independent of watermark lag and batch
+    * boundaries, exact even for sub-ms gaps straddling the ttl
+    * boundary (adversarial ±µs fixtures in StreamBatchParitySpec) —
+    * and bucket members garbage-collect once the watermark proves no
     * future non-late arrival can still pair with them
-    * (`member_ts + ttl < watermark`: a surviving future row has
-    * `ts ≥ watermark`, so its gap would exceed `ttl` anyway;
-    * eviction is pure GC, never a semantics change).
+    * (`member_us + ttl_us < wm_ms·1000 ≤ true watermark`: a
+    * surviving future row has `ts ≥ watermark`, so its gap would
+    * exceed `ttl` anyway; eviction is pure GC, never a semantics
+    * change).
     *
     * Emission is AT-LEAST-ONCE per pair (a pair meeting in several
     * bands emits per meeting — the [[graft.streaming.EventStreams]]
@@ -91,39 +171,30 @@ object EmbeddingStreams {
     * arrivals process in vec_id order, so replayed batches emit
     * deterministically.
     *
-    * STATE COST, stated honestly: each live vector is registered in
-    * bands·(t+1) bucket groups and each registration carries the
-    * full vector for inline scoring — ≈ bands·(t+1)·dim·4 bytes per
-    * vector per ttl window (64·3·256 B ≈ 49 KB at the defaults), NOT
-    * the slim id-only mass the batch side shuffles. That is the
-    * price of single-operator scoring: the batch discipline (slim
-    * candidates, then rescore joins) needs the pair stream joined
-    * back to a vector store — two chained stateful stages, which
-    * Structured Streaming does not compose in one append query — so
-    * at 100-TB stream rates, run THIS operator for the candidate
-    * signal on a short ttl, or compose candidates + foreachBatch
-    * rescore against the accumulating vector table
-    * ([[ivfIndexStream]]'s on-disk layout) at the consumer.
+    * STATE COST: bucket state is EXACT-DUPLICATE COLLAPSED — one
+    * representative array per distinct embedding plus an id+micros
+    * entry list ([[collapsedStep]]), the
+    * [[Similarity.nearDupWithDupCollapse]] identity argument applied
+    * to state (identical vectors have identical signatures, probes
+    * and cosines, so pairing every entry of a group against one
+    * representative score emits exactly the direct construction's
+    * pairs). A duplicate-heavy stream — the web-scale reality that
+    * killed the uncollapsed BATCH run at ×1000 — holds
+    * bands·(t+1)·dim·4 bytes per DISTINCT vector (≈ 49 KB at the
+    * defaults) plus 16 bytes per copy, and scores once per distinct
+    * group, not m² per duplicate cohort. For stream rates where even
+    * per-distinct arrays are too much state, use the slim composed
+    * path: [[nearDupCandidatesStreamTtl]] (ids-only state) +
+    * [[rescoreCandidates]] in foreachBatch against the accumulating
+    * [[ivfIndexStream]] layout.
     */
   def nearDupPairsStreamTtl(embs: DataFrame, bands: Int, r: Int,
       t: Int, ttl: java.time.Duration,
       watermarkDelay: String = "10 minutes"): Dataset[NearDupPair] = {
     import embs.sparkSession.implicits._
-    val ttlMs = ttl.toMillis
-    val probed = embs
-      .withWatermark("ts", watermarkDelay)
-      .select(col("vec_id"), col("embedding"), col("ts"),
-        posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
-          col("embedding"), bands, r, Similarity.Dim, t))
-          .as(Seq("pos", "bucket")))
-      // pack (band, bucket) into one grouping key: band = pos/(t+1),
-      // bucket is a non-negative r-bit int
-      .select(
-        ((col("pos") / (t + 1)).cast("long") * lit(4294967296L)
-          + col("bucket")).as("band_bucket"),
-        col("vec_id"),
-        (pmod(col("pos"), lit(t + 1)) === 0).as("exact"),
-        col("embedding"), col("ts"))
+    val ttlUs = ttlMicrosOf(ttl)
+    val probed = probeExplode(embs, bands, r, t, watermarkDelay,
+        Seq(col("embedding")))
       .as[TimedProbeRow]
     probed
       .groupByKey(_.band_bucket)
@@ -132,31 +203,20 @@ object EmbeddingStreams {
         (_: Long, rows: Iterator[TimedProbeRow],
             state: GroupState[TimedBucketState]) =>
           val wm = state.getCurrentWatermarkMs()
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-            .filter(m => m._4 + ttlMs >= wm)
-          val out = List.newBuilder[NearDupPair]
-          rows.toSeq.sortBy(_.vec_id).foreach { row =>
-            val rowMs = row.ts.getTime
-            members.foreach { case (mid, mexact, memb, mts) =>
-              if (mid != row.vec_id && (row.exact || mexact)
-                  && math.abs(rowMs - mts) <= ttlMs) {
-                val cos = graft.functions.CosineSim.score(row.embedding, memb)
-                if (cos >= 0.35)
-                  out += NearDupPair(math.min(mid, row.vec_id),
-                    math.max(mid, row.vec_id), cos)
-              }
-            }
-            members ::= ((row.vec_id, row.exact, row.embedding, rowMs))
-          }
-          if (members.isEmpty) state.remove()
+          val (groups, pairs) = collapsedStep(rows.toSeq,
+            state.getOption.map(_.groups).getOrElse(Nil), wm, ttlUs)
+          if (groups.isEmpty) state.remove()
           else {
-            state.update(TimedBucketState(members))
-            // wake at the earliest member expiry to GC (timeout must
-            // sit past the current watermark)
+            state.update(TimedBucketState(groups))
+            // wake at the first ms instant whose µs lower bound passes
+            // the earliest entry expiry, to GC (timeout must sit past
+            // the current watermark)
+            val minUs = groups.iterator
+              .flatMap(_.entries.iterator.map(_._2)).min
             state.setTimeoutTimestamp(
-              math.max(members.map(_._4 + ttlMs).min + 1, wm + 1))
+              math.max(math.floorDiv(minUs + ttlUs, 1000L) + 1, wm + 1))
           }
-          out.result().iterator
+          pairs.iterator
       }
   }
 
@@ -176,4 +236,150 @@ object EmbeddingStreams {
     nearDupPairsStreamTtl(
       embs.withColumn("ts", timestamp_seconds(lit(7258118400L))),
       bands, r, t, java.time.Duration.ofDays(3650000L), "3650000 days")
+
+  // ---------------------------------------------------------------
+  // Slim composed path: candidate-only state + foreachBatch rescore
+  // ---------------------------------------------------------------
+
+  case class CandPair(vec_a: Long, vec_b: Long)
+  case class SlimProbeRow(band_bucket: Long, vec_id: Long, exact: Boolean,
+      ts: java.sql.Timestamp)
+  case class SlimBucketState(members: List[(Long, Boolean, Long)])
+
+  /** Shared probe-explode prep: watermark, t+1 margin probes per band
+    * ([[graft.functions.HyperplaneProbes]]), the packed
+    * (band, bucket) grouping key and the exact flag; `extra` chooses
+    * whether the embedding rides along (scored path) or not (slim
+    * path — dropping it here is what divides the shuffle mass by
+    * ≈ dim·4 bytes per probe row).
+    */
+  private def probeExplode(embs: DataFrame, bands: Int, r: Int, t: Int,
+      watermarkDelay: String, extra: Seq[Column]): DataFrame =
+    embs
+      .withWatermark("ts", watermarkDelay)
+      .select(Seq(col("vec_id"), col("ts"),
+        posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
+          col("embedding"), bands, r, Similarity.Dim, t))
+          .as(Seq("pos", "bucket"))) ++ extra: _*)
+      // pack (band, bucket) into one grouping key: band = pos/(t+1),
+      // bucket is a non-negative r-bit int
+      .select(Seq(
+        ((col("pos") / (t + 1)).cast("long") * lit(4294967296L)
+          + col("bucket")).as("band_bucket"),
+        col("vec_id"),
+        (pmod(col("pos"), lit(t + 1)) === 0).as("exact"),
+        col("ts")) ++ extra: _*)
+
+  /** Slim-state transition for one bucket — same candidate rule and
+    * full-µs ttl gate as [[collapsedStep]], NO scoring and NO arrays:
+    * state is 17 bytes of (vec_id, exact, micros) per registration,
+    * which is what lets the candidate operator absorb stream rates
+    * whose vectors can't live in state at all.
+    */
+  private[streaming] def slimStep(rows: Seq[SlimProbeRow],
+      prior: List[(Long, Boolean, Long)], wmMs: Long, ttlUs: Long)
+      : (List[(Long, Boolean, Long)], List[CandPair]) = {
+    val wmUs = wmMicros(wmMs)
+    var members = prior.filter(_._3 + ttlUs >= wmUs)
+    val out = List.newBuilder[CandPair]
+    rows.sortBy(_.vec_id).foreach { row =>
+      val rowUs = EventStreams.micros(row.ts)
+      members.foreach { case (mid, mexact, mts) =>
+        if (mid != row.vec_id && (row.exact || mexact)
+            && math.abs(rowUs - mts) <= ttlUs)
+          out += CandPair(math.min(mid, row.vec_id),
+            math.max(mid, row.vec_id))
+      }
+      members ::= ((row.vec_id, row.exact, rowUs))
+    }
+    (members, out.result())
+  }
+
+  /** UNSCORED candidate pairs with the same TTL/candidate semantics
+    * as [[nearDupPairsStreamTtl]] but ids-only state — the promised
+    * slim-state composition half: downstream, [[rescoreCandidates]]
+    * (typically in `foreachBatch`) joins the candidates against the
+    * accumulating [[ivfIndexStream]] parquet layout and applies the
+    * cosine gate, reproducing the scored operator's pair set exactly
+    * (StreamBatchParitySpec drains both paths to the same batch
+    * multiprobe set). Candidates are emitted at-least-once and
+    * UNFILTERED by cosine — by construction a superset per the LSH
+    * candidate rule; the rescore is where the ≥ 0.35 gate lives.
+    */
+  def nearDupCandidatesStreamTtl(embs: DataFrame, bands: Int, r: Int,
+      t: Int, ttl: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): Dataset[CandPair] = {
+    import embs.sparkSession.implicits._
+    val ttlUs = ttlMicrosOf(ttl)
+    val probed = probeExplode(embs, bands, r, t, watermarkDelay, Nil)
+      .as[SlimProbeRow]
+    probed
+      .groupByKey(_.band_bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[SlimProbeRow],
+            state: GroupState[SlimBucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val (members, cands) = slimStep(rows.toSeq,
+            state.getOption.map(_.members).getOrElse(Nil), wm, ttlUs)
+          if (members.isEmpty) state.remove()
+          else {
+            state.update(SlimBucketState(members))
+            state.setTimeoutTimestamp(math.max(
+              math.floorDiv(members.map(_._3).min + ttlUs, 1000L) + 1,
+              wm + 1))
+          }
+          cands.iterator
+      }
+  }
+
+  /** Unbounded slim-candidate variant — the [[nearDupPairsStream]]
+    * constant-instant trick over the candidate core.
+    */
+  def nearDupCandidatesStream(embs: DataFrame, bands: Int, r: Int,
+      t: Int = Similarity.NearDupProbes): Dataset[CandPair] =
+    nearDupCandidatesStreamTtl(
+      embs.withColumn("ts", timestamp_seconds(lit(7258118400L))),
+      bands, r, t, java.time.Duration.ofDays(3650000L), "3650000 days")
+
+  /** Rescore one micro-batch of candidate pairs against the on-disk
+    * vector store ([[ivfIndexStream]]'s layout — the index IS the
+    * vector store, no second table): dedup the at-least-once
+    * candidate emissions, join the embeddings back per side, apply
+    * the batch cosine expression and the ≥ 0.35 gate. The candidate
+    * batch is broadcast (bounded by arrival rate — orders of
+    * magnitude below the store), so each join is one store scan with
+    * a broadcast hash probe, never a store shuffle.
+    */
+  def rescoreCandidates(cands: DataFrame, indexPath: String): DataFrame = {
+    val store = cands.sparkSession.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, cell INT")
+      .parquet(indexPath)
+      .select(col("vec_id"), col("embedding"))
+    val c = broadcast(cands.select(col("vec_a"), col("vec_b")).distinct())
+    c.join(store.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), "vec_a")
+      .join(store.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), "vec_b")
+      .withColumn("cos",
+        graft.functions.CosineSim.cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Wire the composition: a slim candidate stream rescored per
+    * micro-batch against `indexPath` and handed to `sink` as scored
+    * (vec_a, vec_b, cos) rows. Run [[ivfIndexStream]] on the same
+    * input ahead of this query (the spec drains the index stream
+    * first per wave) so every candidate's vectors are already in the
+    * store when its batch rescored.
+    */
+  def nearDupPairsRescored(cands: Dataset[CandPair], indexPath: String)(
+      sink: DataFrame => Unit): StreamingQuery =
+    cands.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[CandPair], _: Long) =>
+        sink(rescoreCandidates(batch.toDF(), indexPath))
+      }
+      .start()
 }

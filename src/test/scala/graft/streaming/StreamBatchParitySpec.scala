@@ -488,6 +488,131 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("near-dup TTL sub-ms: gaps straddling the ttl by ±400µs classify on true micros") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = graft.llm.Similarity.Dim
+    val e = Array.tabulate(dim)(i => math.sin(i).toFloat)
+    val ttl = java.time.Duration.ofSeconds(100)
+    val ttlUs = 100000000L
+    // all four rows carry the SAME embedding (identical vectors always
+    // meet in every exact bucket), so pairing is decided purely by the
+    // event-time gap:
+    //  ids 1,2: gap = ttl + 400µs -> NOT a pair. The retired getTime
+    //    arithmetic truncates the gap to exactly ttl ms and pairs them.
+    //  ids 3,4: gap = ttl − 400µs -> a pair (both precisions agree;
+    //    guards the other boundary side). The 3/4 cohort sits 10·ttl
+    //    after 1/2 so no cross-cohort gap is within ttl.
+    val rows = Seq(
+      (1L, e, tsUs(subMsBase)),
+      (2L, e, tsUs(subMsBase + ttlUs + 400)),
+      (3L, e, tsUs(subMsBase + 10 * ttlUs)),
+      (4L, e, tsUs(subMsBase + 10 * ttlUs + ttlUs - 400)))
+    val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val q = graft.streaming.EmbeddingStreams.nearDupPairsStreamTtl(
+        input.toDS().toDF("vec_id", "embedding", "ts"), 8,
+        graft.llm.Similarity.nearDupPlanesFor(4), 1, ttl)
+      .writeStream.format("memory").queryName("parity_neardup_subms")
+      .outputMode("append").start()
+    input.addData(rows)
+    q.processAllAvailable()
+    input.addData((-1L, e, tsUs(subMsBase + 365L * 86400 * 1000000L)))
+    q.processAllAvailable()
+    val streamed = spark.table("parity_neardup_subms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(streamed == Set((3L, 4L)),
+      s"expected only the sub-ttl pair (3,4), got $streamed")
+  }
+
+  test("near-dup duplicate-heavy stream: planted 100-copy cohort drains to batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/testdata/sf0.001"
+    val ebatch = graft.Tables.embeddings(spark, base)
+    val vecs = ebatch.select(col("vec_id"), col("embedding")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).toArray)).toSeq
+    val shift = vecs.map(_._1).max + 1
+    // the web-scale shape that killed the uncollapsed batch run at
+    // ×1000: one vector duplicated 100× under fresh ids, interleaved
+    // with the real corpus across waves
+    val cohort = (0 until 100).map(k => (shift + k, vecs.head._2))
+    val corpus = new scala.util.Random(7).shuffle(vecs ++ cohort)
+    val (bands, r, t) = (16,
+      graft.llm.Similarity.nearDupPlanesFor(corpus.size.toLong) + 1, 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EmbeddingStreams.nearDupPairsStream(
+        input.toDS().toDF("vec_id", "embedding"), bands, r, t)
+      .writeStream.format("memory").queryName("parity_neardup_dup")
+      .outputMode("append").start()
+    corpus.grouped((corpus.size + 2) / 3).foreach { w =>
+      input.addData(w); q.processAllAvailable()
+    }
+    val streamed = spark.table("parity_neardup_dup").collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    q.stop()
+    // batch twin over the same union corpus — via the dup collapse,
+    // whose pair-set identity with the direct construction is
+    // EmbedDupCollapseSpec's claim
+    val batch = graft.llm.Similarity.nearDupWithDupCollapse(
+        corpus.toDF("vec_id", "embedding"), bands, r, t).collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // the cohort really exercised the collapse: all C(101,2) pairs
+    // among vec0 and its copies are present
+    val cohortIds = (vecs.head._1 +: cohort.map(_._1)).toSet
+    val within = streamed.count(p => cohortIds(p._1) && cohortIds(p._2))
+    assert(within == 101 * 100 / 2, s"cohort pairs: $within")
+  }
+
+  test("near-dup slim composition: candidate stream + foreachBatch rescore equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/testdata/sf0.001"
+    val ebatch = graft.Tables.embeddings(spark, base)
+    val (bands, r, t) = (16,
+      graft.llm.Similarity.nearDupPlanesFor(ebatch.count()) + 1, 2)
+    val vecs = ebatch.select(col("vec_id"), col("embedding")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).toArray)).toSeq
+    val cents = graft.llm.Similarity.firstNCentroids(ebatch)
+    val dir = java.nio.file.Files.createTempDirectory("slimdup").toString
+    // the vector store IS the accumulating IVF index stream
+    val idxIn = MemoryStream[(Long, Array[Float])]
+    val idxQ = graft.streaming.EmbeddingStreams.ivfIndexStream(
+      idxIn.toDS().toDF("vec_id", "embedding"), cents,
+      s"$dir/idx", s"$dir/ckpt")
+    val candIn = MemoryStream[(Long, Array[Float])]
+    val scored = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val candQ = graft.streaming.EmbeddingStreams.nearDupPairsRescored(
+      graft.streaming.EmbeddingStreams.nearDupCandidatesStream(
+        candIn.toDS().toDF("vec_id", "embedding"), bands, r, t),
+      s"$dir/idx") { batch =>
+      scored.synchronized {
+        scored ++= batch.collect().map(x =>
+          (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      }
+    }
+    // per wave: index stream drains FIRST, so every candidate's
+    // vectors are in the store when its batch rescored
+    val waves = vecs.sortBy(-_._1).grouped((vecs.size + 2) / 3).toSeq
+    waves.foreach { w =>
+      idxIn.addData(w); idxQ.processAllAvailable()
+      candIn.addData(w); candQ.processAllAvailable()
+    }
+    idxQ.stop(); candQ.stop()
+    val batch = graft.llm.Similarity
+      .nearDupPairsMultiProbe(ebatch, bands, r, t).collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    val streamed = scored.synchronized(scored.toSet)
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("centroid stream: drained running means are bit-identical to batch pooling") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
