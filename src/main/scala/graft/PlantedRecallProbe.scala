@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Recall-vs-n for the near-dup multiprobe dials at corpus sizes
+  * where the exhaustive O(n²) baseline is unrunnable (VERDICT r10
+  * item 5): instead of brute-forcing the true pair set, PLANT it —
+  * inject P perturbed copies with EXACTLY KNOWN cosine to their base
+  * vectors (sampled uniformly over [0.40, 0.98], the query's
+  * above-gate band) under fresh ids, run the registered collapse-
+  * wrapped multiprobe over corpus ∪ planted, and report the fraction
+  * of planted (base, copy) pairs recovered. The planted distribution
+  * is FIXED across corpus sizes, so the recall curve isolates the
+  * n-dependence of the dial (per-band collision prob q^r falls as
+  * the auto-sized r deepens with ⌊log₂ n⌋) from corpus composition.
+  *
+  * Construction: for base v with unit direction u, the copy is
+  * c·u + √(1−c²)·ŵ (ŵ a seeded random unit vector orthogonalized
+  * against u), scaled by ‖v‖ — cos(copy, v) = c exactly in the reals
+  * and to float rounding here; the probe still scores every planted
+  * pair with the engine's own [[graft.functions.CosineSim.score]]
+  * and keeps only ≥ 0.35 as ground truth (all, by construction).
+  *
+  * Usage: PlantedRecallProbe <sfDir> [nPlanted=2000]
+  */
+object PlantedRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val nPlanted = if (args.length > 1) args(1).toInt else 2000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.Similarity
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val stride = math.max(1L, n / nPlanted)
+    // deterministic base sample: every stride-th id
+    val bases = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .limit(nPlanted).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rnd = new java.util.Random(42)
+    val shift = maxId + 1L
+
+    def unit(v: Array[Double]): Array[Double] = {
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nv)
+    }
+    val planted = bases.zipWithIndex.map { case ((bid, bv), k) =>
+      val v = bv.map(_.toDouble)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val u = unit(v)
+      val c = 0.40 + 0.58 * rnd.nextDouble() // target cos in [0.40, 0.98]
+      val w = Array.fill(v.length)(rnd.nextGaussian())
+      val dotWU = w.zip(u).map { case (a, b) => a * b }.sum
+      val orth = unit(w.zip(u).map { case (a, b) => a - dotWU * b })
+      val s = math.sqrt(1.0 - c * c)
+      val copy = u.zip(orth).map { case (ui, oi) =>
+        (norm * (c * ui + s * oi)).toFloat }
+      (shift + k, copy, bid)
+    }
+    // ground truth through the engine's own scorer (float rounding
+    // could in principle cross the 0.35 gate; by construction none do)
+    val truePairs = planted.filter { case (_, copy, bid) =>
+      graft.functions.CosineSim.score(copy,
+        bases.find(_._1 == bid).get._2) >= 0.35
+    }.map { case (cid, _, bid) => (bid, cid) }.toSet
+    println(s"[planted] n=$n planted=${planted.length} true=${truePairs.size}")
+
+    import spark.implicits._
+    val plantedDf = planted.map { case (cid, copy, _) => (cid, copy) }
+      .toSeq.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val union = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedDf)
+
+    val rp = Similarity.nearDupPlanesFor(n + planted.length)
+    // (bands, r, t): the registered default and the escalation dial
+    // from the r10 measured grid
+    val dials = Seq((Similarity.NearDupBands, rp + 1, Similarity.NearDupProbes),
+      (128, rp + 2, 3))
+    dials.foreach { case (bands, r, t) =>
+      val t0 = System.nanoTime()
+      val found = Similarity.nearDupWithDupCollapse(union, bands, r, t)
+        // planted copies all sit above `shift`: only pairs touching
+        // them can be planted pairs — filter BEFORE the collect
+        .filter(col("vec_b") >= lit(shift))
+        .select(col("vec_a"), col("vec_b")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val hit = truePairs.count(found)
+      val recall = hit.toDouble / math.max(1, truePairs.size)
+      println(f"[planted] B=$bands%4d r=$r%3d t=$t%2d n=$n%9d recall=$recall%6.3f hit=$hit%5d/${truePairs.size}%5d sec=$sec%7.1f")
+    }
+    spark.stop()
+  }
+}
