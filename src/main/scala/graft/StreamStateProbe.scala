@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Measures the streaming near-dup twins' STATE FOOTPRINT — the
   * evidence behind the r11 state-design claims (VERDICT r10 items
-  * 2–3): on the same corpus ∪ planted 100-copy duplicate cohort,
-  * drive (a) the scored collapsed-state operator
+  * 2–3): drive (a) the scored collapsed-state operator
   * ([[graft.streaming.EmbeddingStreams.nearDupPairsStream]]) and
   * (b) the slim candidate operator
-  * ([[graft.streaming.EmbeddingStreams.nearDupCandidatesStream]]),
-  * and print each query's state-store rows + bytes from its own
-  * progress metrics. Expected shape: (a)'s bytes grow with DISTINCT
-  * vectors only (the 100-copy cohort adds ~16 B/copy, not
-  * 49 KB/copy), (b)'s bytes are ids-only (no arrays at all), tens of
-  * bytes per registration.
+  * ([[graft.streaming.EmbeddingStreams.nearDupCandidatesStream]])
+  * over the base corpus AND over corpus ∪ a planted 100-copy
+  * duplicate cohort, and print each run's state-store rows + bytes
+  * from its own progress metrics plus the cohort DELTA per copy.
+  * Expected shape: (a)'s bytes grow with DISTINCT vectors only (the
+  * 100-copy cohort adds entry-list bytes per copy, 2-3 orders below
+  * the bands·(t+1)·dim·4 ≈ 49 KB a distinct vector's representative
+  * arrays cost), (b) carries no arrays at all, so its per-copy and
+  * per-distinct costs are BOTH at the ids-only scale.
   *
   * Usage: StreamStateProbe [sfDir=/root/testdata/sf0.001]
   */
@@ -28,6 +30,12 @@ object StreamStateProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RocksDB: memoryUsedBytes reports REAL serialized bytes
+      // (memtable/SST), where the default HDFS-backed store
+      // SizeEstimates its in-heap version maps — object and
+      // version-cache overhead that buries the state-encoding signal
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -45,26 +53,53 @@ object StreamStateProbe {
     println(s"[state] n=${corpus.size} (distinct ${vecs.size + 1} among cohort) " +
       s"dials=($bands, $r, $t) probe rows/vec=${bands * (t + 1)}")
 
-    def drive(name: String)(mk: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.Dataset[_]): Unit = {
+    def drive(name: String, data: Seq[(Long, Array[Float])])(
+        mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Dataset[_]): Long = {
       val in = MemoryStream[(Long, Array[Float])]
       val q = mk(in.toDS().toDF("vec_id", "embedding"))
         .writeStream.format("noop").outputMode("append").start()
-      corpus.grouped((corpus.size + 1) / 2).foreach { w =>
+      data.grouped((data.size + 1) / 2).foreach { w =>
         in.addData(w); q.processAllAvailable()
       }
-      val st = q.lastProgress.stateOperators
-      st.foreach { s =>
-        println(f"[state] $name%-10s rows=${s.numRowsTotal}%9d " +
-          f"bytes=${s.memoryUsedBytes}%12d " +
-          f"(${s.memoryUsedBytes.toDouble / corpus.size}%9.1f B/vec)")
-      }
+      val bytes = q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
+      val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      println(f"[state] $name%-14s rows=$rows%9d bytes=$bytes%12d " +
+        f"(${bytes.toDouble / data.size}%9.1f B/vec over ${data.size}%6d)")
       q.stop()
+      bytes
     }
 
-    drive("scored") { df =>
+    def both(name: String)(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_]): Unit = {
+      val base = drive(s"$name/base", vecs)(mk)
+      val dup = drive(s"$name/+cohort", corpus)(mk)
+      println(f"[state] $name%-14s cohort delta=${dup - base}%10d B " +
+        f"= ${(dup - base) / 100.0}%9.1f B/copy " +
+        f"(a DISTINCT vector's arrays cost ${bands * (t + 1) * vecs.head._2.length * 4}%d B)")
+    }
+
+    both("scored") { df =>
       graft.streaming.EmbeddingStreams.nearDupPairsStream(df, bands, r, t) }
-    drive("slim") { df =>
+    both("slim") { df =>
+      graft.streaming.EmbeddingStreams.nearDupCandidatesStream(df, bands, r, t) }
+    // decisive wedge: m identical vectors ALONE. Collapsed state is
+    // 192 buckets × (ONE emb + m 16 B entries); a broken collapse
+    // stores m arrays per bucket (≈ m × 49 KB). The dup10→dup100
+    // marginal isolates the per-copy cost from the per-bucket
+    // constants (and from RocksDB version churn, which dominates the
+    // mixed-corpus deltas above).
+    def dupMarginal(name: String)(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_]): Unit = {
+      val b10 = drive(s"$name/dup10", cohort.take(10))(mk)
+      val b100 = drive(s"$name/dup100", cohort)(mk)
+      println(f"[state] $name%-14s per-copy marginal=" +
+        f"${(b100 - b10) / 90.0}%8.1f B (uncollapsed would add " +
+        f"${bands * (t + 1) * vecs.head._2.length * 4}%d B/copy)")
+    }
+    dupMarginal("scored") { df =>
+      graft.streaming.EmbeddingStreams.nearDupPairsStream(df, bands, r, t) }
+    dupMarginal("slim") { df =>
       graft.streaming.EmbeddingStreams.nearDupCandidatesStream(df, bands, r, t) }
     spark.stop()
   }

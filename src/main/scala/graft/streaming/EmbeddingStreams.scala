@@ -59,12 +59,22 @@ object EmbeddingStreams {
   case class TimedProbeRow(band_bucket: Long, vec_id: Long, exact: Boolean,
       embedding: Array[Float], ts: java.sql.Timestamp)
   /** One DISTINCT embedding registered in a bucket: the representative
-    * vector ONCE, plus every (vec_id, micros) copy of it — the
-    * [[Similarity.nearDupWithDupCollapse]] rep discipline carried into
-    * streaming state.
+    * vector ONCE, plus every copy's (vec_id, micros) as PARALLEL
+    * PRIMITIVE ARRAYS — the [[Similarity.nearDupWithDupCollapse]] rep
+    * discipline carried into streaming state. The collapse is what
+    * bounds the BYTES: StreamStateProbe (RocksDB provider, real
+    * serialized sizes) measures ~1.6 KB marginal state per duplicate
+    * copy vs the 49 KB a distinct vector's probe-bucket arrays cost.
+    * Arrays rather than `List[(Long, Long)]` bound the PER-BATCH CPU:
+    * every micro-batch decode/encode of a hot bucket walks its
+    * entries, and the primitive-array codec does that without
+    * materializing a boxed Tuple2 + cons cell per entry (and appends
+    * O(1) amortized via buffers in [[collapsedStep]]).
     */
   case class DistinctGroup(exact: Boolean, emb: Array[Float],
-      entries: List[(Long, Long)])
+      ids: Array[Long], tss: Array[Long]) {
+    def size: Int = ids.length
+  }
   case class TimedBucketState(groups: List[DistinctGroup])
 
   /** `ttl` as event-time MICROSECONDS (the precision events carry),
@@ -98,17 +108,32 @@ object EmbeddingStreams {
     * straddling the ttl boundary classify exactly, not on truncated
     * `getTime` ms (the r10 sessionize/compactStream bug class).
     */
+  /** Mutable in-step twin of [[DistinctGroup]]: growable buffers so a
+    * duplicate cohort appends in O(1) amortized per copy (rebuilding
+    * immutable arrays per arrival would be O(m²) per batch).
+    */
+  private final class GroupW(val exact: Boolean, val emb: Array[Float],
+      val ids: scala.collection.mutable.ArrayBuffer[Long],
+      val tss: scala.collection.mutable.ArrayBuffer[Long])
+
   private[streaming] def collapsedStep(rows: Seq[TimedProbeRow],
       prior: List[DistinctGroup], wmMs: Long, ttlUs: Long)
       : (List[DistinctGroup], List[NearDupPair]) = {
     val wmUs = wmMicros(wmMs)
-    var groups = prior
-      .map(g => g.copy(entries = g.entries.filter(_._2 + ttlUs >= wmUs)))
-      .filter(_.entries.nonEmpty)
+    var groups: List[GroupW] = prior.flatMap { g =>
+      val ids = new scala.collection.mutable.ArrayBuffer[Long](g.size)
+      val tss = new scala.collection.mutable.ArrayBuffer[Long](g.size)
+      var i = 0
+      while (i < g.size) {
+        if (g.tss(i) + ttlUs >= wmUs) { ids += g.ids(i); tss += g.tss(i) }
+        i += 1
+      }
+      if (ids.isEmpty) Nil else new GroupW(g.exact, g.emb, ids, tss) :: Nil
+    }
     val out = List.newBuilder[NearDupPair]
     rows.sortBy(_.vec_id).foreach { row =>
       val rowUs = EventStreams.micros(row.ts)
-      var own: DistinctGroup = null
+      var own: GroupW = null
       groups.foreach { g =>
         if (own == null && java.util.Arrays.equals(g.emb, row.embedding))
           own = g
@@ -119,22 +144,24 @@ object EmbeddingStreams {
         if (row.exact || g.exact) {
           val cos = graft.functions.CosineSim.score(row.embedding, g.emb)
           if (cos >= 0.35) {
-            g.entries.foreach { case (mid, mts) =>
-              if (mid != row.vec_id && math.abs(rowUs - mts) <= ttlUs)
-                out += NearDupPair(math.min(mid, row.vec_id),
-                  math.max(mid, row.vec_id), cos)
+            var i = 0
+            while (i < g.ids.length) {
+              if (g.ids(i) != row.vec_id
+                  && math.abs(rowUs - g.tss(i)) <= ttlUs)
+                out += NearDupPair(math.min(g.ids(i), row.vec_id),
+                  math.max(g.ids(i), row.vec_id), cos)
+              i += 1
             }
           }
         }
       }
-      if (own != null) {
-        val grown = own.copy(entries = (row.vec_id, rowUs) :: own.entries)
-        groups = groups.map(g => if (g eq own) grown else g)
-      } else
-        groups ::= DistinctGroup(row.exact, row.embedding,
-          (row.vec_id, rowUs) :: Nil)
+      if (own != null) { own.ids += row.vec_id; own.tss += rowUs }
+      else groups ::= new GroupW(row.exact, row.embedding,
+        scala.collection.mutable.ArrayBuffer(row.vec_id),
+        scala.collection.mutable.ArrayBuffer(rowUs))
     }
-    (groups, out.result())
+    (groups.map(g => DistinctGroup(g.exact, g.emb, g.ids.toArray,
+      g.tss.toArray)), out.result())
   }
 
   /** Streaming near-duplicate pairs with a sliding event-time TTL —
@@ -181,8 +208,10 @@ object EmbeddingStreams {
     * pairs). A duplicate-heavy stream — the web-scale reality that
     * killed the uncollapsed BATCH run at ×1000 — holds
     * bands·(t+1)·dim·4 bytes per DISTINCT vector (≈ 49 KB at the
-    * defaults) plus 16 bytes per copy, and scores once per distinct
-    * group, not m² per duplicate cohort. For stream rates where even
+    * defaults) plus ~1.6 KB measured marginal per copy (16 B of
+    * (id, µs) × bands·(t+1) registrations; StreamStateProbe), and
+    * scores once per distinct group, not m² per duplicate cohort.
+    * For stream rates where even
     * per-distinct arrays are too much state, use the slim composed
     * path: [[nearDupCandidatesStreamTtl]] (ids-only state) +
     * [[rescoreCandidates]] in foreachBatch against the accumulating
@@ -212,7 +241,7 @@ object EmbeddingStreams {
             // the earliest entry expiry, to GC (timeout must sit past
             // the current watermark)
             val minUs = groups.iterator
-              .flatMap(_.entries.iterator.map(_._2)).min
+              .flatMap(_.tss.iterator).min
             state.setTimeoutTimestamp(
               math.max(math.floorDiv(minUs + ttlUs, 1000L) + 1, wm + 1))
           }
@@ -244,7 +273,19 @@ object EmbeddingStreams {
   case class CandPair(vec_a: Long, vec_b: Long)
   case class SlimProbeRow(band_bucket: Long, vec_id: Long, exact: Boolean,
       ts: java.sql.Timestamp)
-  case class SlimBucketState(members: List[(Long, Boolean, Long)])
+  /** Parallel primitive arrays for the same per-batch-CPU reason as
+    * [[DistinctGroup]]. The slim state's byte story is
+    * dim-INDEPENDENCE: ~56 B/registration measured end-to-end
+    * (StreamStateProbe, RocksDB) with no embedding arrays at all,
+    * where the scored twin pays bands·(t+1)·dim·4 per distinct
+    * vector — at production dims (768+) that is 3 orders of
+    * magnitude, which is what lets the candidate operator absorb
+    * stream rates whose vectors can't live in state.
+    */
+  case class SlimBucketState(ids: Array[Long], exacts: Array[Boolean],
+      tss: Array[Long]) {
+    def size: Int = ids.length
+  }
 
   /** Shared probe-explode prep: watermark, t+1 margin probes per band
     * ([[graft.functions.HyperplaneProbes]]), the packed
@@ -272,27 +313,40 @@ object EmbeddingStreams {
 
   /** Slim-state transition for one bucket — same candidate rule and
     * full-µs ttl gate as [[collapsedStep]], NO scoring and NO arrays:
-    * state is 17 bytes of (vec_id, exact, micros) per registration,
+    * state is 17 bytes of (vec_id, exact, micros) per registration
+    * (~56 B with store overhead, StreamStateProbe — dim-independent),
     * which is what lets the candidate operator absorb stream rates
     * whose vectors can't live in state at all.
     */
   private[streaming] def slimStep(rows: Seq[SlimProbeRow],
-      prior: List[(Long, Boolean, Long)], wmMs: Long, ttlUs: Long)
-      : (List[(Long, Boolean, Long)], List[CandPair]) = {
+      prior: SlimBucketState, wmMs: Long, ttlUs: Long)
+      : (SlimBucketState, List[CandPair]) = {
     val wmUs = wmMicros(wmMs)
-    var members = prior.filter(_._3 + ttlUs >= wmUs)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](prior.size)
+    val exacts = new scala.collection.mutable.ArrayBuffer[Boolean](prior.size)
+    val tss = new scala.collection.mutable.ArrayBuffer[Long](prior.size)
+    var i = 0
+    while (i < prior.size) {
+      if (prior.tss(i) + ttlUs >= wmUs) {
+        ids += prior.ids(i); exacts += prior.exacts(i); tss += prior.tss(i)
+      }
+      i += 1
+    }
     val out = List.newBuilder[CandPair]
     rows.sortBy(_.vec_id).foreach { row =>
       val rowUs = EventStreams.micros(row.ts)
-      members.foreach { case (mid, mexact, mts) =>
-        if (mid != row.vec_id && (row.exact || mexact)
-            && math.abs(rowUs - mts) <= ttlUs)
-          out += CandPair(math.min(mid, row.vec_id),
-            math.max(mid, row.vec_id))
+      var j = 0
+      while (j < ids.length) {
+        if (ids(j) != row.vec_id && (row.exact || exacts(j))
+            && math.abs(rowUs - tss(j)) <= ttlUs)
+          out += CandPair(math.min(ids(j), row.vec_id),
+            math.max(ids(j), row.vec_id))
+        j += 1
       }
-      members ::= ((row.vec_id, row.exact, rowUs))
+      ids += row.vec_id; exacts += row.exact; tss += rowUs
     }
-    (members, out.result())
+    (SlimBucketState(ids.toArray, exacts.toArray, tss.toArray),
+      out.result())
   }
 
   /** UNSCORED candidate pairs with the same TTL/candidate semantics
@@ -321,12 +375,15 @@ object EmbeddingStreams {
             state: GroupState[SlimBucketState]) =>
           val wm = state.getCurrentWatermarkMs()
           val (members, cands) = slimStep(rows.toSeq,
-            state.getOption.map(_.members).getOrElse(Nil), wm, ttlUs)
-          if (members.isEmpty) state.remove()
+            state.getOption.getOrElse(
+              SlimBucketState(Array.emptyLongArray,
+                Array.emptyBooleanArray, Array.emptyLongArray)),
+            wm, ttlUs)
+          if (members.size == 0) state.remove()
           else {
-            state.update(SlimBucketState(members))
+            state.update(members)
             state.setTimeoutTimestamp(math.max(
-              math.floorDiv(members.map(_._3).min + ttlUs, 1000L) + 1,
+              math.floorDiv(members.tss.min + ttlUs, 1000L) + 1,
               wm + 1))
           }
           cands.iterator

@@ -36,7 +36,7 @@ class EmbedDupStreamSpec extends SparkSpec {
     // the planted duplicate-heavy probe: state is O(distinct), i.e.
     // exactly one representative array for the whole cohort
     assert(groups.length == 1, s"expected 1 collapsed group, got ${groups.length}")
-    assert(groups.head.entries.length == m)
+    assert(groups.head.size == m)
     assert(java.util.Arrays.equals(groups.head.emb, e))
     // emission expands the cohort exactly: every unordered id pair once
     val ids = pairs.map(p => (p.vec_a, p.vec_b)).toSet
@@ -60,7 +60,7 @@ class EmbedDupStreamSpec extends SparkSpec {
     val probeRows = Seq(row(3L, e1, base + 3, exact = false),
       row(4L, e1.clone(), base + 4, exact = false))
     val (g2, p2) = collapsedStep(probeRows, Nil, 0L, 3600000000L)
-    assert(g2.length == 1 && g2.head.entries.length == 2)
+    assert(g2.length == 1 && g2.head.size == 2)
     assert(p2.isEmpty, "probe-probe contact must not emit")
   }
 
@@ -95,8 +95,10 @@ class EmbedDupStreamSpec extends SparkSpec {
       srow(2L, base + ttlUs, exact = false),
       srow(3L, base + ttlUs + 1, exact = true), // gap from 1 is ttl+1
       srow(4L, base + ttlUs + 1, exact = false)) // probe side of 2/3
-    val (members, cands) = slimStep(rows, Nil, 0L, ttlUs)
-    assert(members.length == 4)
+    val (members, cands) = slimStep(rows, SlimBucketState(
+      Array.emptyLongArray, Array.emptyBooleanArray, Array.emptyLongArray),
+      0L, ttlUs)
+    assert(members.size == 4)
     // 1-2: exact|probe within ttl -> cand; 1-3: gap ttl+1 -> no;
     // 2-3: probe|exact, gap 1 -> cand; 3-4: exact|probe, gap 0 -> cand;
     // 2-4: probe|probe -> no; 1-4: gap ttl+1 -> no
