@@ -82,11 +82,18 @@ object PlantedRecallProbe {
     val union = emb.select(col("vec_id"), col("embedding"))
       .unionByName(plantedDf)
 
-    val rp = Similarity.nearDupPlanesFor(n + planted.length)
-    // (bands, r, t): the registered default and the escalation dial
-    // from the r10 measured grid
-    val dials = Seq((Similarity.NearDupBands, rp + 1, Similarity.NearDupProbes),
-      (128, rp + 2, 3))
+    val reps = union.select(col("embedding")).distinct().count()
+    val rDefault = Similarity.nearDupRepPlanesFor(reps)
+    val rOld = Similarity.nearDupMultiProbePlanesFor(n + planted.length)
+    // (bands, r, t): the registered r11 default (rep-sized, λ∈[4,8)),
+    // its escalation dial, and the retired r10 raw-count λ≈1 rule as
+    // the curve contrast (the r11 change this probe motivated)
+    val dials = Seq(
+      (Similarity.NearDupBands, rDefault, Similarity.NearDupProbes),
+      (128, rDefault + 1, 3),
+      (Similarity.NearDupBands, rOld, Similarity.NearDupProbes),
+      (Similarity.NearDupBands, rDefault, 1),
+      (32, rDefault, 2))
     dials.foreach { case (bands, r, t) =>
       val t0 = System.nanoTime()
       val found = Similarity.nearDupWithDupCollapse(union, bands, r, t)

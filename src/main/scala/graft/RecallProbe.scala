@@ -79,7 +79,16 @@ object RecallProbe {
       (32, r0 + 1, 1), (64, r0 + 1, 1), (128, r0 + 2, 1),
       (32, r0 + 1, 2), (64, r0 + 1, 2), (64, r0 + 2, 2),
       (32, r0 + 1, 3), (64, r0 + 1, 3), (64, r0 + 2, 3),
-      (128, r0 + 2, 3))
+      (128, r0 + 2, 3),
+      // the r11 REGISTERED rule (rep-sized λ∈[2,4), t=2), its
+      // recall-escalation dials (one bit shallower; wider+deeper),
+      // and the cheaper-variant rows the r11 selection rejected
+      (64, Similarity.nearDupRepPlanesFor(n), 2),
+      (64, Similarity.nearDupRepPlanesFor(n) - 1, 2),
+      (128, Similarity.nearDupRepPlanesFor(n) + 1, 3),
+      (32, Similarity.nearDupRepPlanesFor(n), 2),
+      (64, Similarity.nearDupRepPlanesFor(n), 1),
+      (64, Similarity.nearDupRepPlanesFor(n), 0))
     println(f"${"B"}%5s ${"r"}%3s ${"t"}%3s ${"recall"}%7s ${"cands"}%10s ${"found"}%7s ${"sec"}%6s")
     configs.foreach { case (bands, r, t) =>
       val t0 = System.nanoTime()

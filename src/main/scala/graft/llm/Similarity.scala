@@ -568,7 +568,21 @@ object Similarity {
   val NearDupBands = 64
 
   /** Lowest-margin flip probes per band for the registered default
-    * — the t in (B, r, t) above. */
+    * — the t in (B, r, t) above.
+    *
+    * r11 OPERATING POINT (64, bitLen(reps)−2, 2), re-chosen on the
+    * PLANTED recall-vs-n curve (PlantedRecallProbe; tables in
+    * BASELINE.md): the shallow rep-sized width
+    * ([[nearDupRepPlanesFor]]) carries the recall, t=2 margin flips
+    * recover the sub-threshold stragglers. Measured: 0.976 recall at
+    * sf0.1 (brute truth) and 0.855 planted at n=200k, 2.0 s bench at
+    * sf0.1 — where the r10 raw-count λ≈1 rule sat at 0.786 / 0.619
+    * and probe-depth escalation on the deep width topped out at
+    * 0.713 at n=200k (one-bit flips can't recover ≥2-bit
+    * divergence). Escalation dials when recall is the product:
+    * λ∈[4,8) i.e. one bit shallower still, t=2 → 0.998 sf0.1 /
+    * 0.905 ×100 at ~1.4× the mass; (128, r+1, 3) → 1.000 / 0.960.
+    */
   val NearDupProbes = 2
 
   /** Per-band signature width for an n-vector corpus:
@@ -592,6 +606,38 @@ object Similarity {
   def nearDupMultiProbePlanesFor(n: Long): Int =
     math.min(30, nearDupPlanesFor(n) + 1)
 
+  /** Signature width for the REGISTERED near-dup default, sized from
+    * the DISTINCT-embedding (rep) count at bitLen(reps) − 2 — i.e.
+    * λ ∈ [2, 4) expected reps per band-bucket — clamped to [5, 30] and
+    * mirrored in SQL over `SELECT DISTINCT embedding`. Two r11
+    * lessons from the planted-recall curve (PlantedRecallProbe,
+    * BASELINE.md):
+    *
+    *  - REPS, not raw rows: the LSH runs over one rep per distinct
+    *    embedding ([[nearDupWithDupCollapse]]), so sizing r from the
+    *    raw count over-deepens by log₂(dup-factor) bits on
+    *    duplicate-heavy corpora (the ×1000 ScaleUp corpus: 2M rows
+    *    but ~62k reps — 5 bits of nearly-empty buckets).
+    *  - SHALLOWER beats deeper-plus-probes: at n = 200k the r10 rule
+    *    (λ ≈ 1 occupancy, r = 18) measured recall 0.619 at 7.1 s and
+    *    probe-depth escalation topped out at 0.713 (one-bit flips
+    *    can't recover ≥2-bit divergence), while two bits shallower
+    *    (r = 16 there) measures 0.855 planted recall cheaper —
+    *    per-band collision prob (1−θ/π)^r decays exponentially in r
+    *    while candidate rescore cost grows only linearly in
+    *    occupancy.
+    *
+    * Candidate mass stays O(B·λ·reps) = O(reps) at fixed λ — the
+    * 100 TB-safe property; λ ∈ [2, 4) with the t=2 margin probes is
+    * the measured sweet spot at three decades of n (grid in
+    * BASELINE.md).
+    */
+  def nearDupRepPlanesFor(reps: Long): Int = {
+    val bitLen =
+      if (reps <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(reps)
+    math.max(5, math.min(30, bitLen - 2))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
     * candidates from banded hyperplane LSH with ONE-BIT MULTIPROBE
     * ([[nearDupPairsMultiProbe]]): a pair is scored iff some band's
@@ -606,8 +652,13 @@ object Similarity {
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    nearDupWithDupCollapse(emb, NearDupBands,
-      nearDupMultiProbePlanesFor(emb.count()), NearDupProbes)
+    val members = nearDupMemberTable(emb)
+    val reps = nearDupRepsOf(members)
+    // one bounded planning action (a count over the staged member
+    // table, which the pair construction reuses): r is sized from
+    // the rep population the LSH actually hashes
+    nearDupCollapsedPairs(members, reps, NearDupBands,
+      nearDupRepPlanesFor(reps.count()), NearDupProbes)
   }
 
   /** [[nearDupPairsMultiProbe]] behind an EXACT-DUPLICATE collapse —
@@ -634,15 +685,30 @@ object Similarity {
     */
   def nearDupWithDupCollapse(emb: DataFrame, bands: Int, r: Int,
       t: Int = NearDupProbes): DataFrame = {
+    val members = nearDupMemberTable(emb)
+    nearDupCollapsedPairs(members, nearDupRepsOf(members), bands, r, t)
+  }
+
+  /** (vec_id, embedding, rep) with rep = min member id per distinct
+    * embedding — one hash shuffle keyed by the embedding itself,
+    * staged because both the rep-count planning action and the pair
+    * construction read it.
+    */
+  private def nearDupMemberTable(emb: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    // one hash shuffle keyed by the embedding itself; rep = min id
-    val members = graft.Materialize.stage(
+    graft.Materialize.stage(
       emb.select(col("vec_id"), col("embedding"))
         .withColumn("rep",
           min(col("vec_id")).over(W.partitionBy(col("embedding")))),
       eager = false)
-    val reps = members.filter(col("vec_id") === col("rep"))
+  }
+
+  private def nearDupRepsOf(members: DataFrame): DataFrame =
+    members.filter(col("vec_id") === col("rep"))
       .select(col("vec_id"), col("embedding"))
+
+  private def nearDupCollapsedPairs(members: DataFrame, reps: DataFrame,
+      bands: Int, r: Int, t: Int): DataFrame = {
     val repPairs = nearDupPairsMultiProbe(reps, bands, r, t)
     val m = members.select(col("rep"), col("vec_id").as("member"))
     val cross = repPairs
@@ -1135,14 +1201,15 @@ object Similarity {
     * buckets (`bandbuckets`).
     */
   private[llm] val sqlBandSigs = {
-    // r mirrors nearDupMultiProbePlanesFor: bit length of the corpus
-    // count, clamped to [5, 30]; the plane range is bounded by the
-    // clamp (bands·30) and filtered down to the data-sized bands·r
+    // r mirrors nearDupRepPlanesFor: bit length of the DISTINCT-
+    // embedding count minus 3, clamped to [5, 30] (the r11 rep-sized
+    // λ≈8–16 rule); the plane range is bounded by the clamp
+    // (bands·30) and filtered down to the data-sized bands·r
     val maxPlanes = NearDupBands * 30
     s"""rr AS (
        |  SELECT greatest(5, least(30,
-       |    length(bin(CAST(count(*) AS BIGINT))))) AS r
-       |  FROM embeddings),
+       |    length(bin(CAST(count(*) AS BIGINT))) - 2)) AS r
+       |  FROM (SELECT DISTINCT embedding FROM embeddings)),
        |bplanes AS (
        |  SELECT j, j // r AS band, r, list(g ORDER BY i) AS gs
        |  FROM (

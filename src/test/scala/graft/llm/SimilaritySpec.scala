@@ -423,6 +423,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rep-sized default width: bitLen(reps) - 2 in [5, 30], λ in [2, 4)") {
+    val cases = Seq(0L -> 5, 1L -> 5, 127L -> 5, 128L -> 6, 500L -> 7,
+      2000L -> 9, 62000L -> 14, 200000L -> 16, 2000000L -> 19,
+      (1L << 40) -> 30)
+    cases.foreach { case (n, want) =>
+      assert(Similarity.nearDupRepPlanesFor(n) == want,
+        s"nearDupRepPlanesFor($n) = ${Similarity.nearDupRepPlanesFor(n)}, want $want")
+    }
+    // occupancy invariant in the unclamped regime: expected reps per
+    // band-bucket λ = n/2^r sits in [2, 4) — candidate mass O(B·λ·n)
+    // stays linear in n with the measured-recall constant
+    Seq(1000L, 62000L, 200000L, 2000000L, 100000000L).foreach { n =>
+      val lam = n.toDouble / (1L << Similarity.nearDupRepPlanesFor(n))
+      assert(lam >= 2.0 && lam < 4.0, s"n=$n λ=$lam drifted from [2, 4)")
+    }
+  }
+
   test("LSH top-k is a subset of same-bucket exact ranking; reports recall") {
     val bf = Similarity.bruteForceTopK(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
