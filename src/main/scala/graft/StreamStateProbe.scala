@@ -48,7 +48,7 @@ object StreamStateProbe {
     val cohort = (0 until 100).map(k => (shift + k, vecs.head._2))
     val corpus = vecs ++ cohort
     val (bands, r, t) = (graft.llm.Similarity.NearDupBands,
-      graft.llm.Similarity.nearDupMultiProbePlanesFor(corpus.size.toLong),
+      graft.llm.Similarity.nearDupRepPlanesFor(vecs.size + 1L),
       graft.llm.Similarity.NearDupProbes)
     println(s"[state] n=${corpus.size} (distinct ${vecs.size + 1} among cohort) " +
       s"dials=($bands, $r, $t) probe rows/vec=${bands * (t + 1)}")

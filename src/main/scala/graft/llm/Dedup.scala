@@ -613,9 +613,17 @@ object Dedup {
       .join(idx, col("mh") === col("h") && col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    cand
+    // Rescore joins are SHUFFLED HASH, never sort-merge: the array
+    // side's rows carry the KB-scale hs payload, and SMJ's sort
+    // buffers (and spills) that payload — the ×1000 full-suite sweep
+    // hit ENOSPC exactly there (UnsafeExternalSorter spill, stage
+    // `hs_a`-sort). Building the hash map on the slim pair side
+    // (join 1) / the smaller array side (join 2) streams the array
+    // rows through unsorted: same shuffle, zero sort spill.
+    cand.hint("shuffle_hash")
       .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_inter"),
         size(col("hs_a")).cast("long").as("n_a"),

@@ -18,6 +18,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
+  /** Data-sized bucket count: one bucket per ~256 MB of source bytes
+    * (plan-time file statistics — metadata only, no action), rounded
+    * up to a power of two, clamped to [8, 256]. A FIXED bucket count
+    * is a scale bug in both directions: 8 buckets cap the
+    * steady-state co-located join at 8-way parallelism once the fact
+    * table outgrows them (the ×1000 sweep: 600M-row lineitem in 8
+    * buckets = 75M rows per task), while thousands of buckets
+    * fragment a small table into empty files. Size from the LARGER
+    * side and pass the same count to both writes — co-location
+    * requires equal bucket counts.
+    */
+  def bucketCountFor(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes / (256L * 1024 * 1024)).toLong max 8L min 256L
+    Integer.highestOneBit(want.toInt - 1) * 2 match {
+      case n if n < 8 => 8
+      case n => math.min(n, 256)
+    }
+  }
+
   /** Write `df` as a managed bucketed+sorted parquet table, replacing
     * any previous version — UNLESS the catalog already holds this
     * table built from the same `fingerprint` (source dir + layout),

@@ -203,13 +203,16 @@ object Advanced {
     * single value, only the physical plan).
     */
   def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    // one data-sized count for BOTH sides (co-location needs equal
+    // bucket counts), derived from the larger (lineitem) side
+    val nBuckets = Bucketed.bucketCountFor(Tables.lineitem(spark, sfDir))
     Bucketed.write(spark, Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_orders_bkt", "o_orderkey", 8, sfDir)
+      "graft_orders_bkt", "o_orderkey", nBuckets, sfDir)
     Bucketed.write(spark, Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount")),
-      "graft_lineitem_bkt", "l_orderkey", 8, sfDir)
+      "graft_lineitem_bkt", "l_orderkey", nBuckets, sfDir)
     Bucketed.colocatedJoin(spark, "graft_lineitem_bkt", "graft_orders_bkt",
         "l_orderkey", "o_orderkey")
       .groupBy(col("o_orderpriority"))

@@ -91,8 +91,12 @@ object Search {
     * (same oracle).
     */
   def phraseIndexProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.operators.Bucketed.write(spark, postings(spark, sfDir),
-      "graft_posidx_bkt", "word", 8, sfDir)
+    // data-sized bucket count (finer buckets = finer probe pruning:
+    // each equality probe reads ~1/n of the index)
+    val posts = postings(spark, sfDir)
+    graft.operators.Bucketed.write(spark, posts,
+      "graft_posidx_bkt", "word",
+      graft.operators.Bucketed.bucketCountFor(posts), sfDir)
     val idx = spark.table("graft_posidx_bkt")
     val a = idx.filter(col("word") === "hash")
       .select(col("doc_id"), col("pos").as("pos_a"))
