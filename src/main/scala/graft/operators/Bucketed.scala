@@ -29,13 +29,17 @@ object Bucketed {
     * side and pass the same count to both writes — co-location
     * requires equal bucket counts.
     */
-  def bucketCountFor(df: DataFrame): Int = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val want = (bytes / (256L * 1024 * 1024)).toLong max 8L min 256L
-    Integer.highestOneBit(want.toInt - 1) * 2 match {
-      case n if n < 8 => 8
-      case n => math.min(n, 256)
-    }
+  def bucketCountFor(df: DataFrame): Int =
+    bucketCountForBytes(df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong)
+
+  /** The pure sizing rule (BucketedSpec pins it): ⌈bytes/256 MB⌉
+    * rounded up to a power of two in [8, 256].
+    */
+  def bucketCountForBytes(bytes: Long): Int = {
+    val want = (bytes / (256L * 1024 * 1024)) max 8L min 256L
+    val n = Integer.highestOneBit(want.toInt - 1) * 2
+    if (n < 8) 8 else math.min(n, 256)
   }
 
   /** Write `df` as a managed bucketed+sorted parquet table, replacing

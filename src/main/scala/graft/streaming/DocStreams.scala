@@ -141,7 +141,14 @@ object DocStreams {
   def minhashDedupStreamTtl(docs: DataFrame, ttl: java.time.Duration,
       watermarkDelay: String = "10 minutes"): Dataset[KeptDoc] = {
     import docs.sparkSession.implicits._
-    val ttlMs = ttl.toMillis
+    // full-µs ttl (saturated for effectively-infinite ttls, same as
+    // EmbeddingStreams): the expiry instant is computed in µs and
+    // only ROUNDED UP to the ms-granular timeout API, so state never
+    // expires early — floor-ms arithmetic here could drop a
+    // signature up to 1 ms before "unseen for ttl" and re-emit a
+    // sub-ms-boundary duplicate (the r10 truncation bug class)
+    val ttlUs = if (ttl.getSeconds > 9000000000L) Long.MaxValue / 4
+      else math.floorDiv(ttl.toNanos, 1000L)
     docs
       .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), graft.llm.Dedup.signatureKey.as("sig"), col("ts"))
@@ -157,10 +164,13 @@ object DocStreams {
             // one pass over the single-use iterator (bounded: this
             // signature's rows within ONE micro-batch)
             val rs = rows.toArray
-            val seen = rs.iterator.map(_._3.getTime).max
-            // a timeout timestamp must sit past the current watermark
-            // (a late straggler's ts+ttl may not)
-            val expiry = math.max(seen + ttlMs, state.getCurrentWatermarkMs + 1)
+            val seenUs = rs.iterator.map(r => EventStreams.micros(r._3)).max
+            // first ms instant whose µs lower bound passes last
+            // sighting + ttl (never early); and a timeout timestamp
+            // must sit past the current watermark (a late
+            // straggler's ts+ttl may not)
+            val expiry = math.max(math.floorDiv(seenUs + ttlUs, 1000L) + 1,
+              state.getCurrentWatermarkMs + 1)
             if (state.exists) {
               state.setTimeoutTimestamp(expiry) // refresh on duplicate sighting
               Iterator.empty

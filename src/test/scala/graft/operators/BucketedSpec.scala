@@ -43,6 +43,21 @@ class BucketedSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bucket count is data-sized: 256 MB/bucket, power of two in [8, 256]") {
+    val MB = 1024L * 1024
+    val cases = Seq(0L -> 8, 100 * MB -> 8, 2048 * MB -> 8,
+      2304 * MB -> 16, 4096 * MB -> 16, 10L * 1024 * MB -> 64,
+      100L * 1024 * MB -> 256, Long.MaxValue -> 256)
+    cases.foreach { case (bytes, want) =>
+      assert(Bucketed.bucketCountForBytes(bytes) == want,
+        s"bucketCountForBytes($bytes) = ${Bucketed.bucketCountForBytes(bytes)}, want $want")
+    }
+    // plan-time sizing needs no action and lands in the clamp floor
+    // at spec scale
+    assert(Bucketed.bucketCountFor(
+      Tables.lineitem(spark, sf001).select(col("l_orderkey"))) == 8)
+  }
+
   test("same-fingerprint write is a no-op (steady-state skip)") {
     written
     val full = Tables.orders(spark, sf001).count()

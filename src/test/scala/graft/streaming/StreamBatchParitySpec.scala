@@ -779,6 +779,48 @@ class StreamBatchParitySpec extends SparkSpec {
         s"expected-only: ${(expected -- streamed).take(3)}")
   }
 
+  test("doc dedup TTL: sub-ms sighting never evicts early (µs expiry, ceil-ms timeout)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sighting at base+999µs, ttl 100 s: the retired floor-ms expiry
+    // (getTime + ttlMs) fires at watermark base+100.000 s — 999 µs
+    // BEFORE "unseen for ttl" — and would re-emit the duplicate at
+    // base+100.0005 s; the µs expiry with a ceil-ms timeout keeps the
+    // signature alive through that window
+    val t0us = 1_700_000_000_000_000L // epoch µs, ms-aligned
+    def tsUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000L))
+      t.setNanos(math.floorMod(us, 1000000L).toInt * 1000)
+      t
+    }
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStreams
+      .minhashDedupStreamTtl(input.toDS().toDF("doc_id", "text", "ts"),
+        ttl = java.time.Duration.ofSeconds(100), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("parity_docdedup_subms")
+      .outputMode("append").start()
+    val text = "sub millisecond boundary eviction probe document"
+    input.addData((1L, text, tsUs(t0us + 999)))
+    q.processAllAvailable()
+    // clock doc: watermark lands EXACTLY on the floor-ms expiry
+    input.addData((-1L, "watermark advancing clock document", tsUs(t0us + 100_000_000L)))
+    q.processAllAvailable()
+    // a batch with NO data for the probe key at that watermark — the
+    // only path where the timeout can fire: floor-ms expiry (≤ wm)
+    // would evict here, 999 µs early; the ceil-µs expiry stays alive
+    input.addData((-2L, "second clock document different signature", tsUs(t0us + 100_000_100L)))
+    q.processAllAvailable()
+    // duplicate inside the 999 µs window the truncation would lose
+    input.addData((2L, text, tsUs(t0us + 100_000_500L)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("parity_docdedup_subms").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.contains(1L))
+    assert(!ids.contains(2L),
+      "duplicate re-admitted 999 µs before its ttl — early eviction")
+  }
+
   test("compaction: streamed latest-wins state equals batch latestPerKey") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
