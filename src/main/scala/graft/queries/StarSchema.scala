@@ -85,7 +85,9 @@ object StarSchema {
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
         && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, sfDir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    // hash-build the year-sliced orders: the agg has |nation| groups,
+    // so sorting the full fact for an SMJ buys nothing
+    l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(s),
         l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
@@ -114,20 +116,34 @@ object StarSchema {
 
   /** TPC-H Q4-shaped late-shipment count (adapted: the synthetic
     * lineitem has no commit/receipt dates, so "late" is shipped more
-    * than 60 days after the order date). The defining plan feature is
-    * the EXISTS with a CORRELATED extra condition: a left-semi join on
-    * orderkey whose join condition also compares ship vs order date —
-    * Spark keeps the non-equi predicate inside the semi join, so each
-    * order is emitted at most once without a distinct.
+    * than 60 days after the order date). The EXISTS over a correlated
+    * monotone predicate collapses to a max: ∃ line with
+    * `l_shipdate > o_orderdate + 60d` ⟺
+    * `max(l_shipdate) > o_orderdate + 60d`, so lineitem is
+    * pre-aggregated to one (orderkey, max_ship) row — the map-side
+    * partial combine shrinks the fact shuffle from line count to
+    * order count (4× at TPC-H fan-out) and the join emits each order
+    * at most once with no semi-join dedup. The scan also carries the
+    * IMPLIED bound `l_shipdate > min(o_orderdate) + 60d` (orderdate ≥
+    * 1997-01-01 forces any witness past 1997-03-02) — a derived
+    * filter parquet min/max pruning can use, the textbook
+    * magic-sets/predicate-derivation move. Oracle SQL stays the
+    * textbook EXISTS form, so the hash match proves the rewrite.
     */
   def orderPriorityChecking(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
         && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
-    ord.join(li, ord("o_orderkey") === li("l_orderkey")
-        && li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
-        "left_semi")
+    val lastShip = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate")
+      .filter(col("l_shipdate") > lit("1997-03-02").cast("timestamp"))
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
+    // shuffled-hash: hashing the 6-month orders slice skips the
+    // O(n log n) sort of the order-count aggregate stream
+    ord.hint("shuffle_hash")
+      .join(lastShip, ord("o_orderkey") === col("l_orderkey")
+        && col("max_ship") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
   }
@@ -183,8 +199,10 @@ object StarSchema {
       .agg(dsum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 150)
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    // hash-build the filtered qualifying set; the result feeds a
+    // top-k (TakeOrdered), so neither SMJ sort would be reused
     Tables.orders(spark, sfDir)
-      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(big.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -215,21 +233,25 @@ object StarSchema {
   }
 
   /** TPC-H Q17-shaped small-quantity revenue: "compare each row to its
-    * group's aggregate". Textbook Q17 (and the oracle SQL) self-joins
-    * a per-part GROUP BY back to lineitem — TWO fact scans and two
-    * shuffles; here the per-part average is an unordered window over
-    * l_partkey, so the fact scans ONCE and shuffles once, and values
-    * are identical (same exact decimal sum / count, then double math
-    * written the same on both sides).
+    * group's aggregate". Two physical shapes, both measured at the
+    * ×1000 corpus (600M lines): an unordered window over l_partkey
+    * scans the fact ONCE but WindowExec must SORT the full fact by
+    * partkey — 57 s and the sweep's only GC-death risk at a 48 g
+    * heap. Here the per-part average is a hash aggregate (map-side
+    * combine to ~one row per part) hash-joined back to the fact —
+    * two fact scans and shuffles, but NO 600M-row sort and bounded
+    * build memory. Values are identical either way (same exact
+    * decimal sum / count, then double math written the same on both
+    * sides); the oracle SQL is the textbook self-join form.
     */
   def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_partkey"))
-    Tables.lineitem(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
       .select("l_partkey", "l_quantity", "l_extendedprice")
-      .withColumn("avg_qty",
-        sum(dec2(col("l_quantity"))).over(w).cast("double")
-          / count(col("l_quantity")).over(w))
+    val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double")
+          / count(col("l_quantity"))).as("avg_qty"))
+    li.join(perPart.hint("shuffle_hash"),
+        col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_items"))

@@ -51,7 +51,9 @@ object TpchMore {
     val ord = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey")
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // hash-build the nation-pruned orders side: the agg groups by
+    // (nation, nation, year), so the SMJ sorts would be pure waste
+    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
@@ -87,7 +89,9 @@ object TpchMore {
         && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // hash-build the 3-year EUROPE-customer orders slice: the final
+    // agg is per-year, so neither side's SMJ sort would be reused
+    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         (sum(when(col("supp_nation") === "NATION_3",
@@ -202,21 +206,38 @@ object TpchMore {
     * exists/not-exists pair — the oracle SQL is the textbook
     * triple-scan form, so the hash match PROVES the rewrite. One
     * shuffle instead of three joins on a 100 TB fact.
+    *
+    * The distinct counts are a TWO-LEVEL aggregation, not
+    * `countDistinct`: two distinct aggregates make Catalyst Expand
+    * every joined fact row ×3 ahead of the shuffle (1.8B rows at the
+    * ×1000 corpus). Grouping by (orderkey, suppkey) first and
+    * re-aggregating by orderkey computes the same four values — and
+    * since the fact join already hash-partitions on orderkey, BOTH
+    * aggregate levels are shuffle-free at scale (clustering on a
+    * superset of the partitioning keys): the Expand and its exchange
+    * vanish from the plan.
     */
   def waitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-    val perOrder = Tables.lineitem(spark, sfDir)
+    // shuffled-hash, not sort-merge: hashing the (filtered, slim)
+    // orders side skips the O(n log n) sort of the 600M-row fact —
+    // the same trade the containment rescore measured; build side is
+    // orders/32 partitions, well inside executor memory
+    val perSupp = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("supp_late_lines"))
+    val perOrder = perSupp
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
-        min(when(late, col("l_suppkey"))).as("late_supp"),
-        sum(when(late, 1L).otherwise(0L)).as("n_late_lines"))
+        count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late_lines") > 0L, 1L).otherwise(0L)).as("n_late_supp"),
+        min(when(col("supp_late_lines") > 0L, col("l_suppkey"))).as("late_supp"),
+        sum(col("supp_late_lines")).as("n_late_lines"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
     val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
     perOrder.join(broadcast(s), col("late_supp") === col("s_suppkey"))
