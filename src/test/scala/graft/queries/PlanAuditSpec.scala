@@ -130,6 +130,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-100 should be TakeOrderedAndProject")
   }
 
+  test("fact joins feeding tiny aggs hash-build, never sort the fact (r11 tail fixes)") {
+    // the x1000 sweep's lesson (BASELINE.md round-11 tail fixes):
+    // nothing downstream of these joins reuses a sort order, so an
+    // SMJ's O(n log n) fact sort is pure waste — each pins the
+    // shuffled-hash build on its filtered/pre-aggregated slim side
+    for (q <- Seq("q18_large_volume", "q5_local_supplier",
+        "q7_volume_shipping", "q8_market_share", "q_days_to_ship",
+        "q4_order_priority", "q21_waiting_supplier")) {
+      val p = planOf(q)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q: expected the hinted shuffled-hash fact join:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: a sort-merge fact join crept back:\n$p")
+    }
+  }
+
   test("ann top-k: rank filter becomes WindowGroupLimit (no full sort per query)") {
     val p = planOf("q_ann_topk")
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
