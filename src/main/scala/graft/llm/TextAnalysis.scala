@@ -361,18 +361,27 @@ object TextAnalysis {
     * (order-free), the final division a single IEEE op — deterministic
     * cross-engine where a log-perplexity would not be.
     *
-    * Scale: count table built once on the collapsed token key, joined
-    * back token-level (the general shape when the vocabulary outgrows
-    * a broadcast), re-aggregated per doc; T broadcast as one row.
+    * Scale: the raw occurrence stream collapses to the per-doc tf
+    * table FIRST (map-side combinable — a doc's tokens live in one
+    * row, so its groups collapse before the shuffle); the corpus
+    * count table is tf's doc-marginal (Σ_doc tf), NOT a second pass
+    * over the stream; the join back is tf-mass × vocab (the general
+    * shape when the vocabulary outgrows a broadcast, the
+    * [[tfidfTopK]] discipline), re-aggregated per doc with
+    * tf-weighted sums; T broadcast as one row.
     */
   def commonness(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tok = docs.select(col("doc_id"), explode(tokensCol).as("token"))
-    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tf = graft.Materialize.stage(
+      tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")),
+      eager = false)
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
     val total = counts.agg(sum(col("c")).as("t_total"))
-    tok.join(counts, "token")
+    tf.join(counts.hint("shuffle_hash"), "token")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("mass"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("c")).as("mass"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"), col("mass"),
         (col("mass").cast("double") / (col("n_tokens") * col("t_total")))

@@ -146,6 +146,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ngram family: ONE corpus-mass gram join, hash-built, no occurrence-stream sort") {
+    // BASELINE.md round-11 LLM-text tail fixes: the per-occurrence
+    // bigram/token stream (~1B rows at ×1000) is joined ONCE against
+    // a vocab-sized gram table that pre-attaches every per-gram value
+    // (cb+cp, or the per-gram fp fixed-point), and that join
+    // hash-builds the gram side — an SMJ would sort the stream for a
+    // join whose output collapses straight into a per-doc aggregate
+    for (q <- Seq("q_llm_bigram_lm", "q_llm_perplexity",
+        "q_llm_commonness")) {
+      val p = planOf(q)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q: expected the hinted shuffled-hash gram join:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: a sort-merge join over the occurrence stream crept back:\n$p")
+    }
+  }
+
+  test("source drift: corpus collapses to (source, token) counts in ONE pass") {
+    val p = planOf("q_llm_source_drift")
+    // the raw exploded token stream must never be rescanned: at most
+    // one documents scan (zero once the staged (source, w) table
+    // shows as ExistingRDD) feeds the aggregation; ct / t_all / t_s
+    // are its marginals
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
+      s"token counts / totals must derive from the (source, w) table, not rescans:\n$p")
+  }
+
   test("ann top-k: rank filter becomes WindowGroupLimit (no full sort per query)") {
     val p = planOf("q_ann_topk")
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
