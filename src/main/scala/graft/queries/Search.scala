@@ -47,15 +47,20 @@ object Search {
       |  WHERE length(word) > 0)""".stripMargin
 
   /** The positional inverted index: per (word, doc) the occurrence
-    * count and the sorted 1-based offset list. One shuffle on the
-    * (word, doc_id) grouping key — the wordcount shape with positions
-    * carried as an aggregate, not a second pass over text.
+    * count and the sorted 1-based offset list. ZERO shuffle: the
+    * grouping key (word, doc_id) only ever co-occurs inside one
+    * document row, so the index is built in-row by the native
+    * [[graft.functions.Postings]] scan and exploded — the groupBy
+    * formulation moved the whole posting mass through an exchange
+    * that could never merge anything (`PostingsSpec` pins the two
+    * formulations equal; measured numbers in BASELINE.md).
     */
   def positionalIndex(spark: SparkSession, sfDir: String): DataFrame =
-    postings(spark, sfDir)
-      .groupBy(col("word"), col("doc_id"))
-      .agg(count(lit(1)).as("n_occ"),
-        array_join(array_sort(collect_list(col("pos"))), ",").as("positions"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.Postings.postings(col("text"))).as("p"))
+      .select(col("p.word").as("word"), col("doc_id"),
+        col("p.n_occ").as("n_occ"), col("p.positions").as("positions"))
 
   /** Phrase search for "hash join": the two words' postings join on
     * (doc_id, pos_b = pos_a + 1). Work is O(|postings(hash)| +

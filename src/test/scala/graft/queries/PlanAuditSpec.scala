@@ -163,6 +163,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("positional index: built in-row, ZERO exchanges") {
+    val p = planOf("q_positional_index")
+    // (word, doc_id) groups never span document rows, so the index is
+    // one scan + generate — any Exchange here moves posting mass that
+    // could never merge (BASELINE.md r11: 20.8 s → 2.4 s at ×1000)
+    assert(!p.contains("Exchange"), s"positional index must not shuffle:\n$p")
+    assert(p.contains("postings("), s"expected the native Postings scan:\n$p")
+  }
+
   test("source drift: corpus collapses to (source, token) counts in ONE pass") {
     val p = planOf("q_llm_source_drift")
     // the raw exploded token stream must never be rescanned: at most
