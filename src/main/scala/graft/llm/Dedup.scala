@@ -819,9 +819,9 @@ object Dedup {
     * novelty asks "how much of A is anywhere else".
     *
     * Scale: the exploded relation carries `h60(shingle)` LONGS, not
-    * the shingle strings — an 8-byte shuffle key for both the df
-    * aggregation and the join back (the vocabulary-outgrows-a-
-    * broadcast shape of [[TextAnalysis.commonness]]); a 60-bit
+    * the shingle strings — an 8-byte shuffle key for the df
+    * aggregation, the query's ONE shingle-mass shuffle (no join back
+    * to the stream: see in-code note); a 60-bit
     * collision conflates two shingles corpus-wide, negligible and
     * mirrored exactly by the oracle. Deliberately NOT staged: the
     * round-8 ×1000 probe showed the materialized exploded relation
@@ -836,14 +836,26 @@ object Dedup {
     val sh = shArrTable(spark, sfDir)
       .select(col("doc_id"), explode(col("sh")).as("raw"))
       .select(col("doc_id"), h60(col("raw")).as("s"))
-    val dfc = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    sh.join(dfc, "s")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        (col("n_unique").cast("double") / col("n_shingles").cast("double"))
-          .as("novelty"))
+    // NO join back to the shingle stream: a df=1 shingle lives in
+    // exactly one document, so carrying max(doc_id) through the df
+    // aggregation IDENTIFIES that document for free, and per-doc
+    // unique counts fall out of a doc-level rollup of the df=1
+    // slice. n_shingles collapses map-side (a doc's shingles are
+    // row-local). The old shape joined the ~1B-row shingle stream
+    // against the ~vocab-sized df table just to re-aggregate per doc
+    // — the engine's last stream-mass join whose output collapsed
+    // straight into a per-doc aggregate (r11 ×1000: 46.7 → measured
+    // in BASELINE.md).
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val uniq = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), max(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        (coalesce(col("n_unique"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double")).as("novelty"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

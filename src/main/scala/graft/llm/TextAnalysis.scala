@@ -343,7 +343,10 @@ object TextAnalysis {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)
-    tf.join(dfTab, "token")
+    // hash-build the vocab-sized df table: the downstream window
+    // re-partitions by doc_id anyway, so an SMJ's token-sort of the
+    // tf-mass side is pure waste (the ngram-family rule)
+    tf.join(dfTab.hint("shuffle_hash"), "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf").cast("double") * col("n_docs") / col("df"))
