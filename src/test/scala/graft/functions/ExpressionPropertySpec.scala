@@ -110,4 +110,52 @@ class ExpressionPropertySpec extends SparkSpec {
     // bitwise equality — the expression's accumulation order IS the spec
     assert(got.toSeq == pairs.map { case (a, b) => ref(a, b) })
   }
+
+  test("postings matches the java-regex split reference on whitespace-heavy strings") {
+    import spark.implicits._
+    // generator interleaves tokens with random \s runs (every Java \s
+    // char) plus leading/trailing runs — the position-shift edge lives
+    // exactly at string starts
+    val wsGen: Gen[String] =
+      Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'))
+        .map(_.mkString)
+    val textGen: Gen[String] = for {
+      lead <- Gen.oneOf(Gen.const(""), wsGen)
+      toks <- Gen.listOfN(12, Gen.zip(
+        Gen.oneOf("a", "b", "the", "café", "中文", "x1", "...", "😀"), wsGen))
+      trail <- Gen.oneOf(Gen.const(""), wsGen)
+    } yield lead + toks.map { case (t, w) => t + w }.mkString + trail
+    val texts = (0 until 60).flatMap(i =>
+      textGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", " ", "a", " a", "\t", "x y x")
+    // independent reference: the ORIGINAL regex formulation itself
+    // (java.util.regex split — a different engine than the char scan)
+    def ref(text: String): Map[String, (Long, String)] = {
+      val parts = java.util.regex.Pattern.compile("\\s+").split(text, -1)
+      val m = scala.collection.mutable.LinkedHashMap[String, (Long, List[Int])]()
+      parts.zipWithIndex.foreach { case (w, i) =>
+        if (w.nonEmpty) {
+          val (c, ps) = m.getOrElse(w, (0L, Nil))
+          m(w) = (c + 1, (i + 1) :: ps)
+        }
+      }
+      m.map { case (w, (c, ps)) => w -> (c, ps.reverse.mkString(",")) }.toMap
+    }
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        explode(Postings.postings(col("text"))).as("p"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map { r =>
+          val p = r.getStruct(2)
+          p.getString(0) -> (p.getLong(1), p.getString(2))
+        }.toMap
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got.getOrElse(i.toLong, Map.empty) == ref(t),
+        s"disagreement on text=${t.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
 }
