@@ -1202,8 +1202,8 @@ object Similarity {
     */
   private[llm] val sqlBandSigs = {
     // r mirrors nearDupRepPlanesFor: bit length of the DISTINCT-
-    // embedding count minus 3, clamped to [5, 30] (the r11 rep-sized
-    // λ≈8–16 rule); the plane range is bounded by the clamp
+    // embedding count minus 2, clamped to [5, 30] (the r11 rep-sized
+    // λ∈[2,4) rule); the plane range is bounded by the clamp
     // (bands·30) and filtered down to the data-sized bands·r
     val maxPlanes = NearDupBands * 30
     s"""rr AS (

@@ -37,7 +37,10 @@ object Bucketed {
     * rounded up to a power of two in [8, 256].
     */
   def bucketCountForBytes(bytes: Long): Int = {
-    val want = (bytes / (256L * 1024 * 1024)) max 8L min 256L
+    val M = 256L * 1024 * 1024
+    // ceiling division written overflow-safe (bytes + M - 1 wraps at
+    // Long.MaxValue stats, the "unknown size" sentinel)
+    val want = (bytes / M + (if (bytes % M > 0) 1L else 0L)) max 8L min 256L
     val n = Integer.highestOneBit(want.toInt - 1) * 2
     if (n < 8) 8 else math.min(n, 256)
   }

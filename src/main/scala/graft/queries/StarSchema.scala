@@ -130,20 +130,32 @@ object StarSchema {
     * magic-sets/predicate-derivation move. Oracle SQL stays the
     * textbook EXISTS form, so the hash match proves the rewrite.
     */
+  /** Q4's order window + lateness lag, and the scan bound they IMPLY
+    * (`min(o_orderdate) + lag`): one source for the filter, the join
+    * interval, the derived pushdown literal, and the oracle SQL, so
+    * changing the window or the lag cannot silently strand the
+    * derived bound and drop witnesses (PlanAuditSpec derives its pin
+    * from these same constants).
+    */
+  private[graft] val Q4WindowStart = java.time.LocalDate.parse("1997-01-01")
+  private[graft] val Q4WindowEnd = Q4WindowStart.plusMonths(6)
+  private[graft] val Q4LagDays = 60L
+  private[graft] val Q4DerivedShipBound = Q4WindowStart.plusDays(Q4LagDays)
+
   def orderPriorityChecking(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
-      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
-        && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit(Q4WindowStart.toString).cast("timestamp")
+        && col("o_orderdate") < lit(Q4WindowEnd.toString).cast("timestamp"))
     val lastShip = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_shipdate")
-      .filter(col("l_shipdate") > lit("1997-03-02").cast("timestamp"))
+      .filter(col("l_shipdate") > lit(Q4DerivedShipBound.toString).cast("timestamp"))
       .groupBy(col("l_orderkey"))
       .agg(max(col("l_shipdate")).as("max_ship"))
     // shuffled-hash: hashing the 6-month orders slice skips the
     // O(n log n) sort of the order-count aggregate stream
     ord.hint("shuffle_hash")
       .join(lastShip, ord("o_orderkey") === col("l_orderkey")
-        && col("max_ship") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        && col("max_ship") > ord("o_orderdate") + expr(s"INTERVAL $Q4LagDays DAYS"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
   }
@@ -533,14 +545,14 @@ object StarSchema {
          |ORDER BY revenue DESC, o_orderkey ASC
          |LIMIT 10""".stripMargin,
     "q4_order_priority" ->
-      """SELECT o_orderpriority, count(*) AS n_orders
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
-        |  AND EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey
-        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY o_orderpriority""".stripMargin,
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '$Q4WindowStart 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '$Q4WindowEnd 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey
+         |                AND l_shipdate > o_orderdate + INTERVAL $Q4LagDays DAY)
+         |GROUP BY o_orderpriority""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT n_name, ${sqlRevenue("l_extendedprice", "l_discount")} AS revenue
          |FROM region, nation, supplier, customer, orders, lineitem

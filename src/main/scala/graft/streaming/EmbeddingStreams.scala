@@ -75,6 +75,13 @@ object EmbeddingStreams {
       ids: Array[Long], tss: Array[Long]) {
     def size: Int = ids.length
   }
+  /** STATE FORMAT v2 (round 11): the members list became
+    * `List[DistinctGroup]` (one rep per distinct embedding, parallel
+    * primitive arrays). This is an ENCODER-INCOMPATIBLE break with
+    * the v1 flat member list — a `nearDupPairsStreamTtl` query
+    * restarted from a pre-v2 checkpoint will fail to decode (or
+    * misdecode) its state; discard old checkpoints when upgrading.
+    */
   case class TimedBucketState(groups: List[DistinctGroup])
 
   /** `ttl` as event-time MICROSECONDS (the precision events carry),
@@ -401,42 +408,109 @@ object EmbeddingStreams {
 
   /** Rescore one micro-batch of candidate pairs against the on-disk
     * vector store ([[ivfIndexStream]]'s layout — the index IS the
-    * vector store, no second table): dedup the at-least-once
-    * candidate emissions, join the embeddings back per side, apply
-    * the batch cosine expression and the ≥ 0.35 gate. The candidate
-    * batch is broadcast (bounded by arrival rate — orders of
-    * magnitude below the store), so each join is one store scan with
-    * a broadcast hash probe, never a store shuffle.
+    * vector store, no second table), SPLITTING matched from missed:
+    * dedup the at-least-once candidate emissions, pull both sides'
+    * embeddings in ONE store scan (broadcast semi-probe by the
+    * batch's distinct ids — bounded by arrival rate, orders of
+    * magnitude below the store), then two broadcast left joins of the
+    * tiny candidate set against the tiny hit set. Returns
+    * `(scored, missed)`: scored passed the cosine ≥ 0.35 gate with
+    * BOTH vectors present; missed pairs had at least one side absent
+    * from the store (the index stream hasn't committed that vector
+    * yet) and must be retried or dead-lettered — silently dropping
+    * them was the round-11 advisory bug: emissions are
+    * at-least-once per pair, not per batch, so a pair missed once
+    * never reappears on its own.
     */
-  def rescoreCandidates(cands: DataFrame, indexPath: String): DataFrame = {
-    val store = cands.sparkSession.read
+  def rescoreCandidatesSplit(cands: DataFrame, indexPath: String)
+      : (DataFrame, DataFrame) = {
+    val spark = cands.sparkSession
+    val c = cands.select(col("vec_a"), col("vec_b")).distinct()
+    val ids = c.select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .distinct()
+    val store = spark.read
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, cell INT")
       .parquet(indexPath)
+    // one store scan: keep only the batch's vectors (broadcast hash
+    // semi-probe), yielding a hit set no larger than 2× the batch
+    val hits = store.join(broadcast(ids), "vec_id")
       .select(col("vec_id"), col("embedding"))
-    val c = broadcast(cands.select(col("vec_a"), col("vec_b")).distinct())
-    c.join(store.select(col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a")), "vec_a")
-      .join(store.select(col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b")), "vec_b")
+    val joined = c
+      .join(broadcast(hits.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))), Seq("vec_a"), "left")
+      .join(broadcast(hits.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))), Seq("vec_b"), "left")
+    val scored = joined
+      .filter(col("emb_a").isNotNull && col("emb_b").isNotNull)
       .withColumn("cos",
         graft.functions.CosineSim.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+    val missed = joined
+      .filter(col("emb_a").isNull || col("emb_b").isNull)
+      .select(col("vec_a"), col("vec_b"))
+    (scored, missed)
   }
+
+  /** The matched half of [[rescoreCandidatesSplit]] — kept for callers
+    * that manage misses themselves.
+    */
+  def rescoreCandidates(cands: DataFrame, indexPath: String): DataFrame =
+    rescoreCandidatesSplit(cands, indexPath)._1
 
   /** Wire the composition: a slim candidate stream rescored per
     * micro-batch against `indexPath` and handed to `sink` as scored
-    * (vec_a, vec_b, cos) rows. Run [[ivfIndexStream]] on the same
-    * input ahead of this query (the spec drains the index stream
-    * first per wave) so every candidate's vectors are already in the
-    * store when its batch rescored.
+    * (vec_a, vec_b, cos) rows.
+    *
+    * Candidates whose vectors are NOT yet in the store (the index
+    * stream commits independently — two production queries cannot
+    * guarantee the drain-index-first discipline the parity spec uses)
+    * are RE-ENQUEUED via `retryDir`: each batch unions the pending
+    * misses with its own candidates, and writes the new miss set back
+    * (stage-then-swap, so the read and the overwrite never race). A
+    * pair is therefore retried on every subsequent batch until its
+    * vectors land — eventual delivery under any interleaving, at the
+    * cost of one tiny parquet round-trip per batch. With
+    * `retryDir = None` misses are NOT retried; they are counted and
+    * logged per batch so the drop is at least visible.
     */
-  def nearDupPairsRescored(cands: Dataset[CandPair], indexPath: String)(
+  def nearDupPairsRescored(cands: Dataset[CandPair], indexPath: String,
+      retryDir: Option[String] = None)(
       sink: DataFrame => Unit): StreamingQuery =
     cands.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[CandPair], _: Long) =>
-        sink(rescoreCandidates(batch.toDF(), indexPath))
+      .foreachBatch { (batch: Dataset[CandPair], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.toDF().select(col("vec_a"), col("vec_b"))
+        val pending = retryDir match {
+          case Some(dir) =>
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p))
+              spark.read.schema("vec_a BIGINT, vec_b BIGINT").parquet(dir)
+            else fresh.limit(0)
+          case None => fresh.limit(0)
+        }
+        val (scored, missed) =
+          rescoreCandidatesSplit(fresh.unionByName(pending), indexPath)
+        sink(scored)
+        retryDir match {
+          case Some(dir) =>
+            // stage-then-swap: `missed` reads `dir` lazily (through
+            // the pending union), so materialize to dir.tmp first
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            missed.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            fs.delete(p, true)
+            fs.rename(tmp, p)
+            ()
+          case None =>
+            val n = missed.count()
+            if (n > 0) System.err.println(
+              s"[graft] rescore batch $batchId: DROPPED $n candidate pair(s) " +
+                "not yet in the vector store (no retryDir configured)")
+        }
       }
       .start()
 }

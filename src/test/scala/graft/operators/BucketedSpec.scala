@@ -46,6 +46,7 @@ class BucketedSpec extends SparkSpec {
   test("bucket count is data-sized: 256 MB/bucket, power of two in [8, 256]") {
     val MB = 1024L * 1024
     val cases = Seq(0L -> 8, 100 * MB -> 8, 2048 * MB -> 8,
+      2304 * MB - 1 -> 16, // ceiling: just under a 256 MB multiple still rounds up
       2304 * MB -> 16, 4096 * MB -> 16, 10L * 1024 * MB -> 64,
       100L * 1024 * MB -> 256, Long.MaxValue -> 256)
     cases.foreach { case (bytes, want) =>

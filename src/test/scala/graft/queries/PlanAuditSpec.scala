@@ -57,11 +57,13 @@ class PlanAuditSpec extends SparkSpec {
     // count not line count and no semi-join dedup is needed
     assert("max\\(l_shipdate".r.findFirstIn(p).isDefined,
       s"expected the max(l_shipdate) pre-aggregate below the join:\n$p")
-    assert(p.contains("INTERVAL '60' DAY"),
+    assert(p.contains(s"INTERVAL '${StarSchema.Q4LagDays}' DAY"),
       s"late-shipment condition should live in the join:\n$p")
-    // the bound implied by orderdate >= 1997-01-01 plus the 60-day
-    // lag must reach the parquet scan (row-group pruning at scale)
-    assert(p.contains("GreaterThan(l_shipdate,1997-03-02"),
+    // the bound implied by the order-window start plus the lag must
+    // reach the parquet scan (row-group pruning at scale); derived
+    // from the SAME constants the query uses, so window/lag edits
+    // cannot strand this pin
+    assert(p.contains(s"GreaterThan(l_shipdate,${StarSchema.Q4DerivedShipBound}"),
       s"derived shipdate bound not pushed to the lineitem scan:\n$p")
     assert("Scan parquet".r.findAllIn(p).size + "FileScan parquet".r.findAllIn(p).size <= 4,
       s"orders and lineitem should each scan once:\n$p")

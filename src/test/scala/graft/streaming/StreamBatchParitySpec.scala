@@ -613,6 +613,63 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("slim rescore: candidates ahead of the store retry until vectors land") {
+    // the r11 advisory bug: candidates inner-joined the store, so a
+    // pair arriving BEFORE ivfIndexStream committed its vectors was
+    // silently and permanently dropped. Here the interleaving is
+    // deliberately wrong-way-round (candidates for wave k drain
+    // BEFORE the index sees wave k), so every cross-wave pair misses
+    // at least once — retryDir must carry it to a later batch and the
+    // drained result must still equal batch.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "/root/testdata/sf0.001"
+    val ebatch = graft.Tables.embeddings(spark, base)
+    val (bands, r, t) = (16,
+      graft.llm.Similarity.nearDupPlanesFor(ebatch.count()) + 1, 2)
+    val vecs = ebatch.select(col("vec_id"), col("embedding")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Float](1).toArray)).toSeq
+    val cents = graft.llm.Similarity.firstNCentroids(ebatch)
+    val dir = java.nio.file.Files.createTempDirectory("slimretry").toString
+    val idxIn = MemoryStream[(Long, Array[Float])]
+    val idxQ = graft.streaming.EmbeddingStreams.ivfIndexStream(
+      idxIn.toDS().toDF("vec_id", "embedding"), cents,
+      s"$dir/idx", s"$dir/ckpt")
+    val candIn = MemoryStream[(Long, Array[Float])]
+    val scored = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val candQ = graft.streaming.EmbeddingStreams.nearDupPairsRescored(
+      graft.streaming.EmbeddingStreams.nearDupCandidatesStream(
+        candIn.toDS().toDF("vec_id", "embedding"), bands, r, t),
+      s"$dir/idx", retryDir = Some(s"$dir/retry")) { batch =>
+      scored.synchronized {
+        scored ++= batch.collect().map(x =>
+          (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      }
+    }
+    // wrong-way-round drain: candidates first, index after — every
+    // pair's rescore initially misses the store
+    val waves = vecs.sortBy(-_._1).grouped((vecs.size + 2) / 3).toSeq
+    waves.foreach { w =>
+      candIn.addData(w); candQ.processAllAvailable()
+      idxIn.addData(w); idxQ.processAllAvailable()
+    }
+    // one final candidate pass flushes the retryDir backlog now that
+    // the store holds everything (re-adding an existing vector only
+    // re-emits already-scored pairs — slimStep skips self-pairs and
+    // the collector is a set — but it guarantees a micro-batch fires)
+    candIn.addData(Seq(vecs.head))
+    candQ.processAllAvailable()
+    idxQ.stop(); candQ.stop()
+    val batch = graft.llm.Similarity
+      .nearDupPairsMultiProbe(ebatch, bands, r, t).collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    val streamed = scored.synchronized(scored.toSet)
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("centroid stream: drained running means are bit-identical to batch pooling") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
