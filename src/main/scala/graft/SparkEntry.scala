@@ -87,6 +87,24 @@ object SparkEntry {
     graft.queries.Incremental.oracles ++ graft.queries.Reshape.oracles ++
     graft.queries.Features.oracles
 
+  /** One-time renders some queries ride on (the plugin corpus text
+    * files + user jar; the bucketed join's table layout) — idempotent
+    * and fingerprint-cached on disk, so re-invoking them against an
+    * unchanged corpus is a metadata check, across JVM runs too. Bench
+    * pays these in a separate timed setup pass (its `setup` JSON
+    * field), so the registered queries measure steady state from
+    * rep 1; each query still invokes its own setup internally, so
+    * correctness never depends on Bench having run.
+    */
+  def setups: Map[String, (SparkSession, String) => Unit] = Map(
+    "mr_plugin_wordcount" -> ((s: SparkSession, d: String) => {
+      val _ = graft.jobs.PluginDemo.jarPath
+      val _ = graft.jobs.PluginDemo.corpusGlob(s, d)
+    }),
+    "q_bucketed_join" ->
+      ((s: SparkSession, d: String) => graft.queries.Advanced.bucketedSetup(s, d)),
+  )
+
   /** Non-registry extras: results whose values no SQL engine can
     * recompute (today: the raw DEFLATE byte counts). Verify dumps
     * them under the SIBLING directory `<outDir>-extras/<name>` —

@@ -118,16 +118,19 @@ object PluginDemo {
     * coordinator.go:185-198), so map parallelism grows with the
     * corpus instead of capping at a fixed file count.
     */
-  /** Base directory for corpus renders. Default is a driver-local
-    * temp dir (correct for `local[*]`, where driver and executors
-    * share a filesystem); on a real cluster set
+  /** Base directory for corpus renders. Default is a STABLE
+    * driver-local dir under java.io.tmpdir (correct for `local[*]`,
+    * where driver and executors share a filesystem) — stable, not a
+    * fresh temp dir per JVM, so renders survive across runs and the
+    * fingerprint check below can skip them; on a real cluster set
     * `spark.graft.plugin.corpusDir` to SHARED storage (HDFS/S3/NFS)
     * so the distributed `write.text` lands where every executor's
     * subsequent `wholeTextFiles` read can see it.
     */
   def corpusBaseDir(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.plugin.corpusDir")
-      .getOrElse(Files.createTempDirectory("graft-plugin-corpus").toString)
+      .getOrElse(System.getProperty("java.io.tmpdir").stripSuffix("/") +
+        "/graft-plugin-corpus")
 
   def corpusGlob(spark: SparkSession, sfDir: String): String = {
     // cache key includes the configured base so a conf change within
@@ -141,29 +144,48 @@ object PluginDemo {
       // literal "null" token
       val docs = graft.Tables.documents(spark, sfDir)
         .select(col("text")).filter(col("text").isNotNull)
-      val totalBytes = docs
-        .agg(coalesce(sum(octet_length(col("text"))), lit(0L)))
-        .head.getLong(0)
-      val nSplits = math.max(4,
-        ((totalBytes + targetSplitBytes - 1) / targetSplitBytes).toInt)
       // render under a per-sfDir subdir so distinct corpora never
       // collide in a shared corpusDir; all path handling goes through
       // the Hadoop FileSystem API so hdfs://, s3a://, and plain local
       // paths behave identically
       val dirStr = corpusBaseDir(spark).stripSuffix("/") +
         "/corpus-" + Integer.toHexString(sfDir.hashCode)
-      docs.repartition(nSplits).write.mode("overwrite").text(dirStr)
-      // zero-row corpus: the text sink may emit no part files, and
-      // wholeTextFiles rejects a glob matching no files — materialize
-      // one empty split (mapf of "" emits nothing — the query then
-      // returns an empty frame, as required)
       val hPath = new org.apache.hadoop.fs.Path(dirStr)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val anyTxt = fs.listStatus(hPath)
-        .exists(_.getPath.getName.endsWith(".txt"))
-      if (!anyTxt) {
-        val out = fs.create(new org.apache.hadoop.fs.Path(hPath, "split-0.txt"))
-        out.close()
+      // durable across JVM runs: a marker records the SOURCE
+      // fingerprint (path + parquet file count + total file bytes —
+      // a filesystem listing, no data scan); on a match the existing
+      // render is reused, so bench sweeps and repeated runs pay the
+      // one-time render exactly once per corpus, not once per process
+      val marker = new org.apache.hadoop.fs.Path(hPath, "_GRAFT_FINGERPRINT")
+      val srcPath = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+      val srcFs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val srcFiles = srcFs.listStatus(srcPath).filter(_.isFile)
+      val want = s"$sfDir|${srcFiles.length}|${srcFiles.map(_.getLen).sum}"
+      val fresh = fs.exists(marker) && {
+        val in = fs.open(marker)
+        val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        got == want
+      }
+      if (!fresh) {
+        val totalBytes = docs
+          .agg(coalesce(sum(octet_length(col("text"))), lit(0L)))
+          .head.getLong(0)
+        val nSplits = math.max(4,
+          ((totalBytes + targetSplitBytes - 1) / targetSplitBytes).toInt)
+        docs.repartition(nSplits).write.mode("overwrite").text(dirStr)
+        // zero-row corpus: the text sink may emit no part files, and
+        // wholeTextFiles rejects a glob matching no files —
+        // materialize one empty split (mapf of "" emits nothing — the
+        // query then returns an empty frame, as required)
+        val anyTxt = fs.listStatus(hPath)
+          .exists(_.getPath.getName.endsWith(".txt"))
+        if (!anyTxt) {
+          val out = fs.create(new org.apache.hadoop.fs.Path(hPath, "split-0.txt"))
+          out.close()
+        }
+        val out = fs.create(marker, true)
+        try out.write(want.getBytes("UTF-8")) finally out.close()
       }
       dirStr
     }) + "/*.txt"

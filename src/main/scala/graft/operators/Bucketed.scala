@@ -70,12 +70,49 @@ object Bucketed {
     }
     val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new Path(warehouse, table.toLowerCase)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(loc, true)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // durable across JVM runs: the in-memory catalog forgets tables
+    // but the render survives in the warehouse with a marker file
+    // recording what built it. On a fingerprint match the files are
+    // RE-REGISTERED (external table over the existing bucket layout —
+    // Spark reads bucket ids from the part-file names, so the spec
+    // round-trips), skipping the render entirely; bench reps and
+    // repeated sweeps then measure the steady-state join from the
+    // very first run of a new JVM.
+    val marker = new Path(loc, "_GRAFT_SRC")
+    if (fs.exists(marker)) {
+      val got = {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      if (got == want) {
+        spark.sql(s"CREATE TABLE $table (${df.schema.toDDL}) USING parquet " +
+          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+          s"INTO $nBuckets BUCKETS LOCATION '${loc.toString}'")
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.src' = '$want')")
+        return
+      }
+    }
+    fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.src' = '$want')")
+    val out = fs.create(marker, true)
+    try out.write(want.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Content fingerprint of a source parquet dir from FILE metadata
+    * only (path + file count + total bytes — one filesystem listing,
+    * no data scan): what [[write]]'s callers should pass as
+    * `fingerprint` so a changed source under the same path re-renders
+    * while an unchanged one reuses the on-disk buckets across JVMs.
+    */
+  def srcFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val files = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).filter(_.isFile)
+    s"$dir|${files.length}|${files.map(_.getLen).sum}"
   }
 
   /** Join two bucketed tables on their bucket columns. The `merge`

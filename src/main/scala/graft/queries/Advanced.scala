@@ -213,17 +213,29 @@ object Advanced {
     * the same join on the raw parquet — bucketing must not change a
     * single value, only the physical plan).
     */
-  def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The one-time bucket render [[bucketedJoinRevenue]] rides on —
+    * fingerprint-cached (across JVMs via the on-disk marker), so
+    * repeated calls are a metadata check. Exposed separately so
+    * Bench can pay it in its setup pass and time the query's
+    * steady-state Exchange-free join from the first rep.
+    */
+  def bucketedSetup(spark: SparkSession, sfDir: String): Unit = {
     // one data-sized count for BOTH sides (co-location needs equal
     // bucket counts), derived from the larger (lineitem) side
     val nBuckets = Bucketed.bucketCountFor(Tables.lineitem(spark, sfDir))
     Bucketed.write(spark, Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_orders_bkt", "o_orderkey", nBuckets, sfDir)
+      "graft_orders_bkt", "o_orderkey", nBuckets,
+      Bucketed.srcFingerprint(spark, s"$sfDir/orders.parquet"))
     Bucketed.write(spark, Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount")),
-      "graft_lineitem_bkt", "l_orderkey", nBuckets, sfDir)
+      "graft_lineitem_bkt", "l_orderkey", nBuckets,
+      Bucketed.srcFingerprint(spark, s"$sfDir/lineitem.parquet"))
+  }
+
+  def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    bucketedSetup(spark, sfDir)
     Bucketed.colocatedJoin(spark, "graft_lineitem_bkt", "graft_orders_bkt",
         "l_orderkey", "o_orderkey")
       .groupBy(col("o_orderpriority"))

@@ -69,6 +69,43 @@ class BucketedSpec extends SparkSpec {
     assert(spark.table("spec_orders_bkt").count() == full)
   }
 
+  test("JVM restart: matching on-disk marker re-registers without a render") {
+    written
+    // simulate a restart: the in-memory catalog forgets the table but
+    // the rendered files + _GRAFT_SRC marker survive in the warehouse.
+    // DROP on the managed table would delete the files, so stash a
+    // copy first and restore it after the drop.
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(warehouse, "spec_orders_bkt")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stash = new org.apache.hadoop.fs.Path(loc.toString + ".stash")
+    fs.delete(stash, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, loc, fs, stash, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE spec_orders_bkt")
+    assert(!spark.catalog.tableExists("spec_orders_bkt"))
+    fs.rename(stash, loc)
+    val partsBefore = fs.listStatus(loc)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    // a 1-row df proves no render happened: the re-registered table
+    // must still hold the FULL original rows from the surviving files
+    Bucketed.write(spark, Tables.orders(spark, sf001)
+        .select(col("o_orderkey"), col("o_orderpriority")).limit(1),
+      "spec_orders_bkt", "o_orderkey", 4, sf001)
+    assert(spark.table("spec_orders_bkt").count() ==
+      Tables.orders(spark, sf001).count())
+    val partsAfter = fs.listStatus(loc)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    assert(partsAfter == partsBefore, "bucket files were rewritten")
+    // and the re-registered table still satisfies the join's
+    // distribution requirement shuffle-free
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"unexpected shuffle in:\n$phys")
+  }
+
   test("a changed fingerprint forces the rewrite (overwrite path)") {
     written
     Bucketed.write(spark, Tables.orders(spark, sf001)
