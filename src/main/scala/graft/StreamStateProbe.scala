@@ -81,6 +81,8 @@ object StreamStateProbe {
 
     both("scored") { df =>
       graft.streaming.EmbeddingStreams.nearDupPairsStream(df, bands, r, t) }
+    both("sq8") { df =>
+      graft.streaming.EmbeddingStreams.nearDupCandidatesStreamSq8(df, bands, r, t) }
     both("slim") { df =>
       graft.streaming.EmbeddingStreams.nearDupCandidatesStream(df, bands, r, t) }
     // decisive wedge: m identical vectors ALONE. Collapsed state is
@@ -99,6 +101,8 @@ object StreamStateProbe {
     }
     dupMarginal("scored") { df =>
       graft.streaming.EmbeddingStreams.nearDupPairsStream(df, bands, r, t) }
+    dupMarginal("sq8") { df =>
+      graft.streaming.EmbeddingStreams.nearDupCandidatesStreamSq8(df, bands, r, t) }
     dupMarginal("slim") { df =>
       graft.streaming.EmbeddingStreams.nearDupCandidatesStream(df, bands, r, t) }
     spark.stop()

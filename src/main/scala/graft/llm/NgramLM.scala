@@ -61,8 +61,12 @@ object NgramLM {
     // collapses straight into a per-doc aggregate. Measured at
     // ×1000 (isolated min-of-2): 127.6 s → 68.9 s two-join hinted,
     // further with the single join.
-    val gram = cb.join(cp.hint("shuffle_hash"), Seq("w1"))
-    bg.join(gram.hint("shuffle_hash"), Seq("w1", "w2"))
+    val gram = cb.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/documents.parquet", cp,
+        graft.operators.ScaleHints.TextFactMinBytes), Seq("w1"))
+    bg.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/documents.parquet", gram,
+        graft.operators.ScaleHints.TextFactMinBytes), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("cb")).as("mass_bg"), sum(col("cp")).as("mass_ctx"))
@@ -95,7 +99,9 @@ object NgramLM {
       tokd.groupBy(col("w")).agg(count(lit(1)).as("c")))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val items = tokd.join(
-      dfc.where(col("c") >= MinDf).select(col("w")).hint("shuffle_hash"), "w")
+      graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/documents.parquet", dfc.where(col("c") >= MinDf).select(col("w")),
+        graft.operators.ScaleHints.TextFactMinBytes), "w")
     val pairs = items.as("a")
       .join(items.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
@@ -152,12 +158,16 @@ object NgramLM {
     // 8-byte long — not (cb, cp, v) per occurrence — and the ~1B-row
     // stream is joined once, not twice. Same per-row fp values, so
     // the oracle (which scores per occurrence) hash-matches unchanged.
-    val fpTab = cb.join(cp.hint("shuffle_hash"), Seq("w1"))
+    val fpTab = cb.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/documents.parquet", cp,
+        graft.operators.ScaleHints.TextFactMinBytes), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         floor(log((col("cb") + 1).cast("double") / (col("cp") + col("v")).cast("double"))
           * q30 + lit(0.5)).cast("long").as("fp"))
-    bg.join(fpTab.hint("shuffle_hash"), Seq("w1", "w2"))
+    bg.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/documents.parquet", fpTab,
+        graft.operators.ScaleHints.TextFactMinBytes), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("fp_sum"))
       .select(col("doc_id"), col("n_bigrams"), col("fp_sum"),

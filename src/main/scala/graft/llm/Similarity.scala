@@ -638,6 +638,34 @@ object Similarity {
     math.max(5, math.min(30, bitLen - 2))
   }
 
+  /** The (bands, r, probes) operating point for the registered
+    * near-dup query, selected by `spark.graft.neardup.recall`
+    * (default `default`) from the MEASURED r11 planted-recall grid
+    * (BASELINE.md):
+    *
+    *  - `default`: (64, bitLen(reps)−2, 2) — 0.855 planted / 0.976
+    *    sf0.1 brute-truth recall at the recorded bench cost;
+    *  - `high`: (128, default r + 1, 3) — 0.917 planted / 0.998
+    *    sf0.1, at ~2× candidate-rescore mass (the grid's documented
+    *    escalation row, prose-only until round 12).
+    *
+    * The conf makes the measured trade executable without code edits
+    * (the `autoBucketUs` discipline). The DuckDB oracle mirrors the
+    * DEFAULT point, so the correctness gate always runs at `default`;
+    * `NearDupRecallDialSpec` asserts the high dial's pair set is a
+    * superset of the default's on a planted-duplicate corpus.
+    */
+  def nearDupDialFor(spark: SparkSession, reps: Long): (Int, Int, Int) =
+    spark.conf.getOption("spark.graft.neardup.recall")
+      .getOrElse("default") match {
+      case "high" =>
+        (2 * NearDupBands, nearDupRepPlanesFor(reps) + 1, 3)
+      case "default" =>
+        (NearDupBands, nearDupRepPlanesFor(reps), NearDupProbes)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.neardup.recall must be default|high, got '$other'")
+    }
+
   /** Embedding-cosine near-duplicate pairs (cos >= 0.35, a < b),
     * candidates from banded hyperplane LSH with ONE-BIT MULTIPROBE
     * ([[nearDupPairsMultiProbe]]): a pair is scored iff some band's
@@ -656,9 +684,10 @@ object Similarity {
     val reps = nearDupRepsOf(members)
     // one bounded planning action (a count over the staged member
     // table, which the pair construction reuses): r is sized from
-    // the rep population the LSH actually hashes
-    nearDupCollapsedPairs(members, reps, NearDupBands,
-      nearDupRepPlanesFor(reps.count()), NearDupProbes)
+    // the rep population the LSH actually hashes, and the
+    // (bands, r, probes) point comes from the recall dial
+    val (bands, r, t) = nearDupDialFor(spark, reps.count())
+    nearDupCollapsedPairs(members, reps, bands, r, t)
   }
 
   /** [[nearDupPairsMultiProbe]] behind an EXACT-DUPLICATE collapse —

@@ -346,7 +346,9 @@ object TextAnalysis {
     // hash-build the vocab-sized df table: the downstream window
     // re-partitions by doc_id anyway, so an SMJ's token-sort of the
     // tf-mass side is pure waste (the ngram-family rule)
-    tf.join(dfTab.hint("shuffle_hash"), "token")
+    tf.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/documents.parquet", dfTab,
+        graft.operators.ScaleHints.TextFactMinBytes), "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf").cast("double") * col("n_docs") / col("df"))
@@ -381,7 +383,9 @@ object TextAnalysis {
       eager = false)
     val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
     val total = counts.agg(sum(col("c")).as("t_total"))
-    tf.join(counts.hint("shuffle_hash"), "token")
+    tf.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/documents.parquet", counts,
+        graft.operators.ScaleHints.TextFactMinBytes), "token")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("c")).as("mass"))

@@ -185,7 +185,9 @@ object Advanced {
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_shipdate"))
-      .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/lineitem.parquet", o),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         (sum(datediff(col("l_shipdate"), col("o_orderdate"))).cast("double")

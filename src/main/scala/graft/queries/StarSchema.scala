@@ -87,7 +87,8 @@ object StarSchema {
     val l = Tables.lineitem(spark, sfDir)
     // hash-build the year-sliced orders: the agg has |nation| groups,
     // so sorting the full fact for an SMJ buys nothing
-    l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
+    l.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/lineitem.parquet", o), l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(s),
         l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
@@ -153,7 +154,8 @@ object StarSchema {
       .agg(max(col("l_shipdate")).as("max_ship"))
     // shuffled-hash: hashing the 6-month orders slice skips the
     // O(n log n) sort of the order-count aggregate stream
-    ord.hint("shuffle_hash")
+    graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/lineitem.parquet", ord)
       .join(lastShip, ord("o_orderkey") === col("l_orderkey")
         && col("max_ship") > ord("o_orderdate") + expr(s"INTERVAL $Q4LagDays DAYS"))
       .groupBy(col("o_orderpriority"))
@@ -214,7 +216,9 @@ object StarSchema {
     // hash-build the filtered qualifying set; the result feeds a
     // top-k (TakeOrdered), so neither SMJ sort would be reused
     Tables.orders(spark, sfDir)
-      .join(big.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+      .join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/lineitem.parquet", big),
+        col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -262,7 +266,8 @@ object StarSchema {
     val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg((sum(dec2(col("l_quantity"))).cast("double")
           / count(col("l_quantity"))).as("avg_qty"))
-    li.join(perPart.hint("shuffle_hash"),
+    li.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+          s"$sfDir/lineitem.parquet", perPart),
         col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
@@ -403,28 +408,57 @@ object StarSchema {
     * drifting out of bound flips a flag and fails the hash match —
     * a hard correctness signal without portable sketch SQL.
     *
-    * Scale: two scans of lineitem (sketch pass + rank-check pass)
-    * joined through a broadcast of the per-group estimates (one row
-    * per return flag) — both passes are partial-aggregated map-side.
+    * Scale: exactly TWO scans of lineitem, and NEITHER builds a
+    * sketch buffer per partkey group:
+    *
+    *  1. the sketch pass — HLL + approx-percentile + count grouped by
+    *     return flag only (no distinct aggregate in sight, so Spark
+    *     plans a single-level partial+final hash agg with one sketch
+    *     buffer per flag per task). Its |returnflag| ≈ 3 rows are
+    *     COLLECTED and re-injected as a local relation.
+    *  2. the exact pass — countDistinct AND the median rank check in
+    *     one TWO-LEVEL aggregate (the q21 move): level 1 groups by
+    *     (flag, partkey) with long partial rank-sums (map-side
+    *     combine collapses the fact to part-count rows), level 2
+    *     re-aggregates by flag, where count(*) IS the exact distinct
+    *     part count and the rank sums just add up.
+    *
+    * Two shapes this explicitly rejects, both measured at ×100
+    * (BASELINE.md round-12): the r11 original (three pruned fact
+    * scans — the 63 s ×1000 tail this rewrite targets), and the naive
+    * "one multi-aggregate pass": mixing exact countDistinct with the
+    * sketches makes Catalyst plan an Expand whose FIRST-level
+    * aggregate is keyed by (flag, partkey), i.e. an approx_percentile
+    * buffer per PART — 24 s where the sum of the separate passes is
+    * 7.6 s at ×100, and 235 s (3.7× WORSE than the original) at
+    * ×1000. PlanAuditSpec pins the final plan to ONE fact scan plus
+    * the local relation.
     */
   def approxStats(spark: SparkSession, sfDir: String): DataFrame = {
     val rsd = 0.05           // HLL target relative standard deviation
     val acc = 10000L         // approx_percentile accuracy (rank err ≤ n/acc)
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
-    val agg = li.groupBy(col("l_returnflag")).agg(
-      countDistinct(col("l_partkey")).as("n_parts"),
+    val sketch = li.groupBy(col("l_returnflag")).agg(
       approx_count_distinct(col("l_partkey"), rsd).as("_hll"),
       expr(s"approx_percentile(l_extendedprice, 0.5, $acc)").as("_amed"),
       count(lit(1)).as("n"))
-    val rank = li
-      .join(broadcast(agg.select(col("l_returnflag").as("_rf"), col("_amed"))),
+    // scan 1 happens HERE; bounded by the group count (≈3 rows)
+    val sketchLocal = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(sketch.collect(): _*)),
+      sketch.schema)
+      .select(col("l_returnflag").as("_rf"), col("_hll"), col("_amed"), col("n"))
+    val exact = li
+      .join(broadcast(sketchLocal.select(col("_rf"), col("_amed"))),
         col("l_returnflag") === col("_rf"))
-      .groupBy(col("_rf"))
+      .groupBy(col("l_returnflag"), col("l_partkey"))
       .agg(
-        sum(when(col("l_extendedprice") <= col("_amed"), 1L).otherwise(0L)).as("_le"),
-        sum(when(col("l_extendedprice") < col("_amed"), 1L).otherwise(0L)).as("_lt"))
-    agg.join(rank, col("l_returnflag") === col("_rf"))
+        sum(when(col("l_extendedprice") <= col("_amed"), 1L).otherwise(0L)).as("le1"),
+        sum(when(col("l_extendedprice") < col("_amed"), 1L).otherwise(0L)).as("lt1"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("le1")).as("_le"), sum(col("lt1")).as("_lt"))
+    exact.join(broadcast(sketchLocal), col("l_returnflag") === col("_rf"))
       .select(col("l_returnflag"), col("n_parts"), col("n"),
         (abs(col("_hll") - col("n_parts")).cast("double")
           <= col("n_parts").cast("double") * (3.0 * rsd)).as("hll_ok"),

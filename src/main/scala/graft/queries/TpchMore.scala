@@ -53,7 +53,9 @@ object TpchMore {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
     // hash-build the nation-pruned orders side: the agg groups by
     // (nation, nation, year), so the SMJ sorts would be pure waste
-    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+    li.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/lineitem.parquet", ord),
+        col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
@@ -91,7 +93,9 @@ object TpchMore {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
     // hash-build the 3-year EUROPE-customer orders slice: the final
     // agg is per-year, so neither side's SMJ sort would be reused
-    li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+    li.join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/lineitem.parquet", ord),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         (sum(when(col("supp_nation") === "NATION_3",
@@ -228,7 +232,9 @@ object TpchMore {
     // orders/32 partitions, well inside executor memory
     val perSupp = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
-      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.operators.ScaleHints.shjIfBigFact(spark,
+        s"$sfDir/lineitem.parquet", ord),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(sum(when(late, 1L).otherwise(0L)).as("supp_late_lines"))
     val perOrder = perSupp

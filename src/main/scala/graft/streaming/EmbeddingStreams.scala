@@ -406,6 +406,183 @@ object EmbeddingStreams {
       embs.withColumn("ts", timestamp_seconds(lit(7258118400L))),
       bands, r, t, java.time.Duration.ofDays(3650000L), "3650000 days")
 
+  // ---------------------------------------------------------------
+  // SQ8 composed path: int8-quantized gated candidates + rescore
+  // ---------------------------------------------------------------
+
+  /** One distinct QUANTIZED embedding registered in a bucket: the
+    * int8 rep once (dim bytes — 4× less than the scored path's float
+    * rep), plus every copy's (exact, vec_id, micros) as parallel
+    * primitive arrays. Unlike [[DistinctGroup]], the exact flag is
+    * PER MEMBER: two near-equal float vectors can quantize to the
+    * same rep while their probe sets (and so their exact flags in
+    * this bucket) differ, and the batch candidate rule needs each
+    * member's own flag.
+    */
+  case class Sq8Group(q8: Array[Byte], exacts: Array[Boolean],
+      ids: Array[Long], tss: Array[Long]) {
+    def size: Int = ids.length
+  }
+  case class Sq8BucketState(groups: List[Sq8Group])
+
+  /** Per-vector symmetric int8 scalar quantization — the byte-level
+    * twin of [[Similarity]]'s `sq8Col` (`scale = 127/max|v|`,
+    * `q = floor(v·scale + 0.5)`); the zero vector quantizes to zeros.
+    */
+  private[streaming] def sq8Quantize(v: Array[Float]): Array[Byte] = {
+    var mx = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i).toDouble); if (a > mx) mx = a; i += 1 }
+    val out = new Array[Byte](v.length)
+    if (mx == 0.0) return out
+    val scale = 127.0 / mx
+    i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i) * scale + 0.5).toByte; i += 1
+    }
+    out
+  }
+
+  /** Cosine between two int8-quantized vectors: exact integer dot
+    * (≤ dim·127², nowhere near Long overflow) over float norms —
+    * per-vector scales cancel in the ratio, so this approximates the
+    * TRUE cosine up to rounding error only.
+    */
+  private[streaming] def sq8Cos(a: Array[Byte], b: Array[Byte]): Double = {
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toLong * b(i); na += a(i).toLong * a(i)
+      nb += b(i).toLong * b(i); i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  /** Conservative in-state gate slack for [[sq8Step]]: candidates are
+    * gated at `0.35 − Sq8GateMargin` on the QUANTIZED cosine, so no
+    * true ≥ 0.35 pair is lost before the exact-float rescore trims
+    * the overshoot. Bound (d = 64): per-component rounding error is
+    * ≤ 0.5/scale, so ‖Δv‖/‖v‖ ≤ 0.5·√d/127 ≈ 0.0315 per side; the
+    * row additionally scores against its group's REP, whose true
+    * vector sits within one quantization step per component of the
+    * member's (they quantize equal), adding ≤ 2×0.0315. First-order
+    * cosine perturbation ≤ Σ of the relative errors ≈ 0.13 < 0.15.
+    * Sq8StreamSpec measures the realized |qcos − cos| gap on the
+    * corpus (~0.01 typical) and asserts it under the margin.
+    */
+  val Sq8GateMargin: Double = 0.15
+
+  private final class Sq8GroupW(val q8: Array[Byte],
+      val exacts: scala.collection.mutable.ArrayBuffer[Boolean],
+      val ids: scala.collection.mutable.ArrayBuffer[Long],
+      val tss: scala.collection.mutable.ArrayBuffer[Long])
+
+  /** Quantized-state transition for one bucket — [[collapsedStep]]'s
+    * candidate semantics with int8 reps and NO inline scoring: pairs
+    * pass the batch candidate rule (`row.exact || member.exact`, gap
+    * ≤ ttl) plus the conservative quantized gate, and emit as
+    * UNSCORED [[CandPair]]s for the foreachBatch exact-float rescore
+    * ([[rescoreCandidatesSplit]] against the [[ivfIndexStream]]
+    * store). Parity: the gate slack ([[Sq8GateMargin]]) covers the
+    * quantization error, so the candidate set is a SUPERSET of the
+    * batch pair set restricted to bucket co-membership, and the
+    * exact rescore's ≥ 0.35 gate equals the batch gate — the drained
+    * composition reproduces the batch pairs exactly
+    * (StreamBatchParitySpec). The middle state/emission operating
+    * point: ~4× less distinct-state than the scored path (bytes vs
+    * floats), candidate volume ≈ true pairs instead of the slim
+    * path's every-bucket-collision.
+    */
+  private[streaming] def sq8Step(rows: Seq[TimedProbeRow],
+      prior: List[Sq8Group], wmMs: Long, ttlUs: Long)
+      : (List[Sq8Group], List[CandPair]) = {
+    val wmUs = wmMicros(wmMs)
+    var groups: List[Sq8GroupW] = prior.flatMap { g =>
+      val exacts = new scala.collection.mutable.ArrayBuffer[Boolean](g.size)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long](g.size)
+      val tss = new scala.collection.mutable.ArrayBuffer[Long](g.size)
+      var i = 0
+      while (i < g.size) {
+        if (g.tss(i) + ttlUs >= wmUs) {
+          exacts += g.exacts(i); ids += g.ids(i); tss += g.tss(i)
+        }
+        i += 1
+      }
+      if (ids.isEmpty) Nil else new Sq8GroupW(g.q8, exacts, ids, tss) :: Nil
+    }
+    val gate = 0.35 - Sq8GateMargin
+    val out = List.newBuilder[CandPair]
+    rows.sortBy(_.vec_id).foreach { row =>
+      val rowUs = EventStreams.micros(row.ts)
+      val q8r = sq8Quantize(row.embedding)
+      var own: Sq8GroupW = null
+      groups.foreach { g =>
+        if (own == null && java.util.Arrays.equals(g.q8, q8r)) own = g
+        if (sq8Cos(q8r, g.q8) >= gate) {
+          var i = 0
+          while (i < g.ids.length) {
+            if (g.ids(i) != row.vec_id && (row.exact || g.exacts(i))
+                && math.abs(rowUs - g.tss(i)) <= ttlUs)
+              out += CandPair(math.min(g.ids(i), row.vec_id),
+                math.max(g.ids(i), row.vec_id))
+            i += 1
+          }
+        }
+      }
+      if (own != null) {
+        own.exacts += row.exact; own.ids += row.vec_id; own.tss += rowUs
+      } else groups ::= new Sq8GroupW(q8r,
+        scala.collection.mutable.ArrayBuffer(row.exact),
+        scala.collection.mutable.ArrayBuffer(row.vec_id),
+        scala.collection.mutable.ArrayBuffer(rowUs))
+    }
+    (groups.map(g => Sq8Group(g.q8, g.exacts.toArray, g.ids.toArray,
+      g.tss.toArray)), out.result())
+  }
+
+  /** Candidate pairs with [[nearDupPairsStreamTtl]]'s TTL/candidate
+    * semantics but INT8-QUANTIZED distinct-collapsed state and a
+    * conservative quantized pre-gate — compose with
+    * [[nearDupPairsRescored]] for exact scores.
+    */
+  def nearDupCandidatesStreamSq8Ttl(embs: DataFrame, bands: Int, r: Int,
+      t: Int, ttl: java.time.Duration,
+      watermarkDelay: String = "10 minutes"): Dataset[CandPair] = {
+    import embs.sparkSession.implicits._
+    val ttlUs = ttlMicrosOf(ttl)
+    val probed = probeExplode(embs, bands, r, t, watermarkDelay,
+        Seq(col("embedding")))
+      .as[TimedProbeRow]
+    probed
+      .groupByKey(_.band_bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[TimedProbeRow],
+            state: GroupState[Sq8BucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val (groups, cands) = sq8Step(rows.toSeq,
+            state.getOption.map(_.groups).getOrElse(Nil), wm, ttlUs)
+          if (groups.isEmpty) state.remove()
+          else {
+            state.update(Sq8BucketState(groups))
+            val minUs = groups.iterator.flatMap(_.tss.iterator).min
+            state.setTimeoutTimestamp(
+              math.max(math.floorDiv(minUs + ttlUs, 1000L) + 1, wm + 1))
+          }
+          cands.iterator
+      }
+  }
+
+  /** Unbounded SQ8-candidate variant — the [[nearDupPairsStream]]
+    * constant-instant trick.
+    */
+  def nearDupCandidatesStreamSq8(embs: DataFrame, bands: Int, r: Int,
+      t: Int = Similarity.NearDupProbes): Dataset[CandPair] =
+    nearDupCandidatesStreamSq8Ttl(
+      embs.withColumn("ts", timestamp_seconds(lit(7258118400L))),
+      bands, r, t, java.time.Duration.ofDays(3650000L), "3650000 days")
+
   /** Rescore one micro-batch of candidate pairs against the on-disk
     * vector store ([[ivfIndexStream]]'s layout — the index IS the
     * vector store, no second table), SPLITTING matched from missed:

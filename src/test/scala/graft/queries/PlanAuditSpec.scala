@@ -19,6 +19,19 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+
+  /** Pin the BIG-fact plan shape at spec scale: the shuffled-hash
+    * fact-join hints are scale-conditional (ScaleHints.shjIfBigFact —
+    * sf0.001 sits far below the byte threshold), so these audits
+    * force the threshold to 0 while asserting the shape the ×1000
+    * corpus gets.
+    */
+  private def atBigFactScale[A](body: => A): A = {
+    spark.conf.set(graft.operators.ScaleHints.ShjFactMinBytesConf, "0")
+    try body
+    finally spark.conf.unset(graft.operators.ScaleHints.ShjFactMinBytesConf)
+  }
+
   test("q3: filters pushed to parquet scans, joins broadcast, top-k via TakeOrdered") {
     val p = planOf("q3_shipping_priority")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
@@ -26,6 +39,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "customer segment filter not pushed")
     assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
     assert(p.contains("TakeOrderedAndProject"), "expected top-k operator, not global sort")
+  }
+
+  test("q_approx_stats: one fact scan in the final plan (sketch pass collected)") {
+    // the sketch aggregate is collected (|returnflag| rows) and
+    // re-injected as a local relation, so the final plan carries only
+    // the rank-check's lineitem scan — lazily reused, the sketch
+    // subtree appeared twice and the plan held THREE 600M-row scans
+    // (the r11 ×1000 63 s tail)
+    val p = planOf("q_approx_stats")
+    val scans = "(FileScan|Scan) parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one lineitem scan, got $scans:\n$p")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"expected the collected sketch pass as a local relation:\n$p")
   }
 
   test("q5: date-range predicate reaches the orders scan") {
@@ -115,7 +141,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q17: group-average compare is a hash agg + hash join, no full-fact sort") {
-    val p = planOf("q17_small_qty_revenue")
+    val p = atBigFactScale(planOf("q17_small_qty_revenue"))
     // the window form scans once but WindowExec sorts the ENTIRE
     // fact by partkey — measured 57 s / GC-death risk at the x1000
     // corpus; the agg+hash-join form rescans but never sorts
@@ -140,7 +166,7 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q18_large_volume", "q5_local_supplier",
         "q7_volume_shipping", "q8_market_share", "q_days_to_ship",
         "q4_order_priority", "q21_waiting_supplier")) {
-      val p = planOf(q)
+      val p = atBigFactScale(planOf(q))
       assert(p.contains("ShuffledHashJoin"),
         s"$q: expected the hinted shuffled-hash fact join:\n$p")
       assert(!p.contains("SortMergeJoin"),
@@ -157,7 +183,7 @@ class PlanAuditSpec extends SparkSpec {
     // join whose output collapses straight into a per-doc aggregate
     for (q <- Seq("q_llm_bigram_lm", "q_llm_perplexity",
         "q_llm_commonness")) {
-      val p = planOf(q)
+      val p = atBigFactScale(planOf(q))
       assert(p.contains("ShuffledHashJoin"),
         s"$q: expected the hinted shuffled-hash gram join:\n$p")
       assert(!p.contains("SortMergeJoin"),
