@@ -36,8 +36,8 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def planOf(name: String): String = {
-      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    def planOf(name: String, dir: String = "/root/testdata/sf0.001"): String = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     }
@@ -69,7 +69,8 @@ object Explain {
           md.toString.getBytes("UTF-8"))
         println(s"wrote $out")
       case Seq(name) => println(planOf(name))
-      case _ => System.err.println("usage: Explain <query> | --all <outFile>")
+      case Seq(name, dir) => println(planOf(name, dir))
+      case _ => System.err.println("usage: Explain <query> [sfDir] | --all <outFile>")
     }
     spark.stop()
   }

@@ -596,23 +596,90 @@ object Dedup {
     * precedent (120-bit fingerprints over the same hash) documents
     * the negligible-collision argument.
     */
-  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The staged representative (doc_id, 60-bit shingle-hash array)
+    * table [[containmentPairs]] and its probes ride on — exposed for
+    * the ContainProbe sizing tool.
+    */
+  private[graft] def containmentHashTable(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val st = sigTable(spark, sfDir)
     // staged: probes, the inverted index, and BOTH rescoring joins
     // re-read this table; unstaged, each reference re-shingles and
     // re-hashes the corpus (4 scans, 2× the md5 work)
-    val hsh = Materialize.stage(shArrTable(spark, sfDir)
+    Materialize.stage(shArrTable(spark, sfDir)
       .join(st.filter(col("doc_id") === col("rep")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         transform(col("sh"), s => h60(s)).as("hs")), eager = false)
+  }
+
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val hsh = containmentHashTable(spark, sfDir)
     val probes = hsh.select(col("doc_id").as("doc_a"),
       array_min(col("hs")).as("mh"))
     val idx = hsh.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
-    val cand = probes
+    val cand0 = probes
       .join(idx, col("mh") === col("h") && col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    // EXACT slim pre-gates, no arrays (the r12 peak-spill work,
+    // VERDICT r11 item 1 — measured on the ×1000 corpus: 48M raw
+    // min-shingle candidates for ~0.5M true pairs, whose full-array
+    // rescore carried 1.5B longs ≈ 12 GB into the shuffle; the
+    // boilerplate-hot min-shingle lists make candidate junk 100× the
+    // output):
+    //
+    //  1. size gate — containment = n_inter/n_a ≥ 0.9 forces
+    //     n_b ≥ n_inter ≥ 0.9·n_a (drops 29% at ×1000);
+    //  2. 256-bit shingle-mask gate — per doc, OR of
+    //     1 << (h mod 256) over its hashes (4 longs, 32 B). A bit
+    //     set in mask_a but clear in mask_b proves ≥ 1 A-shingle
+    //     absent from B, so missing-shingles ≥ popcount(a & ~b) and
+    //     containment ≥ 0.9 implies popcount(a & ~b) ≤ 0.1·n_a. A
+    //     junk pair sharing only the hot min-shingle leaves dozens
+    //     of uncovered bits and dies here.
+    //
+    // Both are IMPLIED by the final containment filter — pure
+    // candidate pruning, zero semantics change, oracle untouched.
+    // Staged: the id sets and the rescore both read the gated set.
+    val mask = aggregate(col("hs"),
+      expr("array_repeat(0L, 4)"),
+      (acc, h) => {
+        val word = pmod(h, lit(256L)).cast("int") / lit(64)
+        val bit = call_function("shiftleft", lit(1L),
+          pmod(h, lit(64L)).cast("int"))
+        transform(acc, (x, i) =>
+          when(i === word.cast("int"), x.bitwiseOR(bit)).otherwise(x))
+      })
+    val sizes = hsh.select(col("doc_id"), size(col("hs")).as("n"),
+      mask.as("mk"))
+    val missingBits = aggregate(
+      zip_with(col("mk_a"), col("mk_b"),
+        (x, y) => bit_count(x.bitwiseAND(bitwise_not(y))).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val cand = Materialize.stage(cand0
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("mk").as("mk_a")).hint("shuffle_hash"), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("mk").as("mk_b")).hint("shuffle_hash"), "doc_b")
+      .filter(col("n_b").cast("double") >= lit(0.9) * col("n_a")
+        && missingBits.cast("double") <= lit(0.1) * col("n_a"))
+      .select(col("doc_a"), col("doc_b")), eager = false)
+    // Only SURVIVORS carry arrays into the wide joins: the candidate
+    // doc-id sets broadcast back as semi-filters, so the KB-scale hs
+    // rows of docs no candidate touches are pruned MAP-SIDE and never
+    // enter a shuffle — at ×1000 the full hsh table is tens of GB and
+    // shuffling it through both rescore joins (inner joins discard
+    // non-matches only after the wire) was the recorded 44 GB
+    // ENOSPC-hazard disk fill. The id sets are output-scale-bounded
+    // (docs participating in a ≥0.9-containment candidate), orders
+    // below the corpus; on a cluster where even that outgrows a
+    // broadcast, replace with a shuffled left_semi — it co-partitions
+    // with the join that follows, costing no extra array shuffle.
+    val aIds = cand.select(col("doc_a").as("doc_id")).distinct()
+    val bIds = cand.select(col("doc_b").as("doc_id")).distinct()
+    val hsA = hsh.join(broadcast(aIds), Seq("doc_id"), "left_semi")
+    val hsB = hsh.join(broadcast(bIds), Seq("doc_id"), "left_semi")
     // Rescore joins are SHUFFLED HASH, never sort-merge: the array
     // side's rows carry the KB-scale hs payload, and SMJ's sort
     // buffers (and spills) that payload — the ×1000 full-suite sweep
@@ -621,8 +688,8 @@ object Dedup {
     // (join 1) / the smaller array side (join 2) streams the array
     // rows through unsorted: same shuffle, zero sort spill.
     cand.hint("shuffle_hash")
-      .join(hsh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(hsh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      .join(hsA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hsB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
         .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_inter"),
@@ -650,12 +717,7 @@ object Dedup {
     * hash — never materializes candidate pairs at all.
     */
   def containmentIndexStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val st = sigTable(spark, sfDir)
-    val hsh = Materialize.stage(shArrTable(spark, sfDir)
-      .join(st.filter(col("doc_id") === col("rep")).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), transform(col("sh"), s => h60(s)).as("hs")),
-      eager = false)
+    val hsh = containmentHashTable(spark, sfDir)
     val lists = hsh.select(explode(col("hs")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("list_size"))
     val probed = hsh.select(array_min(col("hs")).as("mh"))
