@@ -116,9 +116,18 @@ object PlantedRecallProbe {
     // its escalation dial, and the retired r10 raw-count λ≈1 rule as
     // the curve contrast (the r11 change this probe motivated)
     val dials =
-      if (synthN.isDefined) Seq( // the two SHIPPED operating points
+      if (synthN.isDefined) (Seq(
+        // the SHIPPED rule first (r12: r capped at 16, bands double
+        // past 2^18 reps — re-derived from this probe's 1M grid,
+        // where the uncapped r11 rule decayed to 0.626), then the
+        // retired r11 points and the grid that re-ruled them
+        Similarity.nearDupRepDialFor(reps),
         (Similarity.NearDupBands, rDefault, Similarity.NearDupProbes),
-        (128, rDefault + 1, 3))
+        (128, rDefault + 1, 3),
+        (Similarity.NearDupBands, rDefault - 1, 2),
+        (Similarity.NearDupBands, rDefault - 2, 2),
+        (128, rDefault - 1, 2),
+        (128, rDefault - 2, 3)).distinct)
       else Seq(
         (Similarity.NearDupBands, rDefault, Similarity.NearDupProbes),
         (128, rDefault + 1, 3),
@@ -127,10 +136,18 @@ object PlantedRecallProbe {
         (32, rDefault, 2))
     dials.foreach { case (bands, r, t) =>
       val t0 = System.nanoTime()
-      val found = Similarity.nearDupWithDupCollapse(union, bands, r, t)
-        // planted copies all sit above `shift`: only pairs touching
-        // them can be planted pairs — filter BEFORE the collect
-        .filter(col("vec_b") >= lit(shift))
+      // planted copies all sit above `shift`: only pairs touching
+      // them can be planted pairs. Synth corpora (all-unique, so the
+      // dup collapse is an identity) use the TOUCHING variant, which
+      // pushes that restriction below the candidate-dedup exchange —
+      // at n = 1M the unrestricted pair set is ~400M+ candidate rows
+      // and exhausts sandbox disk (measured ENOSPC)
+      val pairs =
+        if (synthN.isDefined)
+          Similarity.nearDupPairsMultiProbeTouching(union, bands, r, t, shift)
+        else Similarity.nearDupWithDupCollapse(union, bands, r, t)
+          .filter(col("vec_b") >= lit(shift))
+      val found = pairs.filter(col("vec_b") >= lit(shift))
         .select(col("vec_a"), col("vec_b")).collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
       val sec = (System.nanoTime() - t0) / 1e9

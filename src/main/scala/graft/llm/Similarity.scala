@@ -635,7 +635,40 @@ object Similarity {
   def nearDupRepPlanesFor(reps: Long): Int = {
     val bitLen =
       if (reps <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(reps)
-    math.max(5, math.min(30, bitLen - 2))
+    // r12 re-rule: the width CAP moved 30 → 16. The 1M-rep planted
+    // curve (synth corpus, BASELINE.md round-12 grid) showed the r11
+    // rule's r = 18 decaying to recall 0.626 — per-band collision
+    // probability q^r falls exponentially in r, so past r = 16 the
+    // lost collisions cost more recall than the halved occupancy
+    // buys time. Past the cap, λ grows with n and the BAND count
+    // doubles instead ([[nearDupRepDialFor]]) — the standard LSH
+    // scaling direction (hold the per-band hit rate, add tables).
+    math.max(5, math.min(16, bitLen - 2))
+  }
+
+  /** The FULL (bands, r, probes) rule from the DISTINCT-rep count —
+    * r12, re-derived from the 1M-rep planted grid:
+    *
+    *  - bitLen(reps) ≤ 18 (n < 262k): (64, bitLen−2, 2) — the r11
+    *    rule, measured 0.855 planted at its top (n = 200k);
+    *  - beyond: r capped at 16 and the bands DOUBLE with t = 3 —
+    *    (128, 16, 3) measures **0.867 planted at n = 1M**, where the
+    *    uncapped r11 rule had decayed to 0.626 and its escalation to
+    *    0.699 (full six-dial grid in BASELINE.md; the winner is also
+    *    1.5× cheaper than the decayed escalation). Expect further
+    *    band doublings per ~2 bits of n beyond 1M — re-measure with
+    *    `PlantedRecallProbe synth:N` before trusting a 10M+ corpus.
+    *
+    * The DuckDB oracle mirrors the ≤ 2^18 regime (its corpora hold
+    * ≤ 2k reps; an all-pairs 1M-rep LSH is not DuckDB-runnable —
+    * the planted probe IS the measurement instrument there).
+    */
+  def nearDupRepDialFor(reps: Long): (Int, Int, Int) = {
+    val bitLen =
+      if (reps <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(reps)
+    if (bitLen <= 18)
+      (NearDupBands, nearDupRepPlanesFor(reps), NearDupProbes)
+    else (2 * NearDupBands, nearDupRepPlanesFor(reps), 3)
   }
 
   /** The (bands, r, probes) operating point for the registered
@@ -643,11 +676,12 @@ object Similarity {
     * (default `default`) from the MEASURED r11 planted-recall grid
     * (BASELINE.md):
     *
-    *  - `default`: (64, bitLen(reps)−2, 2) — 0.855 planted / 0.976
-    *    sf0.1 brute-truth recall at the recorded bench cost;
-    *  - `high`: (128, default r + 1, 3) — 0.917 planted / 0.998
-    *    sf0.1, at ~2× candidate-rescore mass (the grid's documented
-    *    escalation row, prose-only until round 12).
+    *  - `default`: [[nearDupRepDialFor]] — 0.855 planted at n=200k /
+    *    0.976 sf0.1 brute-truth / 0.867 planted at n=1M (the r12
+    *    band-doubling branch) at the recorded bench cost;
+    *  - `high`: bands doubled again, r + 1, t = 3 — 0.917 planted /
+    *    0.998 sf0.1 at n ≤ 200k, at ~2× candidate-rescore mass (the
+    *    grid's documented escalation row).
     *
     * The conf makes the measured trade executable without code edits
     * (the `autoBucketUs` discipline). The DuckDB oracle mirrors the
@@ -659,9 +693,9 @@ object Similarity {
     spark.conf.getOption("spark.graft.neardup.recall")
       .getOrElse("default") match {
       case "high" =>
-        (2 * NearDupBands, nearDupRepPlanesFor(reps) + 1, 3)
-      case "default" =>
-        (NearDupBands, nearDupRepPlanesFor(reps), NearDupProbes)
+        val (b, r, _) = nearDupRepDialFor(reps)
+        (2 * b, r + 1, 3)
+      case "default" => nearDupRepDialFor(reps)
       case other => throw new IllegalArgumentException(
         s"spark.graft.neardup.recall must be default|high, got '$other'")
     }
@@ -815,7 +849,26 @@ object Similarity {
     * which wins only at multiplicity 1.
     */
   def nearDupPairsMultiProbe(emb: DataFrame, bands: Int, r: Int,
-      t: Int = 1): DataFrame = {
+      t: Int = 1): DataFrame =
+    multiProbeCore(emb, bands, r, t, None)
+
+  /** [[nearDupPairsMultiProbe]] restricted to pairs whose MAX id is
+    * ≥ `minMax` — row-identical to filtering the full operator's
+    * output (SimilaritySpec asserts it), but the restriction lands
+    * BEFORE the candidate-dedup exchange, so a recall probe over
+    * planted top-id copies never shuffles the corpus's full pair
+    * set. This is what makes [[graft.PlantedRecallProbe]] runnable
+    * at n = 1M reps on sandbox disk: the unrestricted candidate
+    * stream there is ~400M+ rows and filled the 50 GB free
+    * (measured ENOSPC, 2026-08-15); the probe only ever reads pairs
+    * touching its 2000 planted ids.
+    */
+  private[graft] def nearDupPairsMultiProbeTouching(emb: DataFrame,
+      bands: Int, r: Int, t: Int, minMax: Long): DataFrame =
+    multiProbeCore(emb, bands, r, t, Some(minMax))
+
+  private def multiProbeCore(emb: DataFrame, bands: Int, r: Int,
+      t: Int, minMax: Option[Long]): DataFrame = {
     val e = graft.Materialize.stage(
       emb.withColumn("sigs",
         bandSignatureCols(col("embedding"), bands, r)),
@@ -827,8 +880,11 @@ object Similarity {
           col("embedding"), bands, r, Dim, t)).as(Seq("pos", "bucket")))
       .select(col("p_vec"), (col("pos") / (t + 1)).cast("int").as("band"),
         col("bucket"))
-    val cand = probes.join(idx, Seq("band", "bucket"))
+    val touched = probes.join(idx, Seq("band", "bucket"))
       .filter(col("p_vec") =!= col("i_vec"))
+    val restricted = minMax.fold(touched)(m =>
+      touched.filter(greatest(col("p_vec"), col("i_vec")) >= lit(m)))
+    val cand = restricted
       .select(least(col("p_vec"), col("i_vec")).as("vec_a"),
         greatest(col("p_vec"), col("i_vec")).as("vec_b"))
       .distinct()
@@ -1231,12 +1287,15 @@ object Similarity {
     */
   private[llm] val sqlBandSigs = {
     // r mirrors nearDupRepPlanesFor: bit length of the DISTINCT-
-    // embedding count minus 2, clamped to [5, 30] (the r11 rep-sized
-    // λ∈[2,4) rule); the plane range is bounded by the clamp
-    // (bands·30) and filtered down to the data-sized bands·r
-    val maxPlanes = NearDupBands * 30
+    // embedding count minus 2, clamped to [5, 16] (the r12 cap —
+    // past it the Scala rule doubles BANDS instead; the oracle
+    // corpora hold ≤ 2k reps, far below that branch, so the SQL
+    // mirrors the ≤ 2^18 regime the gate can actually run); the
+    // plane range is bounded by the clamp (bands·16) and filtered
+    // down to the data-sized bands·r
+    val maxPlanes = NearDupBands * 16
     s"""rr AS (
-       |  SELECT greatest(5, least(30,
+       |  SELECT greatest(5, least(16,
        |    length(bin(CAST(count(*) AS BIGINT))) - 2)) AS r
        |  FROM (SELECT DISTINCT embedding FROM embeddings)),
        |bplanes AS (

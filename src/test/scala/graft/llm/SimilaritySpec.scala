@@ -22,6 +22,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3).isEmpty)
   }
 
+  test("touching-restricted multiprobe equals the full pair set filtered") {
+    // the PlantedRecallProbe fast path: restricting to pairs whose
+    // max id >= minMax below the candidate-dedup exchange must be
+    // row-identical to filtering the full operator's output
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val (bands, r, t) = (16, 9, 2)
+    val minMax = 400L
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    val full = pairSet(Similarity.nearDupPairsMultiProbe(emb, bands, r, t)
+      .filter(greatest(col("vec_a"), col("vec_b")) >= minMax))
+    val touching = pairSet(
+      Similarity.nearDupPairsMultiProbeTouching(emb, bands, r, t, minMax))
+    assert(touching == full && full.nonEmpty)
+  }
+
   test("brute-force top-k: k rows per query, ranks 1..k, descending cos") {
     val rows = Similarity.bruteForceTopK(spark, sf001).collect()
     val byQuery = rows.groupBy(_.getLong(0))
@@ -423,21 +441,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("rep-sized default width: bitLen(reps) - 2 in [5, 30], λ in [2, 4)") {
+  test("rep-sized dial: bitLen-2 capped at 16; bands double past 2^18") {
+    // the r12 rule (1M-rep planted grid, BASELINE.md): r = bitLen-2
+    // in [5, 16] — the r11 30-cap decayed to recall 0.626 at n=1M
+    // (q^r falls exponentially) — and past the cap the BAND count
+    // doubles with t=3, holding 0.867 measured at 1M
     val cases = Seq(0L -> 5, 1L -> 5, 127L -> 5, 128L -> 6, 500L -> 7,
-      2000L -> 9, 62000L -> 14, 200000L -> 16, 2000000L -> 19,
-      (1L << 40) -> 30)
+      2000L -> 9, 62000L -> 14, 200000L -> 16, 2000000L -> 16,
+      (1L << 40) -> 16)
     cases.foreach { case (n, want) =>
       assert(Similarity.nearDupRepPlanesFor(n) == want,
         s"nearDupRepPlanesFor($n) = ${Similarity.nearDupRepPlanesFor(n)}, want $want")
     }
-    // occupancy invariant in the unclamped regime: expected reps per
-    // band-bucket λ = n/2^r sits in [2, 4) — candidate mass O(B·λ·n)
-    // stays linear in n with the measured-recall constant
-    Seq(1000L, 62000L, 200000L, 2000000L, 100000000L).foreach { n =>
+    // occupancy invariant below the cap: λ = n/2^r in [2, 4)
+    Seq(1000L, 62000L, 200000L).foreach { n =>
       val lam = n.toDouble / (1L << Similarity.nearDupRepPlanesFor(n))
       assert(lam >= 2.0 && lam < 4.0, s"n=$n λ=$lam drifted from [2, 4)")
     }
+    // the full dial: registered corpora keep the r11 point exactly;
+    // the big regime doubles bands at the measured 1M operating point
+    assert(Similarity.nearDupRepDialFor(200000L) == (64, 16, 2))
+    assert(Similarity.nearDupRepDialFor(1000000L) == (128, 16, 3))
+    assert(Similarity.nearDupRepDialFor(262144L) == (128, 16, 3))
+    assert(Similarity.nearDupRepDialFor(262143L) == (64, 16, 2))
   }
 
   test("LSH top-k is a subset of same-bucket exact ranking; reports recall") {
