@@ -103,16 +103,22 @@ object Bucketed {
   }
 
   /** Content fingerprint of a source parquet dir from FILE metadata
-    * only (path + file count + total bytes — one filesystem listing,
-    * no data scan): what [[write]]'s callers should pass as
-    * `fingerprint` so a changed source under the same path re-renders
-    * while an unchanged one reuses the on-disk buckets across JVMs.
+    * only (path + file count + total bytes + max modification time —
+    * one filesystem listing, no data scan): what [[write]]'s callers
+    * should pass as `fingerprint` so a changed source under the same
+    * path re-renders while an unchanged one reuses the on-disk buckets
+    * across JVMs. The mtime term comes free from the same listStatus
+    * call and catches the case size alone misses: a source regenerated
+    * with identical total bytes (same generator, new seed) would
+    * otherwise silently reuse the stale render.
     */
   def srcFingerprint(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val files = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listStatus(p).filter(_.isFile)
-    s"$dir|${files.length}|${files.map(_.getLen).sum}"
+    val maxMtime =
+      if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+    s"$dir|${files.length}|${files.map(_.getLen).sum}|$maxMtime"
   }
 
   /** Join two bucketed tables on their bucket columns. The `merge`

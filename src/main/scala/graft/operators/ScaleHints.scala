@@ -26,14 +26,18 @@ object ScaleHints {
   val ShjFactMinBytesConf = "spark.graft.join.shjFactMinBytes"
   val ShjFactMinBytesDefault: Long = 256L * 1024 * 1024
 
-  /** Total bytes under a source dir — one filesystem listing, no
-    * data scan.
+  /** Total bytes under a source dir — metadata only, no data scan.
+    * RECURSIVE (`getContentSummary`), because the facts this gates are
+    * exactly the ones likely to be hive-partitioned at scale: a
+    * top-level-only listing of a partitioned parquet dir measures ~0
+    * bytes and would silently disable the big-fact hint at precisely
+    * the scale it targets.
     */
   def srcBytes(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L
-    else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    else fs.getContentSummary(p).getLength
   }
 
   /** `build.hint("shuffle_hash")` iff the FACT the join probes is

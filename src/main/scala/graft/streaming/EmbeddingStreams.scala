@@ -635,6 +635,25 @@ object EmbeddingStreams {
   def rescoreCandidates(cands: DataFrame, indexPath: String): DataFrame =
     rescoreCandidatesSplit(cands, indexPath)._1
 
+  /** Resolve which on-disk generation of the retry set is live.
+    * [[nearDupPairsRescored]]'s swap is rename-aside (dir.stage →
+    * dir via a dir → dir.old detour), so after a crash the newest
+    * COMPLETE set is `dir` if present, else `dir.tmp` (a legacy
+    * delete-then-rename generation), else `dir.old` (previous
+    * generation — the batch whose swap was interrupted is replayed
+    * from the checkpoint, so the older set plus the replayed fresh
+    * candidates still covers every pair; the stream is at-least-once
+    * per pair by contract). `dir.stage` is deliberately NOT a read
+    * source: a crash mid-write leaves it partial. Returns None only
+    * when no generation exists (first batch ever).
+    */
+  private def liveRetryPath(dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    Seq(dir, dir + ".tmp", dir + ".old")
+      .find(d => fs.exists(new Path(d)))
+  }
+
   /** Wire the composition: a slim candidate stream rescored per
     * micro-batch against `indexPath` and handed to `sink` as scored
     * (vec_a, vec_b, cos) rows.
@@ -643,47 +662,94 @@ object EmbeddingStreams {
     * stream commits independently — two production queries cannot
     * guarantee the drain-index-first discipline the parity spec uses)
     * are RE-ENQUEUED via `retryDir`: each batch unions the pending
-    * misses with its own candidates, and writes the new miss set back
-    * (stage-then-swap, so the read and the overwrite never race). A
-    * pair is therefore retried on every subsequent batch until its
-    * vectors land — eventual delivery under any interleaving, at the
-    * cost of one tiny parquet round-trip per batch. With
+    * misses with its own candidates, and writes the new miss set back.
+    * The swap is rename-aside — write `dir.stage`, rename `dir` →
+    * `dir.old`, rename `dir.stage` → `dir`, delete `dir.old` — so
+    * every crash window leaves at least one complete generation on
+    * disk (delete-then-rename had a window where a crash lost the
+    * whole backlog, silently re-dropping every pending pair). Reads
+    * resolve the live generation via [[liveRetryPath]].
+    *
+    * A pair is retried until its vectors land OR it has waited
+    * `maxRetryBatches` micro-batches since first seen (`first_batch`
+    * rides in the retry file). Expired pairs are DEAD-LETTERED: appended
+    * to `<retryDir>.dead` and logged, so one never-arriving vector
+    * cannot keep the backlog rewrite running forever. With
     * `retryDir = None` misses are NOT retried; they are counted and
     * logged per batch so the drop is at least visible.
     */
   def nearDupPairsRescored(cands: Dataset[CandPair], indexPath: String,
-      retryDir: Option[String] = None)(
+      retryDir: Option[String] = None, maxRetryBatches: Long = 256L)(
       sink: DataFrame => Unit): StreamingQuery =
     cands.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[CandPair], batchId: Long) =>
         val spark = batch.sparkSession
         val fresh = batch.toDF().select(col("vec_a"), col("vec_b"))
+          .withColumn("first_batch", lit(batchId))
         val pending = retryDir match {
           case Some(dir) =>
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(p))
-              spark.read.schema("vec_a BIGINT, vec_b BIGINT").parquet(dir)
-            else fresh.limit(0)
+            val fs = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            liveRetryPath(dir, fs) match {
+              case Some(live) => spark.read
+                .schema("vec_a BIGINT, vec_b BIGINT, first_batch BIGINT")
+                .parquet(live)
+                // pre-first_batch retry files lack the column → treat
+                // those rows as first seen now
+                .withColumn("first_batch",
+                  coalesce(col("first_batch"), lit(batchId)))
+              case None => fresh.limit(0)
+            }
           case None => fresh.limit(0)
         }
-        val (scored, missed) =
-          rescoreCandidatesSplit(fresh.unionByName(pending), indexPath)
+        // a pair present in both keeps its ORIGINAL first_batch so the
+        // age cap measures true wait, not time since last re-emission
+        val all = fresh.unionByName(pending)
+          .groupBy(col("vec_a"), col("vec_b"))
+          .agg(min(col("first_batch")).as("first_batch"))
+        val (scored, missedKeys) = rescoreCandidatesSplit(all, indexPath)
         sink(scored)
         retryDir match {
           case Some(dir) =>
-            // stage-then-swap: `missed` reads `dir` lazily (through
-            // the pending union), so materialize to dir.tmp first
-            val p = new org.apache.hadoop.fs.Path(dir)
-            val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            missed.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-            fs.delete(p, true)
-            fs.rename(tmp, p)
+            import org.apache.hadoop.fs.Path
+            val missed = missedKeys
+              .join(broadcast(all), Seq("vec_a", "vec_b"))
+            val expired = missed
+              .filter(lit(batchId) - col("first_batch") >= maxRetryBatches)
+            val deadN = expired.count()
+            if (deadN > 0) {
+              expired.coalesce(1).write.mode("append").parquet(dir + ".dead")
+              System.err.println(
+                s"[graft] rescore batch $batchId: DEAD-LETTERED $deadN " +
+                  s"pair(s) unmatched after $maxRetryBatches batches → " +
+                  s"$dir.dead")
+            }
+            val keep = missed
+              .filter(lit(batchId) - col("first_batch") < maxRetryBatches)
+            val fs = new Path(dir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // rename-aside swap: `keep` reads the live generation
+            // lazily (through the pending union), so materialize FIRST
+            // — and to dir.stage, a path that is never a read source
+            // (staging to dir.tmp would self-clobber when the live
+            // generation IS dir.tmp after a crash). Then move
+            // generations only by rename; every crash window leaves a
+            // complete recent generation among dir/dir.tmp/dir.old,
+            // and checkpoint replay re-supplies the in-flight batch.
+            val p = new Path(dir)
+            val stage = new Path(dir + ".stage")
+            val tmp = new Path(dir + ".tmp")
+            val old = new Path(dir + ".old")
+            keep.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+            if (fs.exists(old)) fs.delete(old, true)
+            if (fs.exists(p)) fs.rename(p, old)
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            fs.rename(stage, p)
+            fs.delete(old, true)
             ()
           case None =>
-            val n = missed.count()
+            val n = missedKeys.count()
             if (n > 0) System.err.println(
               s"[graft] rescore batch $batchId: DROPPED $n candidate pair(s) " +
                 "not yet in the vector store (no retryDir configured)")

@@ -670,6 +670,81 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("slim rescore: retry backlog survives a crash in any swap window") {
+    // the swap is rename-aside (tmp → dir via dir → dir.old); a crash
+    // can leave the backlog ONLY in retry.tmp (swap started, dir
+    // renamed away) or ONLY in retry.old (tmp write finished, rename
+    // never completed, dir deleted by a partial legacy swap). In both
+    // windows the next batch must still find and flush the pending
+    // pair — delete-then-rename lost it.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    for (suffix <- Seq(".tmp", ".old")) {
+      val dir = java.nio.file.Files.createTempDirectory("retrywin").toString
+      val v = Array.fill(8)(0.5f)
+      // vector store holds BOTH sides of the pending pair, so the
+      // flushed retry scores (cos(v,v)=1 ≥ 0.35)
+      Seq((1L, v, 0, 0), (2L, v, 0, 0))
+        .toDF("vec_id", "embedding", "label", "cell")
+        .write.parquet(s"$dir/idx")
+      // simulate the crash: the pending pair exists ONLY under the
+      // non-live generation path
+      Seq((1L, 2L, 0L)).toDF("vec_a", "vec_b", "first_batch")
+        .write.parquet(s"$dir/retry$suffix")
+      val candIn = MemoryStream[(Long, Array[Float])]
+      val scored = scala.collection.mutable.Set[(Long, Long)]()
+      val candQ = graft.streaming.EmbeddingStreams.nearDupPairsRescored(
+        graft.streaming.EmbeddingStreams.nearDupCandidatesStream(
+          candIn.toDS().toDF("vec_id", "embedding"), 4, 4, 1),
+        s"$dir/idx", retryDir = Some(s"$dir/retry")) { batch =>
+        scored.synchronized {
+          scored ++= batch.collect().map(x => (x.getLong(0), x.getLong(1)))
+        }
+      }
+      // a lone far-away vector fires a micro-batch without adding pairs
+      candIn.addData(Seq((99L, Array.fill(8)(-0.5f))))
+      candQ.processAllAvailable()
+      candQ.stop()
+      assert(scored.synchronized(scored.toSet).contains((1L, 2L)),
+        s"window $suffix: pending pair lost — got ${scored.toSet}")
+    }
+  }
+
+  test("slim rescore: never-matching pair is dead-lettered after maxRetryBatches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("retrydead").toString
+    // store holds an unrelated vector; the pending pair's vectors
+    // (10, 11) never arrive
+    Seq((1L, Array.fill(8)(0.5f), 0, 0))
+      .toDF("vec_id", "embedding", "label", "cell")
+      .write.parquet(s"$dir/idx")
+    Seq((10L, 11L, 0L)).toDF("vec_a", "vec_b", "first_batch")
+      .write.parquet(s"$dir/retry")
+    val candIn = MemoryStream[(Long, Array[Float])]
+    val candQ = graft.streaming.EmbeddingStreams.nearDupPairsRescored(
+      graft.streaming.EmbeddingStreams.nearDupCandidatesStream(
+        candIn.toDS().toDF("vec_id", "embedding"), 4, 4, 1),
+      s"$dir/idx", retryDir = Some(s"$dir/retry"),
+      maxRetryBatches = 2L) { _ => () }
+    // batches 0 and 1: age < 2 → still retried; batch 2: age 2 ≥ 2 →
+    // dead-lettered
+    for (i <- 0 to 2) {
+      candIn.addData(Seq((100L + i, Array.fill(8)(-0.5f))))
+      candQ.processAllAvailable()
+    }
+    candQ.stop()
+    val dead = spark.read.parquet(s"$dir/retry.dead")
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dead.contains((10L, 11L)), s"dead-letter missing: ${dead.toSeq}")
+    val still = spark.read
+      .schema("vec_a BIGINT, vec_b BIGINT, first_batch BIGINT")
+      .parquet(s"$dir/retry")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!still.contains((10L, 11L)),
+      s"expired pair still in retry backlog: ${still.toSeq}")
+  }
+
   test("centroid stream: drained running means are bit-identical to batch pooling") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
