@@ -116,18 +116,20 @@ object PlantedRecallProbe {
     // its escalation dial, and the retired r10 raw-count λ≈1 rule as
     // the curve contrast (the r11 change this probe motivated)
     val dials =
-      if (synthN.isDefined) (Seq(
-        // the SHIPPED rule first (r12: r capped at 16, bands double
-        // past 2^18 reps — re-derived from this probe's 1M grid,
-        // where the uncapped r11 rule decayed to 0.626), then the
-        // retired r11 points and the grid that re-ruled them
-        Similarity.nearDupRepDialFor(reps),
-        (Similarity.NearDupBands, rDefault, Similarity.NearDupProbes),
-        (128, rDefault + 1, 3),
-        (Similarity.NearDupBands, rDefault - 1, 2),
-        (Similarity.NearDupBands, rDefault - 2, 2),
-        (128, rDefault - 1, 2),
-        (128, rDefault - 2, 3)).distinct)
+      if (synthN.isDefined) {
+        // r13 grid: the SHIPPED rule (r12: r capped at 16, bands
+        // double past 2^18 reps), the NEXT band doubling (the
+        // pre-ruled scaling direction — "expect further doublings
+        // per ~2 bits of n"), the `high` escalation dial exactly as
+        // nearDupDialFor computes it (VERDICT r12 items 1–2: high
+        // was unmeasured past 200k), and a shallower-r contrast.
+        val shipped = Similarity.nearDupRepDialFor(reps)
+        Seq(
+          shipped,
+          (shipped._1 * 2, shipped._2, 3),
+          (shipped._1 * 2, shipped._2 + 1, 3), // = the `high` dial
+          (shipped._1, shipped._2 - 1, 3)).distinct
+      }
       else Seq(
         (Similarity.NearDupBands, rDefault, Similarity.NearDupProbes),
         (128, rDefault + 1, 3),
@@ -138,13 +140,18 @@ object PlantedRecallProbe {
       val t0 = System.nanoTime()
       // planted copies all sit above `shift`: only pairs touching
       // them can be planted pairs. Synth corpora (all-unique, so the
-      // dup collapse is an identity) use the TOUCHING variant, which
-      // pushes that restriction below the candidate-dedup exchange —
-      // at n = 1M the unrestricted pair set is ~400M+ candidate rows
-      // and exhausts sandbox disk (measured ENOSPC)
+      // dup collapse is an identity) use the PROBE-SET variant (r13):
+      // the probes side is restricted to planted ∪ base ids and
+      // broadcast against the full index, so the corpus never
+      // shuffles at all — exact for pairs with both endpoints in the
+      // set, which is every ground-truth pair. (History: the
+      // unrestricted pair set ENOSPC'd at 1M; the r12
+      // touching-restricted variant fixed the candidate exchange but
+      // still shuffles the full probes ⋈ index join, ~60+ GB at 10M.)
       val pairs =
         if (synthN.isDefined)
-          Similarity.nearDupPairsMultiProbeTouching(union, bands, r, t, shift)
+          Similarity.nearDupPairsMultiProbeProbeSet(union, bands, r, t,
+            (bases.map(_._1) ++ planted.map(_._1)).toSeq)
         else Similarity.nearDupWithDupCollapse(union, bands, r, t)
           .filter(col("vec_b") >= lit(shift))
       val found = pairs.filter(col("vec_b") >= lit(shift))

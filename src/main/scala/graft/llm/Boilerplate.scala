@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.PortableHash.{h60, sqlH60}
@@ -26,29 +26,80 @@ import graft.llm.PortableHash.{h60, sqlH60}
   */
 object Boilerplate {
 
-  /** Spans seen in ≥ `minDocs` distinct documents, top `k` by
-    * (document frequency, occurrence count), ties broken on the span
-    * hash for a deterministic cut. Documents shorter than `n` tokens
-    * contribute nothing.
+  /** The per-doc span relation every pass here reads: doc_id, the
+    * token array `ws`, and the POSITIONAL 8-gram hash array `gh`
+    * (gh[i] covers tokens i..i+n-1, 1-based through element_at).
+    * Deliberately NOT staged: the ×1000 profile (BASELINE.md r13)
+    * put tokenize+ngrams+h60 at ~11 s a pass against a ~50 s count
+    * shuffle, and a localCheckpoint of ws+gh (~2 GB of row blocks)
+    * cost more in write+read+GC than the recompute — measured as a
+    * net LOSS (spans 82 → 90 s) plus a transient same-JVM OOM when
+    * two staged queries ran back to back. Each pass recomputes the
+    * map work inline off the columnar parquet scan instead.
     */
-  def repeatedSpans(docs: DataFrame, n: Int = 8, k: Int = 50,
-      minDocs: Int = 2): DataFrame = {
-    val spans = docs.select(col("doc_id"),
-      explode(graft.functions.Ngrams.ngrams(TextAnalysis.tokensCol, n))
-        .as("span"))
-    val hashed = spans.select(col("doc_id"), col("span"),
-      h60(col("span")).as("h"))
-    val top = hashed.select(col("h"), col("doc_id"))
+  private def gramRelation(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokensCol.as("ws"))
+      .withColumn("gh",
+        transform(graft.functions.Ngrams.ngrams(col("ws"), n), g => h60(g)))
+
+  /** The count shuffle — ONE exchange, 16 bytes a span-group ((h, c),
+    * never the string and never doc_id): in-doc duplicate spans
+    * collapse IN-ROW first ([[graft.functions.LongCounts]] — sorted
+    * run-length (h, c) pairs per doc), which makes (h, doc) unique by
+    * construction, so `n_docs = count(1)` and `n_occ = sum(c)` need
+    * no distinct-dedup aggregate level at all. The previous
+    * `count_distinct(doc_id) + count(1)` formulation planned TWO
+    * aggregate levels and shuffled all 235.7M ×1000 occurrences
+    * twice — profiled at ~48 s of the 72 s count pass this shape
+    * deletes (BASELINE.md r13).
+    */
+  private def topSpans(g: DataFrame, k: Int, minDocs: Int): DataFrame =
+    g.select(explode(graft.functions.LongCounts.long_counts(col("gh")))
+        .as("hc"))
+      .select(col("hc.v").as("h"), col("hc.c").as("c"))
       .groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("h").asc)
       .limit(k)
-    val strings = hashed
-      .join(broadcast(top.select(col("h"))), Seq("h"), "left_semi")
+
+  /** Flagged-position array per doc: indices i (1-based) where gh[i]
+    * is in the broadcast flagged-hash set. The size guard matters:
+    * Spark `sequence(1, 0)` DESCENDS instead of yielding empty, and
+    * `element_at(gh, 0)` is an ANSI error.
+    */
+  private def flaggedPositions(gh: Column, bh: Column): Column =
+    when(size(gh) > 0,
+      filter(sequence(lit(1), size(gh)), i => array_contains(bh, element_at(gh, i))))
+      .otherwise(array().cast("array<int>"))
+
+  /** Winning spans' strings, recovered from the STAGED relation: per
+    * doc, slice `ws` at each flagged position (the gram string is the
+    * space-join of its n tokens — [[graft.functions.Ngrams]]
+    * semantics) — a membership test over ≤ k broadcast hashes per
+    * gram instead of re-tokenizing and re-hashing the corpus.
+    */
+  private def recoverStrings(g: DataFrame, top: DataFrame, n: Int): DataFrame = {
+    val bSet = top.agg(collect_set(col("h")).as("bh"))
+    g.crossJoin(broadcast(bSet))
+      .select(col("ws"), col("gh"),
+        explode(flaggedPositions(col("gh"), col("bh"))).as("p"))
+      .select(element_at(col("gh"), col("p")).as("h"),
+        array_join(slice(col("ws"), col("p"), lit(n)), " ").as("span"))
       .groupBy(col("h")).agg(min(col("span")).as("span"))
-    top.join(strings, Seq("h"))
+  }
+
+  /** Spans seen in ≥ `minDocs` distinct documents, top `k` by
+    * (document frequency, occurrence count), ties broken on the span
+    * hash for a deterministic cut. Documents shorter than `n` tokens
+    * contribute nothing. One tokenize+hash scan (staged), two cheap
+    * array re-reads.
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 8, k: Int = 50,
+      minDocs: Int = 2): DataFrame = {
+    val g = gramRelation(docs, n)
+    val top = topSpans(g, k, minDocs)
+    top.join(recoverStrings(g, top, n), Seq("h"))
       .select(col("span"), col("n_docs"), col("n_occ"))
   }
 
@@ -67,41 +118,45 @@ object Boilerplate {
     * so the strip itself is a map-only second pass over the corpus:
     * detect pays the count shuffle once, strip shuffles nothing.
     */
-  def stripSpans(docs: DataFrame, flagged: DataFrame, n: Int = 8): DataFrame = {
-    val bSet = flagged.agg(collect_set(h60(col("span"))).as("bh"))
-    docs
-      .crossJoin(broadcast(bSet))
-      .select(col("doc_id"), col("bh"), TextAnalysis.tokensCol.as("ws"))
-      .select(col("doc_id"), col("bh"), col("ws"),
-        PortableHash.bind(
-          transform(graft.functions.Ngrams.ngrams(col("ws"), n), g => h60(g))) {
-          // size guard: Spark sequence(1, 0) DESCENDS instead of
-          // yielding empty, and element_at(gh, 0) is an ANSI error
-          gh => when(size(gh) > 0,
-            filter(sequence(lit(1), size(gh)),
-              i => array_contains(col("bh"), element_at(gh, i))))
-            .otherwise(array().cast("array<int>"))
-        }.as("fp"))
+  /** Strip core over a (staged or inline) gram relation, flagged
+    * hashes already extracted as a one-row broadcast array.
+    */
+  private def stripCore(g: DataFrame, bSet: DataFrame, n: Int): DataFrame =
+    g.crossJoin(broadcast(bSet))
+      .select(col("doc_id"), col("ws"),
+        flaggedPositions(col("gh"), col("bh")).as("fp"))
       .select(col("doc_id"),
         array_join(
-          PortableHash.bind(col("fp")) { fp =>
-            when(size(col("ws")) > 0,
-              transform(
-                filter(sequence(lit(1), size(col("ws"))),
-                  j => !exists(fp, p => p >= j - (n - 1) && p <= j)),
-                j => element_at(col("ws"), j)))
-              .otherwise(array().cast("array<string>"))
-          }, " ").as("clean_text"),
+          when(size(col("ws")) > 0,
+            transform(
+              filter(sequence(lit(1), size(col("ws"))),
+                j => !exists(col("fp"), p => p >= j - (n - 1) && p <= j)),
+              j => element_at(col("ws"), j)))
+            .otherwise(array().cast("array<string>")), " ").as("clean_text"),
         size(col("ws")).cast("long").as("n_tokens"),
         size(col("fp")).cast("long").as("n_flagged_spans"))
       .withColumn("n_kept",
         when(length(col("clean_text")) === 0, 0L)
           .otherwise(size(split(col("clean_text"), " ")).cast("long")))
-  }
 
+  /** Composable strip against an external flagged-span table (span
+    * strings): one corpus scan, no staging (nothing is read twice).
+    */
+  def stripSpans(docs: DataFrame, flagged: DataFrame, n: Int = 8): DataFrame =
+    stripCore(gramRelation(docs, n),
+      flagged.agg(collect_set(h60(col("span"))).as("bh")), n)
+
+  /** The registered detect-then-strip composition. Fused (r13): the
+    * detector's top-k HASHES feed the strip directly — the string-
+    * recovery pass exists only for human-readable output and the
+    * strip never needed it — so the corpus is scanned twice (count,
+    * strip), down from three times, and the count pass itself is the
+    * one-shuffle [[topSpans]] shape. ×1000 isolated same-day A/B:
+    * 91.6 → 59.5 s min-of-2.
+    */
   def stripQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    stripSpans(docs, repeatedSpans(docs))
+    val g = gramRelation(Tables.documents(spark, sfDir), 8)
+    stripCore(g, topSpans(g, 50, 2).agg(collect_set(col("h")).as("bh")), 8)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -867,6 +867,62 @@ object Similarity {
       bands: Int, r: Int, t: Int, minMax: Long): DataFrame =
     multiProbeCore(emb, bands, r, t, Some(minMax))
 
+  /** [[nearDupPairsMultiProbe]] restricted to pairs with AT LEAST ONE
+    * endpoint in `probeIds` — for such a pair, collision requires one
+    * member's probe to land in the other's index bucket, and BOTH
+    * members' probes exist iff both are in the probe set, so
+    * restricting the PROBES side to `probeIds` (and keeping the index
+    * side full) finds exactly the full operator's pairs among
+    * `probeIds` × corpus where the probing endpoint is in `probeIds`.
+    * For pairs with BOTH endpoints in `probeIds` (the planted-recall
+    * ground truth: copy + base are both in the set) the result is
+    * row-identical to the full operator (SimilaritySpec asserts it).
+    *
+    * Why it exists: this is what makes [[graft.PlantedRecallProbe]]
+    * runnable at n = 10M on sandbox disk. The touching-restricted
+    * variant still SHUFFLES the full probes ⋈ index join — at 10M
+    * reps × 128 bands that is ~1.3B index rows plus ~5B probe rows of
+    * shuffle (estimated 60+ GB, over the 42 GB free that remained
+    * after the 1M run). Here the ≤ ~4k probe-side vectors (~2M
+    * exploded probe rows at B=128, t=3) are BROADCAST against the
+    * full index explode, which then streams map-side — no shuffle of
+    * the corpus at all; the only exchange left is the candidate
+    * distinct, bounded by the probe set's bucket occupancy
+    * (O(|probeIds|·B·(t+1)·λ)).
+    */
+  private[graft] def nearDupPairsMultiProbeProbeSet(emb: DataFrame,
+      bands: Int, r: Int, t: Int, probeIds: Seq[Long]): DataFrame = {
+    val e = graft.Materialize.stage(
+      emb.withColumn("sigs",
+        bandSignatureCols(col("embedding"), bands, r)),
+      eager = false)
+    val small = e.filter(col("vec_id").isin(probeIds: _*))
+    val idx = e.select(col("vec_id").as("i_vec"),
+      posexplode(col("sigs")).as(Seq("band", "bucket")))
+    val probes = small.select(col("vec_id").as("p_vec"),
+        posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
+          col("embedding"), bands, r, Dim, t)).as(Seq("pos", "bucket")))
+      .select(col("p_vec"), (col("pos") / (t + 1)).cast("int").as("band"),
+        col("bucket"))
+    val touched = idx.join(broadcast(probes), Seq("band", "bucket"))
+      .filter(col("p_vec") =!= col("i_vec"))
+    val cand = touched
+      .select(least(col("p_vec"), col("i_vec")).as("vec_a"),
+        greatest(col("p_vec"), col("i_vec")).as("vec_b"))
+      .distinct()
+    // rescore joins stay small on the cand side; the full-corpus
+    // embedding lookups are plain equi-joins (no arrays carried
+    // through the probe explode — the slim-index discipline)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), "vec_b")
+      .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   private def multiProbeCore(emb: DataFrame, bands: Int, r: Int,
       t: Int, minMax: Option[Long]): DataFrame = {
     val e = graft.Materialize.stage(

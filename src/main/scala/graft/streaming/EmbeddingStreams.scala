@@ -302,12 +302,18 @@ object EmbeddingStreams {
     * ≈ dim·4 bytes per probe row).
     */
   private def probeExplode(embs: DataFrame, bands: Int, r: Int, t: Int,
-      watermarkDelay: String, extra: Seq[Column]): DataFrame =
+      watermarkDelay: String, extra: Seq[Column]): DataFrame = {
+    // vector width is a plan-time constant for the probe expression;
+    // `spark.graft.stream.dim` overrides the corpus default so the
+    // whole streaming family (and StreamStateProbe's production-dim
+    // synth runs) works at 512/768-dim without code edits
+    val dim = embs.sparkSession.conf.getOption("spark.graft.stream.dim")
+      .map(_.toInt).getOrElse(Similarity.Dim)
     embs
       .withWatermark("ts", watermarkDelay)
       .select(Seq(col("vec_id"), col("ts"),
         posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
-          col("embedding"), bands, r, Similarity.Dim, t))
+          col("embedding"), bands, r, dim, t))
           .as(Seq("pos", "bucket"))) ++ extra: _*)
       // pack (band, bucket) into one grouping key: band = pos/(t+1),
       // bucket is a non-negative r-bit int
@@ -317,6 +323,7 @@ object EmbeddingStreams {
         col("vec_id"),
         (pmod(col("pos"), lit(t + 1)) === 0).as("exact"),
         col("ts")) ++ extra: _*)
+  }
 
   /** Slim-state transition for one bucket — same candidate rule and
     * full-µs ttl gate as [[collapsedStep]], NO scoring and NO arrays:

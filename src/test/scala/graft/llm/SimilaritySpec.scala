@@ -40,6 +40,35 @@ class SimilaritySpec extends SparkSpec {
     assert(touching == full && full.nonEmpty)
   }
 
+  test("probe-set multiprobe: exact on pairs inside the set, subset outside") {
+    // the PlantedRecallProbe 10M instrument: probes restricted to an
+    // id set and broadcast against the full index. For pairs with
+    // BOTH endpoints in the set (the planted ground truth) the result
+    // must be row-identical to the full operator; pairs with one
+    // endpoint outside may drop (the outside member's probes are
+    // gone) but never appear from nowhere.
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"))
+    val (bands, r, t) = (16, 9, 2)
+    val ids = emb.select(col("vec_id")).collect().map(_.getLong(0))
+      .sorted.take(60).toSeq
+    val idSet = ids.toSet
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1), math.round(x.getDouble(2) * 1e9)))
+      .toSet
+    val full = pairSet(Similarity.nearDupPairsMultiProbe(emb, bands, r, t))
+    val probed = pairSet(
+      Similarity.nearDupPairsMultiProbeProbeSet(emb, bands, r, t, ids))
+    // every probed pair touches the set and exists in the full output
+    assert(probed.subsetOf(full))
+    assert(probed.forall(p => idSet(p._1) || idSet(p._2)))
+    // pairs fully inside the set: exact equality
+    val fullInside = full.filter(p => idSet(p._1) && idSet(p._2))
+    val probedInside = probed.filter(p => idSet(p._1) && idSet(p._2))
+    assert(probedInside == fullInside && fullInside.nonEmpty,
+      s"inside-set pairs differ: full=${fullInside.size} probed=${probedInside.size}")
+  }
+
   test("brute-force top-k: k rows per query, ranks 1..k, descending cos") {
     val rows = Similarity.bruteForceTopK(spark, sf001).collect()
     val byQuery = rows.groupBy(_.getLong(0))
