@@ -85,9 +85,24 @@ object StreamStateProbe {
       data.grouped((data.size + 1) / 2).foreach { w =>
         in.addData(w); q.processAllAvailable()
       }
-      val bytes = q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
-      val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val ops = q.lastProgress.stateOperators
+      val mem = ops.map(_.memoryUsedBytes).sum
+      // memoryUsedBytes under RocksDB is MEMORY only (memtable +
+      // block cache + filters) — once the state outgrows the ~64 MB
+      // memtable and flushes, the SST files hold the real mass and
+      // memoryUsedBytes silently under-reports (discovered at
+      // dim 512, where the scored path measured 67 KB/distinct
+      // against a 393 KB/distinct array mass). Total = memory + SST
+      // (the cache double-counts a little of the SST — acceptable
+      // for operator-vs-operator comparison, and zero before any
+      // flush, where r12's dim-64 numbers were honest).
+      val sst = ops.map(o =>
+        Option(o.customMetrics.get("rocksdbSstFileSize"))
+          .map(_.longValue).getOrElse(0L)).sum
+      val bytes = mem + sst
+      val rows = ops.map(_.numRowsTotal).sum
       println(f"[state] $name%-14s rows=$rows%9d bytes=$bytes%12d " +
+        f"(mem=$mem%12d sst=$sst%12d) " +
         f"(${bytes.toDouble / data.size}%9.1f B/vec over ${data.size}%6d)")
       q.stop()
       bytes

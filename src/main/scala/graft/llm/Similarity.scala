@@ -643,21 +643,30 @@ object Similarity {
     // buys time. Past the cap, λ grows with n and the BAND count
     // doubles instead ([[nearDupRepDialFor]]) — the standard LSH
     // scaling direction (hold the per-band hit rate, add tables).
+    // r13: the capped rule measured 0.867 planted at BOTH 1M and 10M
+    // — recall at a fixed dial is n-invariant, the cap closed the
+    // decay for good (BASELINE.md round-13 grid).
     math.max(5, math.min(16, bitLen - 2))
   }
 
   /** The FULL (bands, r, probes) rule from the DISTINCT-rep count —
-    * r12, re-derived from the 1M-rep planted grid:
+    * r12, re-derived from the 1M-rep planted grid; r13 extended the
+    * curve to 10M and CLOSED the scaling question:
     *
     *  - bitLen(reps) ≤ 18 (n < 262k): (64, bitLen−2, 2) — the r11
     *    rule, measured 0.855 planted at its top (n = 200k);
     *  - beyond: r capped at 16 and the bands DOUBLE with t = 3 —
-    *    (128, 16, 3) measures **0.867 planted at n = 1M**, where the
-    *    uncapped r11 rule had decayed to 0.626 and its escalation to
-    *    0.699 (full six-dial grid in BASELINE.md; the winner is also
-    *    1.5× cheaper than the decayed escalation). Expect further
-    *    band doublings per ~2 bits of n beyond 1M — re-measure with
-    *    `PlantedRecallProbe synth:N` before trusting a 10M+ corpus.
+    *    (128, 16, 3) measures **0.867 planted at n = 1M AND 0.867 at
+    *    n = 10M** (r13 probe-set instrument, BASELINE.md). The r12
+    *    "expect further band doublings per ~2 bits" extrapolation is
+    *    FALSIFIED in the favorable direction: at a FIXED dial the
+    *    per-pair collision probability is n-independent, so recall
+    *    does not decay with corpus growth — the r10/r11 decade-up
+    *    decays were artifacts of rules that deepened r with n. What
+    *    grows with n is candidate MASS (λ = reps/2^r per bucket);
+    *    trade recall↔mass via the `high` dial ([[nearDupDialFor]]:
+    *    (256, 16, 3) = 0.943/0.946 at 1M/10M, ~2× mass), not by
+    *    moving r.
     *
     * The DuckDB oracle mirrors the ≤ 2^18 regime (its corpora hold
     * ≤ 2k reps; an all-pairs 1M-rep LSH is not DuckDB-runnable —
@@ -673,28 +682,42 @@ object Similarity {
 
   /** The (bands, r, probes) operating point for the registered
     * near-dup query, selected by `spark.graft.neardup.recall`
-    * (default `default`) from the MEASURED r11 planted-recall grid
-    * (BASELINE.md):
+    * (default `default`) from the MEASURED planted-recall grids
+    * (BASELINE.md r11–r13):
     *
     *  - `default`: [[nearDupRepDialFor]] — 0.855 planted at n=200k /
-    *    0.976 sf0.1 brute-truth / 0.867 planted at n=1M (the r12
-    *    band-doubling branch) at the recorded bench cost;
-    *  - `high`: bands doubled again, r + 1, t = 3 — 0.917 planted /
-    *    0.998 sf0.1 at n ≤ 200k, at ~2× candidate-rescore mass (the
-    *    grid's documented escalation row).
+    *    0.976 sf0.1 brute-truth / **0.867 planted at BOTH n=1M and
+    *    n=10M** (the r13 decade run: recall at a FIXED dial is
+    *    n-invariant — per-pair collision probability depends only on
+    *    the pair's angle and (B, r, t), so the r10/r11 decays were
+    *    artifacts of rules that deepened r with n, and the r12 cap
+    *    froze recall; only candidate mass grows with λ);
+    *  - `high`, reps ≤ 2^18: bands doubled, r + 1, t = 3 — 0.917
+    *    planted / 0.998 sf0.1 at n ≤ 200k (the r11 escalation row);
+    *  - `high`, reps > 2^18 (r13 re-rule): bands doubled, SAME r,
+    *    t = 3 — **0.943 at 1M / 0.946 at 10M**, where the old
+    *    (2B, r+1) escalation measured only 0.902/0.902: deepening r
+    *    past the cap costs more collisions than its halved occupancy
+    *    buys (the q^r decay), while doubling width at fixed r is the
+    *    pure-recall direction. Candidate-rescore mass is ~2× default
+    *    (2B at the same λ), matching this dial's documented price.
     *
     * The conf makes the measured trade executable without code edits
     * (the `autoBucketUs` discipline). The DuckDB oracle mirrors the
     * DEFAULT point, so the correctness gate always runs at `default`;
     * `NearDupRecallDialSpec` asserts the high dial's pair set is a
-    * superset of the default's on a planted-duplicate corpus.
+    * superset of the default's on a planted-duplicate corpus (in the
+    * doubling branch the superset is STRUCTURAL: same r keeps the
+    * first B bands' planes identical, extra bands only add buckets).
     */
   def nearDupDialFor(spark: SparkSession, reps: Long): (Int, Int, Int) =
     spark.conf.getOption("spark.graft.neardup.recall")
       .getOrElse("default") match {
       case "high" =>
         val (b, r, _) = nearDupRepDialFor(reps)
-        (2 * b, r + 1, 3)
+        val bitLen =
+          if (reps <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(reps)
+        if (bitLen <= 18) (2 * b, r + 1, 3) else (2 * b, r, 3)
       case "default" => nearDupRepDialFor(reps)
       case other => throw new IllegalArgumentException(
         s"spark.graft.neardup.recall must be default|high, got '$other'")
