@@ -474,6 +474,8 @@ class PlanAuditSpec extends SparkSpec {
         "q_ann_recall", // contains the exact O(n·queries) baseline branch
         "q_llm_tfidf", "q_llm_commonness", "q_llm_curriculum",
         "q_dedup_strip_spans", // one-row flagged-hash array broadcast
+        "q_dedup_spans", // same one-row top-k hash-array broadcast
+        // (r13 string recovery slices ws at flagged positions)
         "q_llm_token_pairs", // one-row corpus-count broadcast (lift)
         "q_search_bm25", // one-row (N, avgdl) corpus-stats broadcast
         "q_graph_triangles", // three one-row count aggregates crossed
