@@ -26,6 +26,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // In local mode the executor heartbeat is pure liveness noise —
+      // executor and driver share one JVM, so a "lost" heartbeat can
+      // only mean the driver RPC thread is momentarily starved (GC,
+      // 32-thread CPU saturation, hypervisor steal), never a dead
+      // peer. Spark's default kill-switch (60 consecutive misses at
+      // 10 s) turned a degraded-box stall into `System.exit` TWO
+      // HOURS into a ×1000 sweep (observed 2026-08-16: dmesg hrtimer
+      // stalls, 10 min of missed heartbeats, 49 queries dead behind a
+      // stopped SparkContext). Widen the interval and the failure
+      // budget so a multi-hour sweep survives scheduler starvation;
+      // a real cluster run would keep the defaults — there a silent
+      // peer IS a lost executor.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.executor.heartbeat.maxFailures", "240")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
