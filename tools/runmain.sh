@@ -15,6 +15,15 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# Local-mode heartbeat tolerance for every tool JVM (probes, ScaleUp,
+# long sweeps): a missed heartbeat in one shared driver/executor JVM
+# only ever means a starved RPC thread — on a host with hypervisor
+# steal the default 60x10s kill-switch System.exit'd a sweep 2h in.
+# A session builder that sets these itself (Bench) wins: SparkConf
+# reads system properties first, then .config() overrides.
 exec java -Xmx"$MEM" $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.executor.heartbeatInterval=60s \
+  -Dspark.executor.heartbeat.maxFailures=240 \
+  -Dspark.network.timeout=600s \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
