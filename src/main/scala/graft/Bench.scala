@@ -38,9 +38,17 @@ object Bench {
       // budget so a multi-hour sweep survives scheduler starvation;
       // a real cluster run would keep the defaults — there a silent
       // peer IS a lost executor.
+      // Both sides of the liveness handshake must carry the same
+      // budget: the executor-side exit allows 240×60 s of missed
+      // beats, but HeartbeatReceiver expires executors after
+      // spark.network.timeout — at the previous 600 s that was only
+      // 10 misses, exactly the ~10-min stall that motivated the
+      // widening, and in local mode a "lost" executor is
+      // unreplaceable so the sweep dies anyway (just via a different
+      // path). 3600 s driver-side tolerance matches the intent.
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.executor.heartbeat.maxFailures", "240")
-      .config("spark.network.timeout", "600s")
+      .config("spark.network.timeout", "3600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -49,6 +57,40 @@ object Bench {
 
     // warmup: JVM, codegen, shuffle machinery, parquet footers
     force(SparkEntry.queries("mr_grep")(spark, sfDir))
+
+    // Box-health controls (VERDICT r13 item 4): a fixed 2-query pair
+    // run BEFORE and AFTER the timed set, recorded in the artifact so
+    // mover triage can quote the control matching the mover's bound.
+    // The r13 degraded-host round proved a scan-bound control alone
+    // UNDER-states the box factor for shuffle-write-bound queries
+    // (direct-I/O write measured 254 MB/s on a day scan controls read
+    // 1.4-2.5×) — so the pair carries one of each:
+    //  - scan-bound: q6 on sfDir (the corpus is fixed round-over-
+    //    round, continuing the interleaved-q6 methodology);
+    //  - write-bound: a FIXED-SIZE synthetic repartition forced
+    //    through the shuffle machinery — 100M × 16 B rows ≈ 1.6 GB of
+    //    shuffle write+read to local disk, independent of sfDir, so
+    //    its healthy-band number is one constant across scales.
+    // min-of-2 each; ~20-30 s total; disable with
+    // SPARK_GRAFT_BENCH_CONTROLS=0.
+    val controlsOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROLS", "1") != "0"
+    def minOf2(body: => Unit): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+    def controlPair(): (Double, Double) = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val scan = minOf2(force(SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)))
+      // xxhash64, not a multiply: ANSI mode (Spark 4 default) throws
+      // on long overflow, and a mixing constant × id overflows by
+      // design
+      val write = minOf2(force(
+        spark.range(0L, 100000000L, 1L, 32)
+          .select(col("id"), xxhash64(col("id")).as("h"))
+          .repartition(32, col("h"))))
+      (scan, write)
+    }
+    val preControls = if (controlsOn) Some(controlPair()) else None
 
     // optional subset (comma-separated names) for targeted scale
     // smokes; the driver's full run never sets it
@@ -100,7 +142,13 @@ object Bench {
     val totalRep1 = results.collect { case (_, _, true, f) => f }.sum
     val setup = setupTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_rep1":$totalRep1,"setup":$setup,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val postControls = if (controlsOn) Some(controlPair()) else None
+    val controls = (preControls, postControls) match {
+      case (Some((sPre, wPre)), Some((sPost, wPost))) =>
+        s""","controls":{"scan_pre":$sPre,"write_pre":$wPre,"scan_post":$sPost,"write_post":$wPost}"""
+      case _ => ""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_rep1":$totalRep1,"setup":$setup,"queries":$qs,"failed":$failed$controls,"sf":"$sfDir"}"""
     println(line)
     // durable full artifact: the driver's BENCH_r0N.json keeps only a
     // truncated log tail, so also write the complete JSON to a file

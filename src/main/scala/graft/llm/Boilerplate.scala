@@ -152,7 +152,7 @@ object Boilerplate {
     * strip never needed it — so the corpus is scanned twice (count,
     * strip), down from three times, and the count pass itself is the
     * one-shuffle [[topSpans]] shape. ×1000 isolated same-day A/B:
-    * 91.6 → 59.5 s min-of-2.
+    * 91.6 → 57.7 s min-of-2 (BASELINE.md span-family section).
     */
   def stripQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val g = gramRelation(Tables.documents(spark, sfDir), 8)

@@ -456,6 +456,46 @@ class PlanAuditSpec extends SparkSpec {
       s"novelty must stay an equi-join pipeline:\n$p")
   }
 
+  test("span family: the count pass is ONE hash exchange of (h, c) rows") {
+    // The load-bearing 100-TB claim (BASELINE.md r13 span-family cut):
+    // in-row run-length collapse (LongCounts) makes (h, doc) unique by
+    // construction, so the count pass needs exactly one
+    // hashpartitioning exchange — 16-byte (h, c) rows, no doc_id, no
+    // second distinct-dedup aggregate level. The strip side is
+    // map-only off a broadcast of the ≤k winning hashes, so the WHOLE
+    // strip query carries that single data exchange (anything beyond
+    // a single-partition fold of the ≤k top rows is a regression).
+    val strip = planOf("q_dedup_strip_spans")
+    val stripHash = "Exchange hashpartitioning".r.findAllIn(strip).size
+    assert(stripHash == 1,
+      s"strip: expected exactly one hash exchange (the count pass), got $stripHash:\n$strip")
+    val stripScans = "(FileScan|Scan) parquet".r.findAllIn(strip).size
+    assert(stripScans == 2, s"strip: corpus must scan twice (count, strip), got $stripScans:\n$strip")
+    // spans uses topSpans TWICE statically (join left side + the
+    // string-recovery broadcast set), so the static plan shows the
+    // count exchange duplicated — the scale claim lives in AQE's
+    // runtime stage cache, which materializes the canonical-equal
+    // shuffle ONCE and rewrites the twin to ReusedExchange. Execute
+    // at spec scale and assert that on the FINAL plan: exactly two
+    // distinct hash exchanges materialize (count pass + the ≤k-group
+    // string-recovery agg), and the duplicate is a ReusedExchange.
+    spark.sharedState.cacheManager.clearCache()
+    val spansDf = graft.SparkEntry.queries("q_dedup_spans")(spark, sf001)
+    spansDf.collect()
+    val spans = spansDf.queryExecution.executedPlan.toString
+    assert(spans.contains("isFinalPlan=true"), s"expected an executed AQE plan:\n$spans")
+    val finalSection = spans.split("== Initial Plan ==")(0)
+    val distinctHash = finalSection.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      .size
+    assert(distinctHash == 2,
+      s"spans: count pass + bounded string-recovery agg = exactly two materialized hash exchanges, got $distinctHash:\n$finalSection")
+    assert(finalSection.contains("ReusedExchange"),
+      s"spans: the duplicated count subtree must reuse the materialized stage, not re-shuffle the gram stream:\n$finalSection")
+    assert(!spans.contains("count(distinct") && !strip.contains("count(distinct"),
+      s"the count pass must not reintroduce a distinct-dedup aggregate level")
+  }
+
   test("suite-wide smell sweep: no nested-loop joins, no cartesian products") {
     // A nested-loop join is scale-hostile when BOTH sides scale with
     // the data. Two queries carry a provably BOUNDED build side and

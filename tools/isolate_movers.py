@@ -67,7 +67,12 @@ def run_isolated(name, sf_dir, reps, out_dir, repo_root):
         return None
     with open(out_json) as f:
         doc = json.load(f)
-    return doc.get("queries", {}).get(name)
+    # graft.Bench runs its fixed control pair (scan-bound q6 +
+    # write-bound synthetic repartition) before and after the query by
+    # default, so every isolated run carries its own same-JVM box-state
+    # stamp; mover triage must quote the control MATCHING the mover's
+    # bound (r13: scan controls under-state write degradation)
+    return doc.get("queries", {}).get(name), doc.get("controls", {})
 
 
 def main():
@@ -101,17 +106,24 @@ def main():
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     failures = 0
     print(f"\nisolated min-of-{args.reps}, one JVM per query, sf={args.run}:")
-    print("| query | old sweep | new sweep | in-sweep ratio | isolated |")
-    print("|---|---|---|---|---|")
+    print("| query | old sweep | new sweep | in-sweep ratio | isolated "
+          "| ctl scan pre/post | ctl write pre/post |")
+    print("|---|---|---|---|---|---|---|")
     for name, osec, nsec, ratio in mv:
-        iso = run_isolated(name, args.run, args.reps, args.out_dir, repo_root)
-        if iso is None:
+        res = run_isolated(name, args.run, args.reps, args.out_dir, repo_root)
+        if res is None or res[0] is None:
             failures += 1
             print(f"| {name} | {osec:.2f} | {nsec:.2f} | {ratio:.2f}x | "
-                  f"FAILED |")
+                  f"FAILED | | |")
         else:
+            iso, ctl = res
+            def pair(kind):
+                a, b = ctl.get(f"{kind}_pre"), ctl.get(f"{kind}_post")
+                if a is None or b is None:
+                    return "-"
+                return f"{a:.2f}/{b:.2f}"
             print(f"| {name} | {osec:.2f} | {nsec:.2f} | {ratio:.2f}x | "
-                  f"{iso:.2f} s |")
+                  f"{iso:.2f} s | {pair('scan')} | {pair('write')} |")
     return 1 if failures else 0
 
 
