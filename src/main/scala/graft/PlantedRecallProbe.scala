@@ -53,18 +53,7 @@ object PlantedRecallProbe {
 
     val emb = synthN match {
       case None => Tables.embeddings(spark, sfDir)
-      case Some(sn) =>
-        val dir = s"/tmp/graft_synth_$sn/embeddings.parquet"
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
-          spark.range(sn).select(col("id").as("vec_id"),
-            transform(sequence(lit(0), lit(graft.llm.Similarity.Dim - 1)),
-              i => ((pmod(xxhash64(concat_ws("_", lit("sv"), col("id"), i)),
-                lit(2001)) - 1000) / 1000.0).cast("float")).as("embedding"))
-            .write.mode("overwrite").parquet(dir)
-        }
-        spark.read.parquet(dir)
+      case Some(sn) => SynthCorpus.embeddings(spark, sn)
     }
     val n = emb.count()
     val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)

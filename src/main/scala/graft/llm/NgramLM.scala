@@ -20,9 +20,15 @@ import graft.{Materialize, Tables}
   * Scale shape: bigram extraction is map-only (an in-row transform of
   * the token array — no posexplode self-join); the model tables are
   * plain groupBy counts with map-side partial aggregation; scoring is
-  * equi-joins on the gram keys. The bigram table is staged once and
-  * feeds all three consumers (bigram counts, prefix counts, per-doc
-  * scoring) in one pass.
+  * equi-joins on the gram keys. The bigram stream is NOT staged
+  * (r14): the map work is ~10 s a pass off the columnar scan, while a
+  * localCheckpoint of the ~1B-row stream unrolls it DESERIALIZED into
+  * the shared storage pool — 31/32 task threads measured blocked in
+  * `MemoryStore.reserveUnrollMemoryForThisTask` (a lock convoy, not
+  * disk), ×1000 isolated A/B: perplexity 132.0 → 57.8 s min-of-3,
+  * bigram_lm > 1200 s staged (killed) vs 57.7 s unstaged — the
+  * Boilerplate r13 recompute-don't-stage ruling at 20× the mass. The
+  * vocab-sized COUNT tables stay staged (read twice, small).
   */
 object NgramLM {
 
@@ -45,7 +51,7 @@ object NgramLM {
     * conditional mass — the rational stand-in for mean P(w2|w1).
     */
   def bigramScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val bg = Materialize.stage(bigrams(spark, sfDir))
+    val bg = bigrams(spark, sfDir)
     // the model tables: cb aggregates the occurrence stream ONCE;
     // cp is the w2-marginal of cb (Σ_w2 count(w1,w2) = count(w1·)),
     // a gram-vocab-sized rollup — NOT a second count pass over the
@@ -137,12 +143,14 @@ object NgramLM {
     *
     * Smoothing: p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), V = corpus
     * token vocabulary (one broadcast one-row aggregate). Scale shape
-    * identical to [[bigramScore]]: staged bigram table, two count
-    * aggregations, gram-key equi-joins, one final doc_id aggregation.
+    * identical to [[bigramScore]]: in-row bigram stream (recomputed
+    * per pass, never staged — the unroll-convoy ruling above), two
+    * count aggregations, gram-key equi-joins, one final doc_id
+    * aggregation.
     */
   def perplexity(spark: SparkSession, sfDir: String): DataFrame = {
     val q30 = 1L << 30
-    val bg = Materialize.stage(bigrams(spark, sfDir))
+    val bg = bigrams(spark, sfDir)
     // cb once over the stream, cp as its w2-marginal ([[bigramScore]])
     val cb = Materialize.stage(
       bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")),

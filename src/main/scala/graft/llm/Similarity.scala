@@ -946,15 +946,41 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
-  private def multiProbeCore(emb: DataFrame, bands: Int, r: Int,
-      t: Int, minMax: Option[Long]): DataFrame = {
-    val e = graft.Materialize.stage(
+  /** The staged signature table every multiprobe pass reads — split
+    * out of [[multiProbeCore]] so [[graft.CandidateMassProbe]] can
+    * instrument the exact table the registered shape uses.
+    */
+  private[graft] def sigTableOf(emb: DataFrame, bands: Int,
+      r: Int): DataFrame =
+    graft.Materialize.stage(
       emb.withColumn("sigs",
         bandSignatureCols(col("embedding"), bands, r)),
       eager = false)
+
+  /** The normalized PRE-DISTINCT candidate stream of the registered
+    * multiprobe shape — (vec_a, vec_b), one row per (probe, index)
+    * bucket collision. Split out of [[multiProbeCore]] (which feeds
+    * it to `.distinct()` + rescore, byte-identical plan) so the mass
+    * that the candidate dedup exchange and the rescore joins carry
+    * can be MEASURED without materializing it to disk
+    * ([[graft.CandidateMassProbe]], VERDICT r13 item 3).
+    *
+    * `probeSlice = Some((k, kk))` restricts the PROBE side to vectors
+    * with `vec_id % kk == k` — measurement-only: the slices partition
+    * the probe explode, so summing per-slice stream counts reproduces
+    * the full stream count EXACTLY while bounding any one run's join
+    * shuffle to ~1/kk of the probe side (the full stream at 10M reps
+    * is disk-infeasible on the sandbox). The registered path always
+    * passes None.
+    */
+  private[graft] def candidateStreamOf(e: DataFrame, bands: Int, r: Int,
+      t: Int, minMax: Option[Long],
+      probeSlice: Option[(Int, Int)] = None): DataFrame = {
     val idx = e.select(col("vec_id").as("i_vec"),
       posexplode(col("sigs")).as(Seq("band", "bucket")))
-    val probes = e.select(col("vec_id").as("p_vec"),
+    val probeSrc = probeSlice.fold(e) { case (k, kk) =>
+      e.filter(pmod(col("vec_id"), lit(kk)) === lit(k)) }
+    val probes = probeSrc.select(col("vec_id").as("p_vec"),
         posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
           col("embedding"), bands, r, Dim, t)).as(Seq("pos", "bucket")))
       .select(col("p_vec"), (col("pos") / (t + 1)).cast("int").as("band"),
@@ -963,10 +989,15 @@ object Similarity {
       .filter(col("p_vec") =!= col("i_vec"))
     val restricted = minMax.fold(touched)(m =>
       touched.filter(greatest(col("p_vec"), col("i_vec")) >= lit(m)))
-    val cand = restricted
+    restricted
       .select(least(col("p_vec"), col("i_vec")).as("vec_a"),
         greatest(col("p_vec"), col("i_vec")).as("vec_b"))
-      .distinct()
+  }
+
+  private def multiProbeCore(emb: DataFrame, bands: Int, r: Int,
+      t: Int, minMax: Option[Long]): DataFrame = {
+    val e = sigTableOf(emb, bands, r)
+    val cand = candidateStreamOf(e, bands, r, t, minMax).distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a")), "vec_a")

@@ -124,7 +124,15 @@ object TpchMore {
         "l_quantity", "l_extendedprice", "l_discount")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    // fact⋈orders is the suite's heaviest SMJ at ×1000 (both sides
+    // big, nothing downstream reuses the sort): the scale-conditional
+    // SHJ hint on the orders build side skips sorting 600M widget
+    // lines + 150M orders. Same-day isolated ×1000 A/B (r14,
+    // min-of-3, healthy controls): 59.6 → 26.7 s; sf0.1 keeps SMJ
+    // (below the byte gate, where SMJ's constants win).
+    val ord = graft.operators.ScaleHints.shjIfBigFact(spark,
+      s"$sfDir/lineitem.parquet",
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))
