@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *  - per-slice wall seconds and shuffle-write bytes (task-metrics
   *    listener, the SpillProbe machinery).
   *
-  * Usage: CandidateMassProbe <n> <bands> <r> <t> [slices=1] [--full]
+  * Usage: CandidateMassProbe <n> <bands> <r> <t> [slices=1]
+  *        [slicesRun=slices] [--full]
   *
   * `--full` additionally runs the COMPLETE registered shape
   * ([[graft.llm.Similarity.nearDupPairsMultiProbe]]: stream →
@@ -55,8 +56,16 @@ object CandidateMassProbe {
     val r = args(2).toInt
     val t = args(3).toInt
     val full = args.contains("--full")
-    val slices = args.drop(4).filterNot(_ == "--full")
-      .headOption.map(_.toInt).getOrElse(1)
+    val positional = args.drop(4).filterNot(_ == "--full")
+    val slices = positional.headOption.map(_.toInt).getOrElse(1)
+    // optional second positional: run only the first `slicesRun`
+    // probe slices and report totals EXTRAPOLATED by
+    // slices/slicesRun — an unbiased estimator (vec_id % slices is
+    // independent of geometry; each slice is exact within itself),
+    // clearly labeled `extrapolated=true` in the output. For when a
+    // full exact pass doesn't fit the wall-clock budget.
+    val slicesRun = positional.drop(1).headOption.map(_.toInt)
+      .getOrElse(slices).min(slices)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,8 +92,12 @@ object CandidateMassProbe {
 
     var totRows = 0L; var totCand = 0L; var totSec = 0.0
     var totShuf = 0L; var totSpill = 0L
-    (0 until slices).foreach { k =>
-      Thread.sleep(2000) // drain the async listener bus
+    (0 until slicesRun).foreach { k =>
+      // each slice's ~20 GB of join shuffle files is freed only when
+      // the ShuffleDependency is GC'd (ContextCleaner); without an
+      // explicit GC, 8 slices stack to ENOSPC on the sandbox disk
+      System.gc()
+      Thread.sleep(2000) // drain the async listener bus + cleaner
       shufWrite.set(0L); spilled.set(0L)
       val slice = if (slices == 1) None else Some((k, slices))
       val stream = graft.llm.Similarity
@@ -103,11 +116,15 @@ object CandidateMassProbe {
         f"shufWrite=${shufWrite.get / 1e9}%.2f GB " +
         f"spill=${spilled.get / 1e9}%.2f GB")
     }
+    val scale = slices.toDouble / slicesRun
+    val xRows = (totRows * scale).toLong
+    val xCand = (totCand * scale).toLong
     println(f"[mass] TOTAL n=$n dial=($bands,$r,$t) " +
-      f"stream_rows=$totRows%,d cand_pairs_est=$totCand%,d " +
-      f"sec=$totSec%.1f shufWrite=${totShuf / 1e9}%.2f GB " +
+      f"stream_rows=$xRows%,d cand_pairs_est=$xCand%,d " +
+      f"sec=$totSec%.1f shufWrite=${(totShuf * scale) / 1e9}%.2f GB " +
       f"spill=${totSpill / 1e9}%.2f GB " +
-      f"rows_per_rep=${totRows.toDouble / n}%.1f")
+      f"rows_per_rep=${xRows.toDouble / n}%.1f " +
+      f"extrapolated=${slicesRun < slices} ($slicesRun/$slices slices run)")
 
     if (full) {
       Thread.sleep(2000)
