@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
 object PlantedRecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val nPlanted = if (args.length > 1) args(1).toInt else 2000
+    val nPlanted = args.drop(1).find(a => !a.contains("="))
+      .map(_.toInt).getOrElse(2000)
     val synthN: Option[Long] =
       if (sfDir.startsWith("synth:")) Some(sfDir.stripPrefix("synth:").toLong)
       else None
@@ -106,18 +107,22 @@ object PlantedRecallProbe {
     // the curve contrast (the r11 change this probe motivated)
     val dials =
       if (synthN.isDefined) {
-        // r13 grid: the SHIPPED rule (r12: r capped at 16, bands
-        // double past 2^18 reps), the NEXT band doubling (the
-        // pre-ruled scaling direction — "expect further doublings
-        // per ~2 bits of n"), the `high` escalation dial exactly as
-        // nearDupDialFor computes it (VERDICT r12 items 1–2: high
-        // was unmeasured past 200k), and a shallower-r contrast.
+        // r15 grid: the SHIPPED rule (r = bitLen−2 uncapped, bands
+        // doubling per 2 bits of r, SQ8 pre-gate), the `high` dial
+        // (2B, same r), a half-bands contrast (is the doubling
+        // earning its mass?), and a deeper-r contrast (the next
+        // λ-halving — does band-doubling still buy the recall
+        // back?). Gated AND ungated recall come from the same pass
+        // (the gate is a post-hoc pair predicate on the probe-set
+        // candidates), so the gate's recall cost is isolated per
+        // dial. An optional `dials=K` third arg runs only the first
+        // K (the 10M sig computes are ~10 min per dial at B=1024).
         val shipped = Similarity.nearDupRepDialFor(reps)
         Seq(
           shipped,
-          (shipped._1 * 2, shipped._2, 3),
-          (shipped._1 * 2, shipped._2 + 1, 3), // = the `high` dial
-          (shipped._1, shipped._2 - 1, 3)).distinct
+          (shipped._1 * 2, shipped._2, 3), // = the `high` dial
+          (shipped._1 / 2, shipped._2, 3),
+          (shipped._1, shipped._2 + 1, 3)).distinct
       }
       else Seq(
         (Similarity.NearDupBands, rDefault, Similarity.NearDupProbes),
@@ -125,7 +130,10 @@ object PlantedRecallProbe {
         (Similarity.NearDupBands, rOld, Similarity.NearDupProbes),
         (Similarity.NearDupBands, rDefault, 1),
         (32, rDefault, 2))
-    dials.foreach { case (bands, r, t) =>
+    val maxDials = args.find(_.startsWith("dials="))
+      .map(_.stripPrefix("dials=").toInt).getOrElse(dials.size)
+    val tau = Similarity.NearDupGateTau
+    dials.take(maxDials).foreach { case (bands, r, t) =>
       val t0 = System.nanoTime()
       // planted copies all sit above `shift`: only pairs touching
       // them can be planted pairs. Synth corpora (all-unique, so the
@@ -137,19 +145,51 @@ object PlantedRecallProbe {
       // unrestricted pair set ENOSPC'd at 1M; the r12
       // touching-restricted variant fixed the candidate exchange but
       // still shuffles the full probes ⋈ index join, ~60+ GB at 10M.)
-      val pairs =
-        if (synthN.isDefined)
-          Similarity.nearDupPairsMultiProbeProbeSet(union, bands, r, t,
-            (bases.map(_._1) ++ planted.map(_._1)).toSeq)
-        else Similarity.nearDupWithDupCollapse(union, bands, r, t)
+      if (synthN.isDefined) {
+        // staged: the stats agg and the pair collect below are two
+        // actions, and recomputing the scored set would repeat the
+        // full-corpus signature explode (~10 min/pass at 10M B=1024);
+        // the scored candidate set itself is probe-set-bounded (tens
+        // of M rows), well inside the staging discipline
+        val scored = graft.Materialize.stage(
+          Similarity.probeSetCandidatesScored(union, bands, r, t,
+            (bases.map(_._1) ++ planted.map(_._1)).toSeq))
+        // one action: candidate gate stats (α on a representative
+        // sample of the full operator's candidate distribution — the
+        // probe side is a uniform id set, independent of geometry)
+        // plus the scored planted-touching pairs
+        val stats = scored.agg(count(lit(1)).as("cand"),
+          count(when(col("gcos") >= tau, 1)).as("gkeep")).head()
+        val rows = scored
+          .filter(col("vec_b") >= lit(shift) && col("cos") >= 0.35)
+          .select(col("vec_a"), col("vec_b"), col("gcos")).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val found = rows.map(x => (x.getLong(0), x.getLong(1))).toSet
+        val foundGated = rows.filter(x => !x.isNullAt(2) && x.getDouble(2) >= tau)
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        val hit = truePairs.count(found)
+        val hitG = truePairs.count(foundGated)
+        val recall = hit.toDouble / math.max(1, truePairs.size)
+        val recallG = hitG.toDouble / math.max(1, truePairs.size)
+        val keep =
+          if (stats.getLong(0) == 0) 0.0
+          else stats.getLong(1).toDouble / stats.getLong(0)
+        println(f"[planted] B=$bands%4d r=$r%3d t=$t%2d n=$n%9d " +
+          f"recall_gated=$recallG%6.3f recall_ungated=$recall%6.3f " +
+          f"hit=$hitG%5d/${truePairs.size}%5d " +
+          f"cand=${stats.getLong(0)}%,d cand_gate_keep=$keep%.3f " +
+          f"sec=$sec%7.1f")
+      } else {
+        val pairs = Similarity.nearDupWithDupCollapse(union, bands, r, t)
           .filter(col("vec_b") >= lit(shift))
-      val found = pairs.filter(col("vec_b") >= lit(shift))
-        .select(col("vec_a"), col("vec_b")).collect()
-        .map(x => (x.getLong(0), x.getLong(1))).toSet
-      val sec = (System.nanoTime() - t0) / 1e9
-      val hit = truePairs.count(found)
-      val recall = hit.toDouble / math.max(1, truePairs.size)
-      println(f"[planted] B=$bands%4d r=$r%3d t=$t%2d n=$n%9d recall=$recall%6.3f hit=$hit%5d/${truePairs.size}%5d sec=$sec%7.1f")
+        val found = pairs.filter(col("vec_b") >= lit(shift))
+          .select(col("vec_a"), col("vec_b")).collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        val sec = (System.nanoTime() - t0) / 1e9
+        val hit = truePairs.count(found)
+        val recall = hit.toDouble / math.max(1, truePairs.size)
+        println(f"[planted] B=$bands%4d r=$r%3d t=$t%2d n=$n%9d recall=$recall%6.3f hit=$hit%5d/${truePairs.size}%5d sec=$sec%7.1f")
+      }
     }
     spark.stop()
   }

@@ -608,8 +608,8 @@ object Similarity {
 
   /** Signature width for the REGISTERED near-dup default, sized from
     * the DISTINCT-embedding (rep) count at bitLen(reps) − 2 — i.e.
-    * λ ∈ [2, 4) expected reps per band-bucket — clamped to [5, 30] and
-    * mirrored in SQL over `SELECT DISTINCT embedding`. Two r11
+    * λ ∈ [2, 4) expected reps per band-bucket at every scale — floor
+    * 5, mirrored in SQL over `SELECT DISTINCT embedding`. Two r11
     * lessons from the planted-recall curve (PlantedRecallProbe,
     * BASELINE.md):
     *
@@ -635,38 +635,44 @@ object Similarity {
   def nearDupRepPlanesFor(reps: Long): Int = {
     val bitLen =
       if (reps <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(reps)
-    // r12 re-rule: the width CAP moved 30 → 16. The 1M-rep planted
-    // curve (synth corpus, BASELINE.md round-12 grid) showed the r11
-    // rule's r = 18 decaying to recall 0.626 — per-band collision
-    // probability q^r falls exponentially in r, so past r = 16 the
-    // lost collisions cost more recall than the halved occupancy
-    // buys time. Past the cap, λ grows with n and the BAND count
-    // doubles instead ([[nearDupRepDialFor]]) — the standard LSH
-    // scaling direction (hold the per-band hit rate, add tables).
-    // r13: the capped rule measured 0.867 planted at BOTH 1M and 10M
-    // — recall at a fixed dial is n-invariant, the cap closed the
-    // decay for good (BASELINE.md round-13 grid).
-    math.max(5, math.min(16, bitLen - 2))
+    // r15 re-rule: the r12 width CAP (r ≤ 16) is REMOVED — r =
+    // bitLen − 2 at EVERY scale, holding λ = reps/2^r ∈ [2, 4)
+    // forever. The cap froze RECALL (r13: 0.867 n-invariant at
+    // 1M/10M) but made candidate MASS quadratic in n: r14's
+    // CandidateMassProbe measured 15.3 B pre-distinct candidate rows
+    // at 1M reps on the capped (128, 16, 3) dial — λ ∝ n/2^16 junk
+    // per bucket, the registered shape DNF on sandbox disk, ~1.5 T
+    // rows at 10M (BASELINE.md round-14; the r13 "AQE absorbs it
+    // linearly" extrapolation is falsified). Deepening r with n
+    // keeps per-bucket junk O(1); the recall the deeper r costs is
+    // bought back by DOUBLING BANDS per 2 bits of r
+    // ([[nearDupRepDialFor]] — junk mass halves per bit of r while
+    // planted-pair collision decays only ~q ≈ 0.7 per bit, so total
+    // work lands at the classic n^(1+ρ) ≈ n^1.5 instead of n²) and
+    // by the SQ8 candidate pre-gate ([[nearDupGateFor]]), which
+    // kills the residual λ-junk map-side before the pair-dedup
+    // exchange. Below 2^18 reps nothing changes (bitLen − 2 ≤ 16
+    // there — the registered-corpora regime, oracle-pinned).
+    math.max(5, bitLen - 2)
   }
 
   /** The FULL (bands, r, probes) rule from the DISTINCT-rep count —
-    * r12, re-derived from the 1M-rep planted grid; r13 extended the
-    * curve to 10M and CLOSED the scaling question:
+    * r15, re-derived after the r14 candidate-mass measurement
+    * falsified the capped dial past ~2^20 reps (BASELINE.md):
     *
     *  - bitLen(reps) ≤ 18 (n < 262k): (64, bitLen−2, 2) — the r11
-    *    rule, measured 0.855 planted at its top (n = 200k);
-    *  - beyond: r capped at 16 and the bands DOUBLE with t = 3 —
-    *    (128, 16, 3) measures **0.867 planted at n = 1M AND 0.867 at
-    *    n = 10M** (r13 probe-set instrument, BASELINE.md). The r12
-    *    "expect further band doublings per ~2 bits" extrapolation is
-    *    FALSIFIED in the favorable direction: at a FIXED dial the
-    *    per-pair collision probability is n-independent, so recall
-    *    does not decay with corpus growth — the r10/r11 decade-up
-    *    decays were artifacts of rules that deepened r with n. What
-    *    grows with n is candidate MASS (λ = reps/2^r per bucket);
-    *    trade recall↔mass via the `high` dial ([[nearDupDialFor]]:
-    *    (256, 16, 3) = 0.943/0.946 at 1M/10M, ~2× mass), not by
-    *    moving r.
+    *    rule, measured 0.855 planted at its top (n = 200k),
+    *    byte-identical to every round since r11 (the oracle-pinned
+    *    regime: all registered corpora live here);
+    *  - beyond: r = bitLen − 2 UNCAPPED (λ ∈ [2, 4) forever) with
+    *    BANDS DOUBLING per 2 bits of r past 16 — B = 64·2^(1+⌈(r−16)/2⌉)
+    *    (r 17–18 → 256, 19–20 → 512, 21–22 → 1024, …), t = 3, plus
+    *    the SQ8 candidate pre-gate ([[nearDupGateFor]]). Candidate
+    *    mass is n·B·(t+1)·λ·2 pre-gate with B ∝ √(n/2^18) — the
+    *    classic n^(1+ρ) ≈ n^1.5 LSH trade instead of the capped
+    *    dial's n² (r14: 15.3 B rows / DNF at 1M; ~1.5 T at 10M).
+    *    Recall and mass at 1M/10M for this rule are the round-15
+    *    planted/mass grid in BASELINE.md.
     *
     * The DuckDB oracle mirrors the ≤ 2^18 regime (its corpora hold
     * ≤ 2k reps; an all-pairs 1M-rep LSH is not DuckDB-runnable —
@@ -677,7 +683,77 @@ object Similarity {
       if (reps <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(reps)
     if (bitLen <= 18)
       (NearDupBands, nearDupRepPlanesFor(reps), NearDupProbes)
-    else (2 * NearDupBands, nearDupRepPlanesFor(reps), 3)
+    else {
+      val r = nearDupRepPlanesFor(reps)
+      // one band doubling per 2 bits of r past the old cap:
+      // (r−15)/2 = 1 for r∈{17,18}, 2 for {19,20}, 3 for {21,22}…
+      (NearDupBands << (1 + (r - 15) / 2), r, 3)
+    }
+  }
+
+  /** SQ8 pre-gate threshold: candidates whose int8-quantized cosine
+    * ([[graft.functions.Sq8Gate]]) falls below this are dropped
+    * BEFORE the pair-dedup exchange. 0.05 under the 0.35 scoring
+    * gate — far beyond the quantizer's error (|sq8cos − cos| < 0.02
+    * asserted in Sq8GateSpec), so no pair the final gate would keep
+    * is lost; bucket-junk (posterior mean angle ~80° given r sign
+    * agreements) keeps only ~10% (round-15 mass grid, BASELINE.md).
+    */
+  val NearDupGateTau = 0.30
+
+  /** Measured junk keep-rate of the SQ8 pre-gate — used only by
+    * [[nearDupMassGuard]]'s projection (round-15 CandidateMassProbe
+    * grid, BASELINE.md).
+    */
+  val NearDupGateKeep = 0.12
+
+  /** The pre-gate is enabled exactly where the band-doubling branch
+    * is: past 2^18 reps. Registered corpora (≤ 2k reps) never see
+    * it, so oracle hashes are untouched; past the cap it is what
+    * makes the n^1.5 dial's residual λ-junk affordable (the r14
+    * 1M-rep DNF ran ungated).
+    */
+  def nearDupGateFor(reps: Long): Option[Double] = {
+    val bitLen =
+      if (reps <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(reps)
+    if (bitLen <= 18) None else Some(NearDupGateTau)
+  }
+
+  /** Projected PRE-DISTINCT candidate rows of the registered
+    * multiprobe shape at (reps, bands, r, t) — the n·B·(t+1)·λ·2
+    * model the r14 CandidateMassProbe validated to 2% at 1M reps.
+    */
+  def nearDupProjectedCandidates(reps: Long, bands: Int, r: Int,
+      t: Int): Double =
+    reps.toDouble * bands * (t + 1) * (reps.toDouble / (1L << r)) * 2.0
+
+  /** Mass guard on the AUTO near-dup entry point (VERDICT r14 item
+    * 8): before any heavy work, project the candidate mass the
+    * chosen dial will push through the pair-dedup exchange (post-
+    * gate when the gate is on) and REFUSE when it exceeds
+    * `spark.graft.neardup.maxCandidateRows` (default 1e11 ≈ 1.6 TB
+    * of 16 B pair rows — cluster-plausible, far past any single
+    * box). The refusal names the remedies in preference order:
+    * collapse duplicate mass first ([[nearDupWithDupCollapse]] — the
+    * rep discipline is why the ×1000 corpus's 2M rows hash only 62k
+    * reps), pre-bucket the corpus, or raise the conf on a cluster
+    * sized for the shuffle. Turns the round-14 "did not complete on
+    * sandbox disk" failure mode into a plan-time error instead of an
+    * ENOSPC hours in.
+    */
+  def nearDupMassGuard(spark: SparkSession, reps: Long, bands: Int,
+      r: Int, t: Int, gate: Option[Double]): Unit = {
+    val budget = spark.conf.getOption("spark.graft.neardup.maxCandidateRows")
+      .map(_.toDouble).getOrElse(1e11)
+    val projected = nearDupProjectedCandidates(reps, bands, r, t) *
+      (if (gate.isDefined) NearDupGateKeep else 1.0)
+    if (projected > budget) throw new IllegalStateException(
+      f"near-dup dial (B=$bands, r=$r, t=$t) over $reps%,d reps projects " +
+        f"$projected%,.0f candidate rows into the pair-dedup exchange, " +
+        f"over spark.graft.neardup.maxCandidateRows=$budget%,.0f. " +
+        "Collapse duplicate reps first (nearDupWithDupCollapse), " +
+        "pre-bucket the corpus, or raise the conf on a cluster sized " +
+        "for the shuffle.")
   }
 
   /** The (bands, r, probes) operating point for the registered
@@ -686,21 +762,18 @@ object Similarity {
     * (BASELINE.md r11–r13):
     *
     *  - `default`: [[nearDupRepDialFor]] — 0.855 planted at n=200k /
-    *    0.976 sf0.1 brute-truth / **0.867 planted at BOTH n=1M and
-    *    n=10M** (the r13 decade run: recall at a FIXED dial is
-    *    n-invariant — per-pair collision probability depends only on
-    *    the pair's angle and (B, r, t), so the r10/r11 decays were
-    *    artifacts of rules that deepened r with n, and the r12 cap
-    *    froze recall; only candidate mass grows with λ);
+    *    0.976 sf0.1 brute-truth below 2^18 reps; past it, the r15
+    *    n^1.5 rule (r = bitLen−2 uncapped, bands doubling per 2 bits
+    *    of r, t = 3, SQ8 pre-gate) — recall at 1M/10M is the
+    *    round-15 planted grid in BASELINE.md;
     *  - `high`, reps ≤ 2^18: bands doubled, r + 1, t = 3 — 0.917
     *    planted / 0.998 sf0.1 at n ≤ 200k (the r11 escalation row);
-    *  - `high`, reps > 2^18 (r13 re-rule): bands doubled, SAME r,
-    *    t = 3 — **0.943 at 1M / 0.946 at 10M**, where the old
-    *    (2B, r+1) escalation measured only 0.902/0.902: deepening r
-    *    past the cap costs more collisions than its halved occupancy
-    *    buys (the q^r decay), while doubling width at fixed r is the
-    *    pure-recall direction. Candidate-rescore mass is ~2× default
-    *    (2B at the same λ), matching this dial's documented price.
+    *  - `high`, reps > 2^18: bands doubled, SAME r, t = 3 — the r13
+    *    lesson kept under the r15 rule: deepening r costs more
+    *    collisions than its halved occupancy buys (the q^r decay),
+    *    while doubling width at fixed r is the pure-recall
+    *    direction. Candidate-rescore mass is ~2× default (2B at the
+    *    same λ), matching this dial's documented price.
     *
     * The conf makes the measured trade executable without code edits
     * (the `autoBucketUs` discipline). The DuckDB oracle mirrors the
@@ -743,8 +816,13 @@ object Similarity {
     // table, which the pair construction reuses): r is sized from
     // the rep population the LSH actually hashes, and the
     // (bands, r, probes) point comes from the recall dial
-    val (bands, r, t) = nearDupDialFor(spark, reps.count())
-    nearDupCollapsedPairs(members, reps, bands, r, t)
+    val n = reps.count()
+    val (bands, r, t) = nearDupDialFor(spark, n)
+    val gate = nearDupGateFor(n)
+    // self-defending entry: refuse at plan time when the projected
+    // candidate mass exceeds the conf budget (VERDICT r14 item 8)
+    nearDupMassGuard(spark, n, bands, r, t, gate)
+    nearDupCollapsedPairs(members, reps, bands, r, t, gate)
   }
 
   /** [[nearDupPairsMultiProbe]] behind an EXACT-DUPLICATE collapse —
@@ -770,9 +848,9 @@ object Similarity {
     * planted duplicated corpus.
     */
   def nearDupWithDupCollapse(emb: DataFrame, bands: Int, r: Int,
-      t: Int = NearDupProbes): DataFrame = {
+      t: Int = NearDupProbes, gate: Option[Double] = None): DataFrame = {
     val members = nearDupMemberTable(emb)
-    nearDupCollapsedPairs(members, nearDupRepsOf(members), bands, r, t)
+    nearDupCollapsedPairs(members, nearDupRepsOf(members), bands, r, t, gate)
   }
 
   /** (vec_id, embedding, rep) with rep = min member id per distinct
@@ -794,8 +872,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
 
   private def nearDupCollapsedPairs(members: DataFrame, reps: DataFrame,
-      bands: Int, r: Int, t: Int): DataFrame = {
-    val repPairs = nearDupPairsMultiProbe(reps, bands, r, t)
+      bands: Int, r: Int, t: Int,
+      gate: Option[Double] = None): DataFrame = {
+    val repPairs = nearDupPairsMultiProbe(reps, bands, r, t, gate)
     val m = members.select(col("rep"), col("vec_id").as("member"))
     val cross = repPairs
       .join(m.select(col("rep").as("vec_a"), col("member").as("ma")), "vec_a")
@@ -870,10 +949,21 @@ object Similarity {
     * discipline, traded against the exact variant's carry-arrays /
     * first-collision design ([[graft.functions.FirstCollision]])
     * which wins only at multiplicity 1.
+    *
+    * `gate = Some(τ)` (the past-2^18 branch, [[nearDupGateFor]])
+    * inserts the SQ8 pre-gate between the candidate stream and the
+    * dedup exchange: the per-rep 64-byte codes broadcast onto both
+    * endpoints map-side and junk is dropped BEFORE it is ever
+    * shuffled — the pre-gate stream exists only inside the bucket
+    * join's pipeline, never on disk. Gate-then-distinct equals
+    * distinct-then-gate (the gate is a deterministic pair
+    * predicate), so the operator's semantics are "LSH candidates
+    * whose SQ8 cosine ≥ τ, rescored exactly" — recall measured
+    * against planted truth in the round-15 BASELINE.md grid.
     */
   def nearDupPairsMultiProbe(emb: DataFrame, bands: Int, r: Int,
-      t: Int = 1): DataFrame =
-    multiProbeCore(emb, bands, r, t, None)
+      t: Int = 1, gate: Option[Double] = None): DataFrame =
+    multiProbeCore(emb, bands, r, t, None, gate)
 
   /** [[nearDupPairsMultiProbe]] restricted to pairs whose MAX id is
     * ≥ `minMax` — row-identical to filtering the full operator's
@@ -914,14 +1004,42 @@ object Similarity {
     * (O(|probeIds|·B·(t+1)·λ)).
     */
   private[graft] def nearDupPairsMultiProbeProbeSet(emb: DataFrame,
+      bands: Int, r: Int, t: Int, probeIds: Seq[Long],
+      gate: Option[Double] = None): DataFrame = {
+    val scored = probeSetCandidatesScored(emb, bands, r, t, probeIds)
+    // the gate here is applied POST-distinct on the scored (small)
+    // candidate set — semantically identical to the registered
+    // pre-distinct placement (the gate is a deterministic pair
+    // predicate, so gate∘distinct = distinct∘gate), which is the
+    // whole point of this variant: it measures the GATED operator's
+    // recall without broadcasting the corpus's SQ8 codes
+    gate.fold(scored)(g => scored.filter(col("gcos") >= g))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** The probe-set variant's DISTINCT candidates, rescored but
+    * UNFILTERED — (vec_a, vec_b, cos, gcos) with gcos the SQ8
+    * pre-gate score. Split out so [[graft.PlantedRecallProbe]] can
+    * measure the gate's keep-rate on a representative sample of the
+    * full operator's candidate distribution (the probe side is a
+    * uniform id slice, independent of geometry) at corpus sizes
+    * where the full stream is unmeasurable by join.
+    */
+  private[graft] def probeSetCandidatesScored(emb: DataFrame,
       bands: Int, r: Int, t: Int, probeIds: Seq[Long]): DataFrame = {
+    // stage the EMBEDDINGS only and compute signatures INLINE in the
+    // index explode: at the r15 dials the sig array is `bands` ints
+    // per row (4 KB at B = 1024), and staging it for a 10M-rep
+    // corpus is ~40 GB of DESERIALIZED storage (the localCheckpoint
+    // unroll convoy, NgramLM lesson); recomputing costs one fused
+    // pass in the only consumer that needs it.
     val e = graft.Materialize.stage(
-      emb.withColumn("sigs",
-        bandSignatureCols(col("embedding"), bands, r)),
-      eager = false)
+      emb.select(col("vec_id"), col("embedding")), eager = false)
     val small = e.filter(col("vec_id").isin(probeIds: _*))
     val idx = e.select(col("vec_id").as("i_vec"),
-      posexplode(col("sigs")).as(Seq("band", "bucket")))
+      posexplode(bandSignatureCols(col("embedding"), bands, r))
+        .as(Seq("band", "bucket")))
     val probes = small.select(col("vec_id").as("p_vec"),
         posexplode(graft.functions.HyperplaneProbes.hyperplane_probes(
           col("embedding"), bands, r, Dim, t)).as(Seq("pos", "bucket")))
@@ -942,8 +1060,10 @@ object Similarity {
       .join(e.select(col("vec_id").as("vec_b"),
         col("embedding").as("emb_b")), "vec_b")
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= 0.35)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .withColumn("gcos", graft.functions.Sq8Gate.sq8_cos(
+        graft.functions.Sq8Gate.sq8_pack(col("emb_a"), Dim),
+        graft.functions.Sq8Gate.sq8_pack(col("emb_b"), Dim)))
+      .select(col("vec_a"), col("vec_b"), col("cos"), col("gcos"))
   }
 
   /** The staged signature table every multiprobe pass reads — split
@@ -994,10 +1114,36 @@ object Similarity {
         greatest(col("p_vec"), col("i_vec")).as("vec_b"))
   }
 
+  /** SQ8 pre-gate over a candidate stream: the per-rep 64-byte codes
+    * ([[graft.functions.Sq8Gate.sq8_pack]]) BROADCAST onto both
+    * endpoints (72 MB at 1M reps, ~720 MB at 10M — map-side joinable
+    * at every single-box scale; past ~100M reps the codes would ride
+    * the index rows instead) and sub-τ candidates drop inside the
+    * bucket join's pipeline — the pre-gate stream never reaches the
+    * dedup exchange or disk. Shared with [[graft.CandidateMassProbe]]
+    * so measured post-gate mass is the registered relation's.
+    */
+  private[graft] def gatedStream(e: DataFrame, stream: DataFrame,
+      gate: Option[Double]): DataFrame =
+    gate.fold(stream) { g =>
+      val gt = e.select(col("vec_id"),
+        graft.functions.Sq8Gate.sq8_pack(col("embedding"), Dim).as("q8"))
+      stream
+        .join(broadcast(gt.select(col("vec_id").as("vec_a"),
+          col("q8").as("q8_a"))), "vec_a")
+        .join(broadcast(gt.select(col("vec_id").as("vec_b"),
+          col("q8").as("q8_b"))), "vec_b")
+        .filter(graft.functions.Sq8Gate.sq8_cos(
+          col("q8_a"), col("q8_b")) >= g)
+        .select(col("vec_a"), col("vec_b"))
+    }
+
   private def multiProbeCore(emb: DataFrame, bands: Int, r: Int,
-      t: Int, minMax: Option[Long]): DataFrame = {
+      t: Int, minMax: Option[Long],
+      gate: Option[Double] = None): DataFrame = {
     val e = sigTableOf(emb, bands, r)
-    val cand = candidateStreamOf(e, bands, r, t, minMax).distinct()
+    val cand = gatedStream(e,
+      candidateStreamOf(e, bands, r, t, minMax), gate).distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a")), "vec_a")

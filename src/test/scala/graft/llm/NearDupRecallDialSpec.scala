@@ -65,15 +65,15 @@ class NearDupRecallDialSpec extends SparkSpec {
       assert(Similarity.nearDupDialFor(spark, reps) ==
         (2 * Similarity.NearDupBands,
           Similarity.nearDupRepPlanesFor(reps) + 1, 3))
-      // r13 re-rule: past 2^18 reps the high dial doubles bands at
-      // the SAME r (0.943/0.946 planted at 1M/10M, where the old
-      // r+1 escalation measured 0.902) — deepening r past the cap
-      // buys negative recall per unit cost. (conf is still "high".)
-      assert(Similarity.nearDupDialFor(spark, 1000000L) == (256, 16, 3))
-      assert(Similarity.nearDupDialFor(spark, 10000000L) == (256, 16, 3))
+      // past 2^18 reps the high dial doubles bands at the SAME r
+      // (the r13 lesson kept under the r15 uncapped rule: deepening
+      // r costs more collisions than its halved occupancy buys).
+      // (conf is still "high".)
+      assert(Similarity.nearDupDialFor(spark, 1000000L) == (512, 18, 3))
+      assert(Similarity.nearDupDialFor(spark, 10000000L) == (2048, 22, 3))
       spark.conf.unset("spark.graft.neardup.recall")
-      assert(Similarity.nearDupDialFor(spark, 1000000L) == (128, 16, 3))
-      assert(Similarity.nearDupDialFor(spark, 10000000L) == (128, 16, 3))
+      assert(Similarity.nearDupDialFor(spark, 1000000L) == (256, 18, 3))
+      assert(Similarity.nearDupDialFor(spark, 10000000L) == (1024, 22, 3))
       spark.conf.set("spark.graft.neardup.recall", "maximal")
       intercept[IllegalArgumentException] {
         Similarity.nearDupDialFor(spark, reps)

@@ -470,29 +470,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("rep-sized dial: bitLen-2 capped at 16; bands double past 2^18") {
-    // the r12 rule (1M-rep planted grid, BASELINE.md): r = bitLen-2
-    // in [5, 16] — the r11 30-cap decayed to recall 0.626 at n=1M
-    // (q^r falls exponentially) — and past the cap the BAND count
-    // doubles with t=3, holding 0.867 measured at 1M
+  test("rep-sized dial: r = bitLen-2 uncapped; bands double per 2 bits of r") {
+    // the r15 rule (BASELINE.md round-15 grid): r = bitLen-2 at
+    // every scale — λ = n/2^r in [2, 4) forever (the r12 cap froze
+    // recall but made candidate mass quadratic: r14 measured 15.3B
+    // rows / DNF at 1M reps) — and past 2^18 reps the BAND count
+    // doubles per 2 bits of r with t=3 plus the SQ8 pre-gate: the
+    // n^1.5 LSH trade
     val cases = Seq(0L -> 5, 1L -> 5, 127L -> 5, 128L -> 6, 500L -> 7,
-      2000L -> 9, 62000L -> 14, 200000L -> 16, 2000000L -> 16,
-      (1L << 40) -> 16)
+      2000L -> 9, 62000L -> 14, 200000L -> 16, 1000000L -> 18,
+      2000000L -> 19, 10000000L -> 22, (1L << 40) -> 39)
     cases.foreach { case (n, want) =>
       assert(Similarity.nearDupRepPlanesFor(n) == want,
         s"nearDupRepPlanesFor($n) = ${Similarity.nearDupRepPlanesFor(n)}, want $want")
     }
-    // occupancy invariant below the cap: λ = n/2^r in [2, 4)
-    Seq(1000L, 62000L, 200000L).foreach { n =>
+    // occupancy invariant at EVERY scale now: λ = n/2^r in [2, 4)
+    Seq(1000L, 62000L, 200000L, 1000000L, 10000000L, 1L << 30).foreach { n =>
       val lam = n.toDouble / (1L << Similarity.nearDupRepPlanesFor(n))
       assert(lam >= 2.0 && lam < 4.0, s"n=$n λ=$lam drifted from [2, 4)")
     }
-    // the full dial: registered corpora keep the r11 point exactly;
-    // the big regime doubles bands at the measured 1M operating point
+    // the full dial: registered corpora keep the r11 point exactly
+    // (oracle-pinned); past 2^18 reps bands double per 2 bits of r
     assert(Similarity.nearDupRepDialFor(200000L) == (64, 16, 2))
-    assert(Similarity.nearDupRepDialFor(1000000L) == (128, 16, 3))
-    assert(Similarity.nearDupRepDialFor(262144L) == (128, 16, 3))
     assert(Similarity.nearDupRepDialFor(262143L) == (64, 16, 2))
+    assert(Similarity.nearDupRepDialFor(262144L) == (256, 17, 3))
+    assert(Similarity.nearDupRepDialFor(1000000L) == (256, 18, 3))
+    assert(Similarity.nearDupRepDialFor(2000000L) == (512, 19, 3))
+    assert(Similarity.nearDupRepDialFor(3000000L) == (512, 20, 3))
+    assert(Similarity.nearDupRepDialFor(10000000L) == (1024, 22, 3))
+    // the gate rides exactly the band-doubling branch
+    assert(Similarity.nearDupGateFor(262143L).isEmpty)
+    assert(Similarity.nearDupGateFor(262144L)
+      .contains(Similarity.NearDupGateTau))
+    // the mass model the guard projects with: validated to 2% by the
+    // r14 probe at the capped 1M point (15,303,720,739 measured)
+    val projected = Similarity.nearDupProjectedCandidates(
+      1000000L, 128, 16, 3)
+    assert(math.abs(projected - 15.3e9) / 15.3e9 < 0.03,
+      s"mass model drifted: $projected")
   }
 
   test("LSH top-k is a subset of same-bucket exact ranking; reports recall") {

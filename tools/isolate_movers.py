@@ -111,19 +111,26 @@ def main():
     print("|---|---|---|---|---|---|---|")
     for name, osec, nsec, ratio in mv:
         res = run_isolated(name, args.run, args.reps, args.out_dir, repo_root)
+
+        def pair(ctl, kind):
+            a, b = ctl.get(f"{kind}_pre"), ctl.get(f"{kind}_post")
+            if a is None or b is None:
+                return "-"
+            return f"{a:.2f}/{b:.2f}"
+
         if res is None or res[0] is None:
             failures += 1
+            # a query failure with healthy controls is a query bug; a
+            # failure with degraded controls is box state — print
+            # whatever controls the per-query JSON returned so the
+            # FAILED row still triages
+            ctl = res[1] if res is not None and len(res) > 1 and res[1] else {}
             print(f"| {name} | {osec:.2f} | {nsec:.2f} | {ratio:.2f}x | "
-                  f"FAILED | | |")
+                  f"FAILED | {pair(ctl, 'scan')} | {pair(ctl, 'write')} |")
         else:
             iso, ctl = res
-            def pair(kind):
-                a, b = ctl.get(f"{kind}_pre"), ctl.get(f"{kind}_post")
-                if a is None or b is None:
-                    return "-"
-                return f"{a:.2f}/{b:.2f}"
             print(f"| {name} | {osec:.2f} | {nsec:.2f} | {ratio:.2f}x | "
-                  f"{iso:.2f} s | {pair('scan')} | {pair('write')} |")
+                  f"{iso:.2f} s | {pair(ctl, 'scan')} | {pair(ctl, 'write')} |")
     return 1 if failures else 0
 
 
