@@ -59,9 +59,9 @@ import org.apache.spark.sql.functions._
   * n-invariant junk geometry; PlantedRecallProbe cross-checks it at
   * 10M on the probe-set candidate sample).
   *
-  * Round-15 dial points: default 1M = (256, 18, 3); high 1M =
-  * (512, 18, 3); default 10M = (1024, 22, 3); high 10M =
-  * (2048, 22, 3); the r14 capped contrast (128, 16, 3) at 1M and the
+  * Round-15 dial points: default 1M = (362, 18, 3); high 1M =
+  * (724, 18, 3); default 10M = (1448, 22, 3); high 10M =
+  * (2896, 22, 3); the r14 capped contrast (128, 16, 3) at 1M and the
   * fixed-λ contrast (128, 20, 3) at 10M.
   */
 object CandidateMassProbe {
@@ -210,7 +210,12 @@ object CandidateMassProbe {
     }
 
     if (full) {
-      Thread.sleep(2000)
+      // the count pass's join shuffle (~20 GB at the 1M default
+      // dial) is freed only when its ShuffleDependency is GC'd;
+      // without an explicit GC an 80 g heap may never collect it
+      // before the full pass needs the disk
+      System.gc()
+      Thread.sleep(5000)
       shufWrite.set(0L); spilled.set(0L)
       val gate = graft.llm.Similarity.nearDupGateFor(n)
       val t0 = System.nanoTime()

@@ -665,10 +665,16 @@ object Similarity {
     *    byte-identical to every round since r11 (the oracle-pinned
     *    regime: all registered corpora live here);
     *  - beyond: r = bitLen − 2 UNCAPPED (λ ∈ [2, 4) forever) with
-    *    BANDS DOUBLING per 2 bits of r past 16 — B = 64·2^(1+⌈(r−16)/2⌉)
-    *    (r 17–18 → 256, 19–20 → 512, 21–22 → 1024, …), t = 3, plus
-    *    the SQ8 candidate pre-gate ([[nearDupGateFor]]). Candidate
-    *    mass is n·B·(t+1)·λ·2 pre-gate with B ∝ √(n/2^18) — the
+    *    bands on the √2-INTERPOLATED doubling curve — B =
+    *    round(256·2^((bitLen−19)/2)): 256, 362, 512, 724, 1024, 1448
+    *    for bitLen 19–24 — t = 3, plus the SQ8 candidate pre-gate
+    *    ([[nearDupGateFor]]). Bands need not be powers of two (a
+    *    band is just an r-plane group of the deterministic family),
+    *    and the half-step matters: with B restricted to 2^k, recall
+    *    sawtooths ~0.05 between even and odd bitLens (r deepens
+    *    every bit, B doubles every other) — the √2 steps hold the
+    *    planted-recall model flat to ~0.007/bit (round-15 grid).
+    *    Candidate mass is n·B·(t+1)·λ·2 pre-gate with B ∝ √n — the
     *    classic n^(1+ρ) ≈ n^1.5 LSH trade instead of the capped
     *    dial's n² (r14: 15.3 B rows / DNF at 1M; ~1.5 T at 10M).
     *    Recall and mass at 1M/10M for this rule are the round-15
@@ -685,9 +691,9 @@ object Similarity {
       (NearDupBands, nearDupRepPlanesFor(reps), NearDupProbes)
     else {
       val r = nearDupRepPlanesFor(reps)
-      // one band doubling per 2 bits of r past the old cap:
-      // (r−15)/2 = 1 for r∈{17,18}, 2 for {19,20}, 3 for {21,22}…
-      (NearDupBands << (1 + (r - 15) / 2), r, 3)
+      val b = math.round(4 * NearDupBands *
+        math.pow(2.0, (bitLen - 19) / 2.0)).toInt
+      (b, r, 3)
     }
   }
 
@@ -1144,11 +1150,22 @@ object Similarity {
     val e = sigTableOf(emb, bands, r)
     val cand = gatedStream(e,
       candidateStreamOf(e, bands, r, t, minMax), gate).distinct()
+    // in the gated (past-2^18) branch the embedding table already
+    // broadcasts for the gate (SQ8 codes), and the candidate side is
+    // the big one (~10^9 rows at 1M reps) — broadcasting the float
+    // embeddings too (~300 MB at 1M) deletes BOTH rescore exchanges
+    // of the candidate stream, the second-largest disk cost of the
+    // full shape after the pair-dedup. Below the branch the rescore
+    // stays a plain equi-join (registered plans untouched; tiny
+    // corpora auto-broadcast under AQE anyway).
+    val side = (name: String) => {
+      val p = e.select(col("vec_id").as(name),
+        col("embedding").as(name.replace("vec", "emb")))
+      if (gate.isDefined) broadcast(p) else p
+    }
     cand
-      .join(e.select(col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b")), "vec_b")
+      .join(side("vec_a"), "vec_a")
+      .join(side("vec_b"), "vec_b")
       .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))

@@ -69,11 +69,11 @@ class NearDupRecallDialSpec extends SparkSpec {
       // (the r13 lesson kept under the r15 uncapped rule: deepening
       // r costs more collisions than its halved occupancy buys).
       // (conf is still "high".)
-      assert(Similarity.nearDupDialFor(spark, 1000000L) == (512, 18, 3))
-      assert(Similarity.nearDupDialFor(spark, 10000000L) == (2048, 22, 3))
+      assert(Similarity.nearDupDialFor(spark, 1000000L) == (724, 18, 3))
+      assert(Similarity.nearDupDialFor(spark, 10000000L) == (2896, 22, 3))
       spark.conf.unset("spark.graft.neardup.recall")
-      assert(Similarity.nearDupDialFor(spark, 1000000L) == (256, 18, 3))
-      assert(Similarity.nearDupDialFor(spark, 10000000L) == (1024, 22, 3))
+      assert(Similarity.nearDupDialFor(spark, 1000000L) == (362, 18, 3))
+      assert(Similarity.nearDupDialFor(spark, 10000000L) == (1448, 22, 3))
       spark.conf.set("spark.graft.neardup.recall", "maximal")
       intercept[IllegalArgumentException] {
         Similarity.nearDupDialFor(spark, reps)

@@ -490,14 +490,17 @@ class SimilaritySpec extends SparkSpec {
       assert(lam >= 2.0 && lam < 4.0, s"n=$n λ=$lam drifted from [2, 4)")
     }
     // the full dial: registered corpora keep the r11 point exactly
-    // (oracle-pinned); past 2^18 reps bands double per 2 bits of r
+    // (oracle-pinned); past 2^18 reps bands ride the sqrt-2
+    // interpolated doubling curve (B = round(256*2^((bitLen-19)/2)) —
+    // power-of-2-only band counts sawtooth recall ~0.05 between even
+    // and odd bitLens)
     assert(Similarity.nearDupRepDialFor(200000L) == (64, 16, 2))
     assert(Similarity.nearDupRepDialFor(262143L) == (64, 16, 2))
     assert(Similarity.nearDupRepDialFor(262144L) == (256, 17, 3))
-    assert(Similarity.nearDupRepDialFor(1000000L) == (256, 18, 3))
+    assert(Similarity.nearDupRepDialFor(1000000L) == (362, 18, 3))
     assert(Similarity.nearDupRepDialFor(2000000L) == (512, 19, 3))
-    assert(Similarity.nearDupRepDialFor(3000000L) == (512, 20, 3))
-    assert(Similarity.nearDupRepDialFor(10000000L) == (1024, 22, 3))
+    assert(Similarity.nearDupRepDialFor(3000000L) == (724, 20, 3))
+    assert(Similarity.nearDupRepDialFor(10000000L) == (1448, 22, 3))
     // the gate rides exactly the band-doubling branch
     assert(Similarity.nearDupGateFor(262143L).isEmpty)
     assert(Similarity.nearDupGateFor(262144L)
