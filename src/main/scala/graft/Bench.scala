@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — one JSON line on stdout (driver contract).
   *
@@ -38,6 +38,84 @@ object Bench {
     "spark.executor.heartbeatInterval" -> "60s",
     "spark.executor.heartbeat.maxFailures" -> "240",
     "spark.network.timeout" -> "3600s")
+
+  /** One query's bench outcome. `error` carries the FIRST failing
+    * rep's diagnostic — "ClassName: msg @ topFrame (rep N)". This
+    * exists because the r15 driver artifact reported
+    * `failed:["q_dedup_cluster_stats"]` and nothing else: the
+    * exception went to stderr only, the driver's log tail didn't
+    * retain it, and the flake became undiagnosable after the fact
+    * (VERDICT r15 item 1). A failure's evidence must live IN the
+    * artifact.
+    */
+  final case class QueryResult(name: String, min: Double, ok: Boolean,
+      rep1: Double, error: Option[String])
+
+  /** Compact one-line diagnostic for a failed rep: exception class,
+    * first line of the message (bounded — Spark messages can embed
+    * whole plans), the topmost stack frame, and which rep died.
+    */
+  def describeFailure(e: Throwable, rep: Int): String = {
+    val cls = e.getClass.getSimpleName
+    val msg = Option(e.getMessage).getOrElse("")
+      .linesIterator.take(1).mkString.take(300)
+    val frame = e.getStackTrace.headOption
+      .map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+      .getOrElse("<no frame>")
+    s"$cls: $msg @ $frame (rep $rep)"
+  }
+
+  /** Minimal JSON string escaper (quotes, backslashes, control
+    * chars) — exception messages are arbitrary text and must not be
+    * able to break the artifact's one-line JSON contract.
+    */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case '\n'          => "\\n"
+    case '\r'          => "\\r"
+    case '\t'          => "\\t"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
+  /** The timed per-query loop, extracted so a spec can force a
+    * failing query through it and assert the diagnostic lands in the
+    * artifact (it cannot be injected via main — the query set there
+    * is SparkEntry's).
+    */
+  def runQueries(spark: SparkSession, sfDir: String,
+      selected: Seq[(String, (SparkSession, String) => DataFrame)],
+      reps: Int, force: DataFrame => Unit): Seq[QueryResult] =
+    selected.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { rep =>
+        val t0 = System.nanoTime()
+        val outcome =
+          try { force(fn(spark, sfDir)); None }
+          catch { case e: Throwable =>
+            val desc = describeFailure(e, rep)
+            System.err.println(s"[bench] $name failed: $desc")
+            Some(desc)
+          }
+        ((System.nanoTime() - t0) / 1e9, outcome)
+      }
+      // a query that failed in ANY rep is reported failed, not timed;
+      // the recorded diagnostic is the first failing rep's
+      QueryResult(name, times.map(_._1).min, times.forall(_._2.isEmpty),
+        times.head._1, times.flatMap(_._2).headOption)
+    }
+
+  /** `"failed":[...]` (the name list the driver parses — shape
+    * unchanged since r4) plus `"failed_errors":{name:diagnostic}`.
+    */
+  def failedFields(results: Seq[QueryResult]): String = {
+    val bad = results.filterNot(_.ok)
+    val failed = bad.map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val errors = bad.map { r =>
+      "\"" + r.name + "\":\"" + jsonEscape(r.error.getOrElse("unknown")) + "\""
+    }.mkString("{", ",", "}")
+    s""""failed":$failed,"failed_errors":$errors"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,32 +234,18 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9)
       }
 
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { force(fn(spark, sfDir)); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      // a query that failed in ANY rep is reported failed, not timed
-      (name, times.map(_._1).min, times.forall(_._2), times.head._1)
-    }
+    val results = runQueries(spark, sfDir, selected.toSeq, reps, force)
     // a crashed query must not silently improve the total: it is
     // omitted from `queries` (so sum(queries) == value always holds)
-    // and surfaced by name in `failed`
-    val qs = results.collect { case (k, v, true, _) => "\"" + k + "\":" + v }
+    // and surfaced in `failed` (name list, the shape the driver
+    // parses) + `failed_errors` (the per-query diagnostic)
+    val qs = results.collect { case r if r.ok => "\"" + r.name + "\":" + r.min }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case r if r.ok => r.min }.sum
     // total_rep1 = sum of FIRST-rep times: directly comparable to the
     // single-rep sampling earlier rounds reported, so the min-of-n
     // switch doesn't break round-over-round continuity
-    val totalRep1 = results.collect { case (_, _, true, f) => f }.sum
+    val totalRep1 = results.collect { case r if r.ok => r.rep1 }.sum
     val setup = setupTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val postControls = safeControlPair("post")
@@ -195,7 +259,7 @@ object Bench {
     val controls =
       if (controlFields.isEmpty) ""
       else controlFields.mkString(""","controls":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_rep1":$totalRep1,"setup":$setup,"queries":$qs,"failed":$failed$controls,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"total_rep1":$totalRep1,"setup":$setup,"queries":$qs,${failedFields(results)}$controls,"sf":"$sfDir"}"""
     println(line)
     // durable full artifact: the driver's BENCH_r0N.json keeps only a
     // truncated log tail, so also write the complete JSON to a file

@@ -133,9 +133,12 @@ object CandidateMassProbe {
           .groupBy(col("band"), col("bucket"))
           .agg(count(lit(1)).as("pi"))
         val t0 = System.nanoTime()
+        // coalesce: sum() over an EMPTY sampled join is NULL — a large
+        // sample divisor S on a small corpus must report zero, not NPE
+        // (ADVICE r15)
         val row = idxC.join(prbC, Seq("band", "bucket"))
-          .agg(sum(col("ci") * col("pi")).as("cp"),
-            sum(col("ci")).as("c")).head()
+          .agg(coalesce(sum(col("ci") * col("pi")), lit(0L)).as("cp"),
+            coalesce(sum(col("ci")), lit(0L)).as("c")).head()
         val sec = (System.nanoTime() - t0) / 1e9
         val streamSampled = row.getLong(0) - row.getLong(1)
         val stream = streamSampled * s.toLong

@@ -47,10 +47,13 @@ case class DeflateCheck(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = "graft.functions.DeflateCheck"
+    // freshName: duplicate hardcoded locals across fused instances
+    // fail Janino and drop to interpreted eval (ADVICE r15, Sq8Gate)
+    val res = ctx.freshName("res")
     nullSafeCodeGen(ctx, ev, c => s"""
-       |Object r = $f.compute($c);
-       |if (r == null) { ${ev.isNull} = true; }
-       |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+       |Object $res = $f.compute($c);
+       |if ($res == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $res; }
      """.stripMargin)
   }
 

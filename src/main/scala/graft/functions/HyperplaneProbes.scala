@@ -46,7 +46,8 @@ case class HyperplaneProbes(child: Expression, bands: Int, r: Int,
       if (bands < 1) TypeCheckResult.TypeCheckFailure(
         s"hyperplane_probes: bands must be >= 1, got $bands")
       // r <= 31 keeps the r-bit bucket a non-negative Int (bit r-1 is
-      // the highest set); the engine's dials clamp to 30
+      // the highest set); the dials respect this ceiling —
+      // nearDupRepPlanesFor clamps at 31, nearDupPlanesFor at 30
       else if (r < 1 || r > 31) TypeCheckResult.TypeCheckFailure(
         s"hyperplane_probes: r must be in [1, 31], got $r")
       else if (dim < 1) TypeCheckResult.TypeCheckFailure(
@@ -61,12 +62,17 @@ case class HyperplaneProbes(child: Expression, bands: Int, r: Int,
   override protected def nullSafeEval(input: Any): Any =
     HyperplaneProbes.compute(input.asInstanceOf[ArrayData], bands, r, dim, t)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName (not a hardcoded local): two instances fused into one
+    // codegen scope would declare duplicate locals, fail Janino, and
+    // silently fall back to interpreted eval (ADVICE r15, Sq8Gate)
+    val res = ctx.freshName("res")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |Object r = graft.functions.HyperplaneProbes.compute($c, $bands, $r, $dim, $t);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      |Object $res = graft.functions.HyperplaneProbes.compute($c, $bands, $r, $dim, $t);
+      |if ($res == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }
     """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneProbes =
     copy(child = newChild)

@@ -34,8 +34,20 @@ case class HyperplaneSigs(child: Expression, bands: Int, r: Int, dim: Int)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  // config validated at analysis time, mirroring [[HyperplaneProbes]]
+  // (ADVICE r15: this expression had NO r check — `1 << j` wraps
+  // silently past bit 31, corrupting buckets instead of failing)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) =>
+      if (bands < 1) TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sigs: bands must be >= 1, got $bands")
+      // r <= 31 keeps the r-bit bucket a non-negative Int; the dials
+      // respect this ceiling (nearDupRepPlanesFor clamps at 31)
+      else if (r < 1 || r > 31) TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sigs: r must be in [1, 31], got $r")
+      else if (dim < 1) TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sigs: dim must be >= 1, got $dim")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"hyperplane_sigs requires array<float>, got ${other.catalogString}")
   }
@@ -43,12 +55,17 @@ case class HyperplaneSigs(child: Expression, bands: Int, r: Int, dim: Int)
   override protected def nullSafeEval(input: Any): Any =
     HyperplaneSigs.compute(input.asInstanceOf[ArrayData], bands, r, dim)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName (not a hardcoded local): two instances fused into one
+    // codegen scope would declare duplicate locals, fail Janino, and
+    // silently fall back to interpreted eval (ADVICE r15, Sq8Gate)
+    val res = ctx.freshName("res")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |Object r = graft.functions.HyperplaneSigs.compute($c, $bands, $r, $dim);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      |Object $res = graft.functions.HyperplaneSigs.compute($c, $bands, $r, $dim);
+      |if ($res == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }
     """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)

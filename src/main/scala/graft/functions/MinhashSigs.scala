@@ -44,12 +44,16 @@ case class MinhashSigs(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     MinhashSigs.compute(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: duplicate hardcoded locals across fused instances
+    // fail Janino and drop to interpreted eval (ADVICE r15, Sq8Gate)
+    val res = ctx.freshName("res")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |Object r = graft.functions.MinhashSigs.compute($c);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      |Object $res = graft.functions.MinhashSigs.compute($c);
+      |if ($res == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }
     """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
     copy(child = newChild)

@@ -22,10 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   *    are not).
   *  - [[Sq8Cos]]: cosine of two packed codes in ONE fused integer
   *    loop (dot, na, nb as longs; one sqrt at the end). |sq8cos −
-  *    cos| stays well under 0.02 on these corpora (Sq8GateSpec
-  *    asserts a 0.02 bound), so gating candidates at 0.30 before the
-  *    pair-dedup exchange cannot drop a pair the registered 0.35
-  *    cosine gate would keep.
+  *    cos| is < 0.02 empirically on dense embedding-like vectors
+  *    (Sq8GateSpec asserts the bound on random vectors), but the
+  *    STRUCTURAL worst case is 2·√dim/254 ≈ 0.063 at dim 64,
+  *    approached by spike-dominated vectors whose sub-LSB tail mass
+  *    all rounds away ([[graft.llm.Similarity.sq8ErrBound]];
+  *    Sq8GateSpec's adversarial case exhibits it past 0.02). The
+  *    gate threshold is therefore DERIVED — 0.35 − sq8ErrBound(dim)
+  *    — so "the pre-gate cannot drop a pair the registered 0.35
+  *    cosine gate would keep" holds for ANY input, not just
+  *    corpora that resemble the empirical measurement (ADVICE r15).
   *
   * Why a gate at all: past the r-cap the LSH bucket stream is
   * λ-junk-dominated (r14: 15.3 B candidate rows at 1M reps) and the
@@ -57,12 +63,18 @@ case class Sq8Pack(child: Expression, dim: Int) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     Sq8Gate.pack(input.asInstanceOf[ArrayData], dim)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName, not a hardcoded local: two sq8 expressions fused into
+    // one codegen scope (sq8_cos(sq8_pack(a), sq8_pack(b))) would
+    // otherwise declare duplicate `r`s, fail Janino, and silently fall
+    // back to interpreted eval (ADVICE r15)
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |Object r = graft.functions.Sq8Gate.pack($c, $dim);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = (byte[]) r; }
+      |Object $r = graft.functions.Sq8Gate.pack($c, $dim);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = (byte[]) $r; }
     """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Sq8Pack =
     copy(child = newChild)
@@ -87,12 +99,14 @@ case class Sq8Cos(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any =
     Sq8Gate.cos(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("r")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |Object r = graft.functions.Sq8Gate.cos($a, $b);
-      |if (r == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+      |Object $r = graft.functions.Sq8Gate.cos($a, $b);
+      |if ($r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
     """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Sq8Cos = copy(left = newLeft, right = newRight)

@@ -653,7 +653,18 @@ object Similarity {
     // kills the residual λ-junk map-side before the pair-dedup
     // exchange. Below 2^18 reps nothing changes (bitLen − 2 ≤ 16
     // there — the registered-corpora regime, oracle-pinned).
-    math.max(5, bitLen - 2)
+    //
+    // CEILING at 31: an r-bit band bucket is a non-negative Int in
+    // the hyperplane kernels (HyperplaneSigs/HyperplaneProbes reject
+    // r > 31 — bit 31 would sign-flip the bucket, and 1 << j wraps
+    // past it). "Uncapped" therefore means uncapped across every
+    // physically runnable scale: the ceiling binds only past 2^33
+    // DISTINCT reps (~8.6 B distinct embeddings — beyond any
+    // single-corpus regime this engine claims), where λ resumes
+    // growing with n and [[nearDupMassGuard]] prices that growth and
+    // refuses past budget naming pre-bucketing, instead of the dial
+    // silently promising an r no kernel can execute (ADVICE r15).
+    math.max(5, math.min(31, bitLen - 2))
   }
 
   /** The FULL (bands, r, probes) rule from the DISTINCT-rep count —
@@ -697,19 +708,49 @@ object Similarity {
     }
   }
 
+  /** Worst-case SQ8 cosine error bound at dimension d (ADVICE r15):
+    * per-component quantization error is ≤ max|v|/254 (floor-half-up
+    * at scale 127/max|v|), so the quantized vector sits within an
+    * L2 ball of radius √d·max|v|/254 around the true one — an angle
+    * perturbation of at most √d·max|v|/(254·‖v‖) ≤ √d/254 per
+    * vector, with equality approached by SPIKE-DOMINATED vectors
+    * (‖v‖ → max|v|, the sub-LSB tail mass all rounds away). Cosine
+    * moves by at most the sum of the two angle perturbations:
+    * 2√d/254 — 0.063 at dim 64. The EMPIRICAL error on dense
+    * embedding-like corpora is an order smaller (< 0.02, Sq8GateSpec
+    * random vectors), but a gate margin sized to the empirical
+    * figure silently loses true pairs on adversarial or highly
+    * skewed corpora — so the margin is derived from THIS bound.
+    */
+  def sq8ErrBound(dim: Int): Double = 2.0 * math.sqrt(dim.toDouble) / 254.0
+
   /** SQ8 pre-gate threshold: candidates whose int8-quantized cosine
     * ([[graft.functions.Sq8Gate]]) falls below this are dropped
-    * BEFORE the pair-dedup exchange. 0.05 under the 0.35 scoring
-    * gate — far beyond the quantizer's error (|sq8cos − cos| < 0.02
-    * asserted in Sq8GateSpec), so no pair the final gate would keep
-    * is lost; bucket-junk (posterior mean angle ~80° given r sign
-    * agreements) keeps only ~10% (round-15 mass grid, BASELINE.md).
+    * BEFORE the pair-dedup exchange. DERIVED: the 0.35 scoring gate
+    * minus the worst-case quantizer bound [[sq8ErrBound]] (0.063 at
+    * dim 64 → tau ≈ 0.287), so "the pre-gate cannot drop a pair the
+    * final gate keeps" is STRUCTURAL for any input — including
+    * spike-dominated vectors whose error exceeds the empirical
+    * < 0.02 (ADVICE r15; the r15 shipped 0.30 was safe empirically
+    * but not adversarially). The price is a slightly higher junk
+    * keep-rate at the boundary (~0.01 of gate-band mass vs 0.30 on
+    * the isotropic probe corpus); [[nearDupMassGuard]]'s worst-case
+    * keep default prices the exchange independently of it.
     */
-  val NearDupGateTau = 0.30
+  val NearDupGateTau = 0.35 - sq8ErrBound(Dim)
 
-  /** Measured junk keep-rate of the SQ8 pre-gate — used only by
-    * [[nearDupMassGuard]]'s projection (round-15 CandidateMassProbe
-    * grid, BASELINE.md).
+  /** Measured junk keep-rate of the SQ8 pre-gate on the ISOTROPIC
+    * synthetic probe corpus (round-15 CandidateMassProbe grid,
+    * BASELINE.md: keep 0.117 at 1M reps). This is the measured
+    * best-case reference figure, NOT what [[nearDupMassGuard]]
+    * assumes: clustered/correlated real corpora keep far more junk
+    * (bucket-mates of a clustered corpus sit at smaller angles, so
+    * more of them clear the 0.30 quantized-cosine bar), and a guard
+    * projecting with an optimistic keep under-projects the exchange
+    * by up to ~1/keep — re-admitting exactly the DNF it exists to
+    * prevent (ADVICE r15). The guard therefore defaults to worst-case
+    * keep = 1.0; a per-corpus measured keep-rate is claimed via
+    * `spark.graft.neardup.gateKeep`.
     */
   val NearDupGateKeep = 0.12
 
@@ -751,15 +792,47 @@ object Similarity {
       r: Int, t: Int, gate: Option[Double]): Unit = {
     val budget = spark.conf.getOption("spark.graft.neardup.maxCandidateRows")
       .map(_.toDouble).getOrElse(1e11)
-    val projected = nearDupProjectedCandidates(reps, bands, r, t) *
-      (if (gate.isDefined) NearDupGateKeep else 1.0)
-    if (projected > budget) throw new IllegalStateException(
-      f"near-dup dial (B=$bands, r=$r, t=$t) over $reps%,d reps projects " +
-        f"$projected%,.0f candidate rows into the pair-dedup exchange, " +
-        f"over spark.graft.neardup.maxCandidateRows=$budget%,.0f. " +
-        "Collapse duplicate reps first (nearDupWithDupCollapse), " +
-        "pre-bucket the corpus, or raise the conf on a cluster sized " +
-        "for the shuffle.")
+    // post-gate keep-rate for the projection. Defaults to the WORST
+    // CASE (1.0): the measured 0.117 ([[NearDupGateKeep]]) comes from
+    // an isotropic synthetic corpus, and clustered real corpora keep
+    // far more — projecting with the optimistic figure would admit a
+    // job that still DNFs on shuffle disk, the exact r14 failure mode
+    // this guard exists to prevent (ADVICE r15). A keep-rate measured
+    // on the actual corpus (graft.CandidateMassProbe measures it
+    // exactly, without materializing the exchange) is claimed via
+    // the conf.
+    val keep = spark.conf.getOption("spark.graft.neardup.gateKeep")
+      .map(_.toDouble).getOrElse(1.0)
+    require(keep > 0.0 && keep <= 1.0,
+      s"spark.graft.neardup.gateKeep must be in (0, 1], got $keep")
+    val keepFactor = if (gate.isDefined) keep else 1.0
+    val projected = nearDupProjectedCandidates(reps, bands, r, t) * keepFactor
+    if (projected > budget) {
+      val dial = spark.conf.getOption("spark.graft.neardup.recall")
+        .getOrElse("default")
+      // price both dials in the refusal so the cost of the recall
+      // switch is visible HERE, not discovered at the exchange
+      // (VERDICT r15 item 8): in the past-2^18 branch high = 2B at
+      // the same r, i.e. ~2x the default's mass (measured 1.96x
+      // candidates and 7.4x wall at 1M reps for +0.079 recall).
+      val (db, dr, dt) = nearDupRepDialFor(reps)
+      val defProj = nearDupProjectedCandidates(reps, db, dr, dt) * keepFactor
+      val highProj = 2.0 * defProj
+      val gateNote =
+        if (gate.isDefined && keep == 1.0)
+          " Projection assumes worst-case gate keep=1.0; a keep-rate " +
+            "measured on this corpus (graft.CandidateMassProbe) can be " +
+            "claimed via spark.graft.neardup.gateKeep." else ""
+      throw new IllegalStateException(
+        f"near-dup dial '$dial' (B=$bands, r=$r, t=$t) over $reps%,d reps " +
+          f"projects $projected%,.0f candidate rows into the pair-dedup " +
+          f"exchange, over spark.graft.neardup.maxCandidateRows=" +
+          f"$budget%,.0f (this corpus: default dial projects " +
+          f"$defProj%,.0f, high $highProj%,.0f). " +
+          "Collapse duplicate reps first (nearDupWithDupCollapse), " +
+          "pre-bucket the corpus, or raise the conf on a cluster sized " +
+          "for the shuffle." + gateNote)
+    }
   }
 
   /** The (bands, r, probes) operating point for the registered
@@ -779,7 +852,14 @@ object Similarity {
     *    collisions than its halved occupancy buys (the q^r decay),
     *    while doubling width at fixed r is the pure-recall
     *    direction. Candidate-rescore mass is ~2× default (2B at the
-    *    same λ), matching this dial's documented price.
+    *    same λ), matching this dial's documented price. The MEASURED
+    *    price at 1M reps (round-15 planted grid, BASELINE.md):
+    *    recall 0.886 → 0.965 (+0.079) for 1.96× the candidate mass
+    *    and **7.4× the wall clock** (448.3 s vs 60.6 s on the probe
+    *    shape) — the wall multiplier outruns the mass multiplier
+    *    because the extra candidates concentrate in the densest
+    *    buckets. Budget for high accordingly; [[nearDupMassGuard]]
+    *    prices both dials in its refusal.
     *
     * The conf makes the measured trade executable without code edits
     * (the `autoBucketUs` discipline). The DuckDB oracle mirrors the

@@ -479,7 +479,11 @@ class SimilaritySpec extends SparkSpec {
     // n^1.5 LSH trade
     val cases = Seq(0L -> 5, 1L -> 5, 127L -> 5, 128L -> 6, 500L -> 7,
       2000L -> 9, 62000L -> 14, 200000L -> 16, 1000000L -> 18,
-      2000000L -> 19, 10000000L -> 22, (1L << 40) -> 39)
+      2000000L -> 19, 10000000L -> 22,
+      // Int-bucket ceiling: the kernels reject r > 31 (bit 31 would
+      // sign-flip the bucket), so the dial pins there — λ resumes
+      // growing past 2^33 reps and the mass guard prices it
+      (1L << 33) -> 31, (1L << 40) -> 31)
     cases.foreach { case (n, want) =>
       assert(Similarity.nearDupRepPlanesFor(n) == want,
         s"nearDupRepPlanesFor($n) = ${Similarity.nearDupRepPlanesFor(n)}, want $want")
