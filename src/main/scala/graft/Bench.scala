@@ -137,9 +137,15 @@ object Bench {
       // 7). A stale-warehouse hazard doesn't exist: reuse is keyed
       // on the source fingerprint (path + file count + bytes + max
       // mtime), so regenerated testdata re-renders regardless of
-      // where the warehouse lives.
+      // where the warehouse lives. PER-SCALE directory: the bucketed
+      // table NAMES are fixed, so benches at different scale factors
+      // sharing one warehouse thrash each other's render (an sf0.001
+      // smoke between two sf0.1 attempts re-rendered the sf0.1
+      // tables — 14.4 s of setup the marker exists to avoid).
       .config("spark.sql.warehouse.dir",
-        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          "/tmp/graft_warehouse_" +
+            new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")))
       // In local mode the executor heartbeat is pure liveness noise —
       // executor and driver share one JVM, so a "lost" heartbeat can
       // only mean the driver RPC thread is momentarily starved (GC,
