@@ -84,7 +84,15 @@ object Bpe {
 
   private def trained(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[DataFrame]) = {
-    var words = wordTable(spark, sfDir)
+    // the word table is STAGED (r16): it is vocab-sized, but its
+    // lineage is the corpus-mass token explode + count — and every
+    // staged merge round (m1..m3) plus the final chain re-ran that
+    // lineage from the parquet scan, 4 corpus aggregation passes for
+    // one training run (measured at sf0.1, min-of-3: encode 1.55 →
+    // 1.14 s, segments 0.94 → 0.68, merges 0.75 → 0.56; the saved
+    // passes grow with corpus mass, the staged table only with
+    // vocabulary)
+    var words = graft.Materialize.stage(wordTable(spark, sfDir), eager = false)
     val merges = (1 to Rounds).map { r =>
       val m = graft.Materialize.stage(bestPair(words), eager = false)
       words = applyMerge(words, m)

@@ -263,7 +263,15 @@ object Similarity {
   def ivfMultiProbeTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val cents = firstNCentroids(e)
-    val assigned = assignWith(e, cents)
+    multiProbeTopKOf(e, cents, assignWith(e, cents))
+  }
+
+  /** Core of [[ivfMultiProbeTopK]] over an existing centroid set and
+    * assignment frame — lets [[annRecall]] share ONE centroid collect
+    * and ONE assignment pass between its ivf and multiprobe branches.
+    */
+  private[llm] def multiProbeTopKOf(e: DataFrame, cents: Array[Array[Float]],
+      assigned: DataFrame): DataFrame = {
     if (cents.isEmpty)
       // empty corpus: no cells to rank; the single-probe path already
       // yields the correct empty result
@@ -1554,7 +1562,12 @@ object Similarity {
       bruteForceTopK(spark, sfDir).select(col("query_id"), col("neighbor_id")))
     def branch(method: String, approx: DataFrame): DataFrame =
       exact
-        .join(approx.select(col("query_id").as("a_q"), col("neighbor_id").as("a_n")),
+        // broadcast: the approx side is ≤ K·NumQueries rows by
+        // construction (rank ≤ K filter), but the planner can't see
+        // that through the window — unhinted it picked a SortMergeJoin
+        // (2 Exchanges + 2 Sorts per branch, 8 total; r16 plan audit)
+        .join(broadcast(
+            approx.select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))),
           col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"),
           "left")
         .groupBy(col("query_id"))
@@ -1569,9 +1582,16 @@ object Similarity {
           (col("total_hits").cast("double") / col("total_exact").cast("double"))
             .as("micro_recall"),
           col("min_recall"))
+    // ivf and multiprobe share ONE centroid collect and ONE
+    // assignment subtree (r16: two identical firstNCentroids jobs and
+    // two assignWith map passes showed up in the plan as separate
+    // scans); outputs are identical to calling the public entries
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = firstNCentroids(e)
+    val assigned = assignWith(e, cents)
     branch("lsh", lshTopK(spark, sfDir))
-      .unionAll(branch("ivf", ivfTopK(spark, sfDir)))
-      .unionAll(branch("multiprobe", ivfMultiProbeTopK(spark, sfDir)))
+      .unionAll(branch("ivf", probeTopK(assigned)))
+      .unionAll(branch("multiprobe", multiProbeTopKOf(e, cents, assigned)))
       .unionAll(branch("pq", pqTopK(spark, sfDir)))
   }
 

@@ -435,7 +435,17 @@ object EventWindows {
   /** Core over any events frame; `bucketUs` is the as-of skew dial. */
   def attributionOf(ev: DataFrame,
       bucketUs: Long = Long.MaxValue): DataFrame = {
-    val enriched = attributionEnrichedOf(ev, bucketUs)
+    // STAGED (r16): the enrichment's output is one row per attributed
+    // purchase (small), but its lineage is the full three-way union +
+    // carry-stitched as-of window — and the firsts/lasts aggregates
+    // below each re-ran it (plan audit: 6 events scans, the whole
+    // as-of subtree duplicated). One computation serves both
+    // (measured at sf0.1, min-of-5: 0.82 → 0.69 s). Contrast
+    // entryExitOf, where staging the event-sized break table measured
+    // SLOWER than the duplicate recompute — stage only when the
+    // staged frame is small relative to its lineage.
+    val enriched = graft.Materialize.stage(
+      attributionEnrichedOf(ev, bucketUs), eager = false)
     val firsts = enriched.groupBy(col("first_page").as("page"))
       .agg(count(lit(1)).as("n_first"), dsum(col("value")).as("first_value"))
     val lasts = enriched.groupBy(col("last_page").as("page"))
