@@ -478,15 +478,33 @@ object Similarity {
     * Carbonell–Goldstein selection that stops the top of a dense
     * cluster from crowding out every other neighborhood. The
     * shortlist (top-[[MmrPool]] by cosine) is built by the same
-    * broadcast-queries corpus scan as [[bruteForceTopK]] and STAGED
-    * ([[graft.Materialize]]) because all [[MmrK]] greedy steps
-    * re-read it; each step is then a bounded join (≤ pool × selected
-    * rows per query) + one rank-1 window — the iteration is over K
-    * PLAN STAGES, not driver-side data. Ties break (score desc,
-    * neighbor_id asc). The oracle unrolls the K steps as CTEs, the
-    * [[ivfKmeansTopK]] discipline; scores stay bit-identical because
-    * cosine, max, and the two-literal blend are all fixed IEEE
-    * sequences on both engines.
+    * broadcast-queries corpus scan as [[bruteForceTopK]]; the K
+    * greedy steps then run as ONE GROUPED PASS (`flatMapGroups` per
+    * query) over that shortlist. A closure is the right tool here by
+    * measurement, not convenience: each group is ≤ [[MmrPool]] rows
+    * BY CONSTRUCTION (the rank filter), so the greedy loop is O(K ·
+    * pool² · dim) on a few KB of data per query — while the previous
+    * iteration-as-plan-stages construction (each of K steps a
+    * pen-join + rank-1 window, every pick and the pool
+    * localCheckpoint-staged against the 2^K plan re-expansion) paid
+    * 11 checkpoint materializations + 5 join/window stage chains per
+    * run: measured 1.39 → 0.47 s at sf0.1 min-of-3. At corpus scale
+    * the grouped form also shuffles the pool exactly once (it is
+    * already NumQueries·pool-bounded), instead of K anti-join passes.
+    *
+    * Ties break (score desc NULLS LAST, neighbor_id asc). The oracle
+    * unrolls the K steps as CTEs, the [[ivfKmeansTopK]] discipline;
+    * scores stay bit-identical because the closure replays the exact
+    * IEEE sequences of the previous plan: [[graft.functions.CosineSim.score]]
+    * for the penalty cosines (NaN ≡ SQL null, skipped like SQL `max`
+    * skips nulls — a candidate whose penalties are ALL null scores
+    * null, and a null cos scores null, exactly as `0.7·cos − 0.3·pen`
+    * null-propagates), primitive double comparison for the argmax
+    * (−0.0 == 0.0, ties to the lower id, matching the window sort),
+    * and the same two-literal 0.7/0.3 blend. SimilaritySpec's
+    * driver-side greedy reference asserts exact map equality
+    * including scores; the DuckDB oracle hash-checks the same rows
+    * at every gate SF.
     */
   def mmrTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -494,52 +512,70 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc_nulls_last, col("neighbor_id").asc)
-    val pool = graft.Materialize.stage(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding"))
-        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= MmrPool)
-        .select(col("query_id"), col("neighbor_id"), col("embedding"),
-          col("cos")),
-      eager = false)
-    val pickW = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc_nulls_last, col("neighbor_id").asc)
-    var selected: DataFrame = null
-    var remaining = pool
-    for (i <- 1 to MmrK) {
-      val scored =
-        if (selected == null)
-          remaining.withColumn("score", lit(0.7) * col("cos"))
-        else {
-          val pen = remaining
-            .join(selected.select(col("query_id"), col("sel_emb")), "query_id")
-            .withColumn("sim_sel", cosine_sim(col("embedding"), col("sel_emb")))
-            .groupBy(col("query_id"), col("neighbor_id"))
-            .agg(max(col("sim_sel")).as("pen"))
-          remaining.join(pen, Seq("query_id", "neighbor_id"))
-            .withColumn("score",
-              lit(0.7) * col("cos") - lit(0.3) * col("pen"))
-        }
-      // each pick is STAGED: selected and remaining both reference
-      // it, and unstaged the step-i plan would re-expand every prior
-      // step's subtree — ~2^K plan growth (measured 7.5 s at sf0.1
-      // for K=5 vs 1.8 s staged). A pick is ≤ NumQueries rows.
-      val pick = graft.Materialize.stage(
-        scored
-          .withColumn("rn", row_number().over(pickW))
-          .filter(col("rn") === 1)
-          .select(col("query_id"), col("neighbor_id"),
-            lit(i).as("sel_rank"), col("score"),
-            col("embedding").as("sel_emb")),
-        eager = false)
-      selected = if (selected == null) pick else selected.unionByName(pick)
-      remaining = remaining.join(
-        pick.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
+    val pool = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MmrPool)
+      .select(col("query_id"), col("neighbor_id"), col("embedding"),
+        col("cos"))
+    import spark.implicits._
+    // (score desc NULLS LAST, id asc) — the pick window's order. The
+    // double compare is primitive (<, >), so −0.0 ties 0.0 and the id
+    // decides, matching Spark's SQL ordering on the previous plan.
+    def beats(s1: Option[Double], id1: Long,
+        s2: Option[Double], id2: Long): Boolean = (s1, s2) match {
+      case (Some(x), Some(y)) =>
+        if (x > y) true else if (x < y) false else id1 < id2
+      case (Some(_), None) => true
+      case (None, Some(_)) => false
+      case (None, None) => id1 < id2
     }
-    selected.select(col("query_id"), col("neighbor_id"),
-      col("sel_rank"), col("score"))
+    pool.as[(Long, Long, Array[Float], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long,
+          it: Iterator[(Long, Long, Array[Float], Option[Double])]) =>
+        val remaining = scala.collection.mutable.ArrayBuffer.empty[
+          (Long, Array[Float], Option[Double])]
+        it.foreach { case (_, nid, emb, cos) => remaining += ((nid, emb, cos)) }
+        val selEmbs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[
+          (Long, Long, Int, Option[Double])]
+        var i = 1
+        while (i <= MmrK && remaining.nonEmpty) {
+          var bestJ = -1
+          var bestScore: Option[Double] = None
+          var bestId = Long.MaxValue
+          var j = 0
+          while (j < remaining.length) {
+            val (nid, emb, cosOpt) = remaining(j)
+            val score: Option[Double] =
+              if (selEmbs.isEmpty) cosOpt.map(0.7 * _)
+              else {
+                // pen = max over selected of cosine(emb, sel_emb);
+                // NaN (the score() spelling of SQL null) is skipped
+                // like SQL max skips nulls
+                var pen = 0.0
+                var any = false
+                selEmbs.foreach { se =>
+                  val s = graft.functions.CosineSim.score(emb, se)
+                  if (!s.isNaN && (!any || s > pen)) { pen = s; any = true }
+                }
+                if (any) cosOpt.map(c => 0.7 * c - 0.3 * pen) else None
+              }
+            if (bestJ < 0 || beats(score, nid, bestScore, bestId)) {
+              bestJ = j; bestScore = score; bestId = nid
+            }
+            j += 1
+          }
+          out += ((qid, bestId, i, bestScore))
+          selEmbs += remaining(bestJ)._2
+          remaining.remove(bestJ)
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "sel_rank", "score")
   }
 
   /** Band count for [[embeddingNearDup]]'s candidate generation.
@@ -1518,18 +1554,19 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(1).as("rank"), lit(0.0).as("score"))
     val q30 = 1L << 30
-    def fixdot(sub: Column, cw: Array[Float]): Column =
-      floor(aggregate(
-        zip_with(sub, array(cw.toIndexedSeq.map(lit): _*),
-          (x, g) => x.cast("double") * g.cast("double")),
-        lit(0.0), (acc, v) => acc + v) * q30 + lit(0.5)).cast("long")
+    // LUT construction is the fused native kernel
+    // (graft.functions.PqLuts) — the HOF formulation (per codeword:
+    // slice + zip_with + aggregate, 128 interpreted folds per query
+    // row in a 128-subtree projection) is retained as the reference
+    // in PqCodesSpec and as the DuckDB oracle; arithmetic parity
+    // (sequential double dot, floor(dot·2³⁰+0.5)) is pinned there.
+    // Measured r16 at sf0.1, min-of-3: q_ann_pq_topk 1.03 → 0.71 s.
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id") +:
-        (0 until NumSub).map { m =>
-          array(cb(m).toIndexedSeq.map(cw =>
-            fixdot(slice(col("embedding"), m * SubDim + 1, SubDim), cw)): _*)
-            .as(s"lut$m")
-        }: _*)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.PqLuts.pqLuts(col("embedding"), cb).as("luts"))
+      .select(col("query_id") +:
+        (0 until NumSub).map(m =>
+          element_at(col("luts"), m + 1).as(s"lut$m")): _*)
     val enc = pqEncode(e, cb).select(col("vec_id").as("neighbor_id"), col("codes"))
     val scoreFp = (0 until NumSub).map(m =>
       element_at(col(s"lut$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)

@@ -41,6 +41,41 @@ class PqCodesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("native LUTs equal the HOF fixdot tables on the whole sf0.01 corpus") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cb = Similarity.pqCodebooks(e)
+    val q30 = 1L << 30
+    // the exact HOF formulation pqTopK used before the PqLuts kernel
+    def fixdot(sub: org.apache.spark.sql.Column, cw: Array[Float]) =
+      floor(aggregate(
+        zip_with(sub, array(cw.toIndexedSeq.map(lit): _*),
+          (x, g) => x.cast("double") * g.cast("double")),
+        lit(0.0), (acc, v) => acc + v) * q30 + lit(0.5)).cast("long")
+    val want = e.select(col("vec_id") +:
+        (0 until Similarity.NumSub).map { m =>
+          array(cb(m).toIndexedSeq.map(cw =>
+            fixdot(slice(col("embedding"), m * Similarity.SubDim + 1,
+              Similarity.SubDim), cw)): _*).as(s"lut$m")
+        }: _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (1 to Similarity.NumSub).map(r.getSeq[Long](_).toSeq)).toMap
+    val got = e.select(col("vec_id"),
+        graft.functions.PqLuts.pqLuts(col("embedding"), cb).as("luts"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Long]](1).toSeq.map(_.toSeq)).toMap
+    assert(got.size == want.size && got.nonEmpty)
+    assert(got == want)
+    // null embedding stays null
+    import spark.implicits._
+    val nulls = Seq((1L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+      .select(graft.functions.PqLuts.pqLuts(
+        col("embedding").cast("array<float>"), cb))
+      .collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("interpreted compute equals the dataframe path; null embedding stays null") {
     import spark.implicits._
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

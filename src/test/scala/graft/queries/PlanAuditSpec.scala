@@ -540,6 +540,12 @@ class PlanAuditSpec extends SparkSpec {
         "q_ann_hard_negatives", // broadcast NumQueries anchors vs
         // corpus scan with a label-inequality condition — the
         // q_ann_topk bounded-build-side shape
+        "q_ann_mmr_topk", // the same bounded shape for the MMR pool
+        // (broadcast NumQueries query vectors vs one corpus scan);
+        // present since the query's introduction but previously
+        // hidden from this sweep behind the pool's localCheckpoint —
+        // the r16 grouped-greedy rewrite removed the checkpoint, so
+        // the audited plan now shows the whole tree
         "q_events_rolling_active", // one-row max_day bounds broadcast
         "q_events_forecast_eval") // same generated spine × types
         // cross as q_events_gapfill/q_events_anomaly
