@@ -275,22 +275,33 @@ object Dedup {
     * collapsed near-dup graph at est_jaccard >= 0.5. Input `sigs`
     * must be the representative signature set.
     */
-  private def repClusterLabels(spark: SparkSession, sigs: DataFrame): DataFrame = {
-    // stage pairs first: the LSH pipeline above them is the expensive
-    // part — compute it once, then both the dispatch choice and CC
-    // read it. The edge count rides the staging action as an observed
-    // metric (same pattern as largeSmallStarCC's convergence counts),
-    // so choosing driver-vs-distributed costs zero extra jobs.
-    val obs = org.apache.spark.sql.Observation()
-    val pairs = Materialize.stage(
+  private def repClusterLabels(spark: SparkSession, sigs: DataFrame): DataFrame =
+    sizedCC(spark,
       lshPairsOf(sigs)
         .filter(col("est_jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-        .observe(obs, count(lit(1)).as("n_edges")))
+        .select(col("doc_a"), col("doc_b")))
+
+  /** Size-dispatched connected components over an undirected
+    * (doc_a, doc_b) pair frame — the production CC entry shared by
+    * the near-dup clustering and the click-graph components (r16;
+    * previously the click graph rode the distributed path
+    * unconditionally — log-rounds of staged jobs for a 100-node
+    * graph).
+    *
+    * The pair pipeline above the dispatch is the expensive part —
+    * staged first, so the dispatch choice and CC read ONE
+    * computation; the edge count rides the staging action as an
+    * observed metric (the largeSmallStarCC convergence-count
+    * pattern), so choosing driver-vs-distributed costs zero extra
+    * jobs. The label table is broadcast ONLY on the small-graph
+    * path — the distributed path exists precisely because labels may
+    * not fit the driver, so it must shuffle-join.
+    */
+  private[graft] def sizedCC(spark: SparkSession, rawPairs: DataFrame): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val pairs = Materialize.stage(
+      rawPairs.observe(obs, count(lit(1)).as("n_edges")))
     val nEdges = obs.get("n_edges").asInstanceOf[Long]
-    // broadcast the label table ONLY on the small-graph path — the
-    // distributed path exists precisely because labels may not fit
-    // the driver, so it must shuffle-join
     if (nEdges <= driverCCMaxEdges(spark)) broadcast(driverUnionFind(spark, pairs))
     else largeSmallStarCC(pairs)
   }

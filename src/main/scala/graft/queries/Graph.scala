@@ -97,7 +97,16 @@ object Graph {
   def connectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Materialize.stage(clickEdges(spark, sfDir)
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
-    val labels = graft.llm.Dedup.largeSmallStarCC(
+    // size-dispatched CC (r16): the click graph's node space is the
+    // page-id domain — bounded and far below the driver union-find
+    // budget at any corpus scale — yet this query previously rode the
+    // unconditional large/small-star path (log-rounds of staged jobs
+    // for a 100-node graph at sf0.1; measured min-of-5: 1.27 →
+    // 0.60 s). The same conf-gated dispatch as dedupClusters
+    // (spark.graft.cc.maxDriverEdges) keeps the distributed fallback
+    // for a genuinely edge-heavy graph, and q_dedup_clusters_dist
+    // still pins the distributed path through the oracle gate.
+    val labels = graft.llm.Dedup.sizedCC(spark,
       e.filter(col("src") =!= col("dst"))
         .select(col("src").as("doc_a"), col("dst").as("doc_b")))
     val nodes = e.select(col("src").as("page"))
